@@ -1,0 +1,386 @@
+"""Parquet-backed table store with file-level copy-on-write MERGE.
+
+The reference maintains silver/gold as Apache Iceberg tables and gets
+``upsert`` / ``append`` / ``overwrite`` from PyIceberg
+(``lambdas/serverless_processing_iceberg/main.py:127-146``,
+``containers/dbt_runner/entrypoint.py:381-440``). This environment
+has no Iceberg/Delta Spark runtime jars, so the same write-mode
+semantics are provided over plain parquet directories — designed so
+the *plan shape* matches what an Iceberg MERGE would do at 100 TB:
+
+- **Upsert is file-level copy-on-write**, the same strategy Delta
+  Lake / Iceberg COW use: a semi-join against the incoming keys
+  (via the ``_metadata.file_path`` column) identifies exactly the
+  data files containing matched keys; only those files are rewritten
+  (surviving rows ∪ new batch), every other file is untouched. Merge
+  cost is O(matched files + batch), not O(table).
+- **Schema evolution is union-by-name**: the declared table schema is
+  the union of every batch's schema; parquet files missing a column
+  yield nulls (matching Iceberg ``union_by_name`` evolution,
+  reference ``main.py:134-138``).
+- Tables are registered in the session catalog as external parquet
+  tables (``{domain}_{layer}.{table}``), so ``spark.sql`` resolves
+  rewritten three-part names and Catalyst gets stats/pushdown.
+
+Durability model: single writer per table, staged writes + metadata
+refresh (the reference's per-object Lambda + Iceberg commit gives
+snapshot isolation; swap the backend for Iceberg/Delta in
+environments that ship the jar — the interface is unchanged).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from serverless_data_lake_spark.config import LakeConfig
+
+_META_FILE = "_sdls_meta.json"
+
+
+@dataclass
+class TableInfo:
+    database: str
+    name: str
+    location: str
+    schema: StructType
+    primary_keys: list[str]
+
+    @property
+    def qualified(self) -> str:
+        return f"{self.database}.{self.name}"
+
+
+class TableStore:
+    """Catalog + storage manager for one lake."""
+
+    def __init__(self, spark: SparkSession, config: LakeConfig) -> None:
+        self.spark = spark
+        self.config = config
+        self._fs_cache: dict[str, object] = {}
+
+    # ------------------------------------------------------------------
+    # Hadoop FS helpers (work for file:// and s3a:// alike)
+    # ------------------------------------------------------------------
+    def _hpath(self, path: str):
+        return self.spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+
+    def _fs(self, path: str):
+        jpath = self._hpath(path)
+        return jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())  # noqa: SLF001
+
+    def _exists(self, path: str) -> bool:
+        return self._fs(path).exists(self._hpath(path))
+
+    def _delete(self, path: str) -> None:
+        self._fs(path).delete(self._hpath(path), True)
+
+    def _list_data_files(self, directory: str) -> list[str]:
+        fs = self._fs(directory)
+        out = []
+        for st in fs.listStatus(self._hpath(directory)):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                out.append(st.getPath().toString())
+        return out
+
+    def _move_files_into(self, src_dir: str, dst_dir: str) -> None:
+        fs = self._fs(dst_dir)
+        for f in self._list_data_files(src_dir):
+            name = f.rsplit("/", 1)[1]
+            fs.rename(self._hpath(f), self._hpath(f"{dst_dir}/{name}"))
+
+    # ------------------------------------------------------------------
+    # Metadata
+    # ------------------------------------------------------------------
+    def _write_meta(self, info: TableInfo) -> None:
+        meta = {
+            "schema": info.schema.json(),
+            "primary_keys": info.primary_keys,
+            "updated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        fs = self._fs(info.location)
+        out = fs.create(self._hpath(f"{info.location}/{_META_FILE}"), True)
+        out.write(bytearray(json.dumps(meta).encode()))
+        out.close()
+
+    def _read_meta(self, location: str) -> dict | None:
+        path = f"{location}/{_META_FILE}"
+        if not self._exists(path):
+            return None
+        fs = self._fs(path)
+        stream = fs.open(self._hpath(path))
+        try:
+            data = bytes(
+                self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(  # noqa: SLF001
+                    stream
+                )
+            )
+        finally:
+            stream.close()
+        return json.loads(data.decode())
+
+    # ------------------------------------------------------------------
+    # Catalog registration
+    # ------------------------------------------------------------------
+    def ensure_database(self, database: str) -> None:
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{database}`")
+
+    def _register(self, info: TableInfo) -> None:
+        """(Re-)declare the external table with the current schema."""
+        self.ensure_database(info.database)
+        self.spark.sql(f"DROP TABLE IF EXISTS `{info.database}`.`{info.name}`")
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in info.schema.fields
+        )
+        self.spark.sql(
+            f"CREATE TABLE `{info.database}`.`{info.name}` ({ddl}) "
+            f"USING parquet LOCATION '{info.location}'"
+        )
+
+    def register_all(self) -> list[TableInfo]:
+        """Scan the warehouse and register every persisted table in
+        the (session-scoped) catalog. Called once per session."""
+        root = self.config.warehouse_root
+        infos: list[TableInfo] = []
+        if not self._exists(root):
+            return infos
+        fs = self._fs(root)
+        for db_status in fs.listStatus(self._hpath(root)):
+            if not db_status.isDirectory():
+                continue
+            database = db_status.getPath().getName()
+            for t_status in fs.listStatus(db_status.getPath()):
+                if not t_status.isDirectory():
+                    continue
+                location = t_status.getPath().toString()
+                meta = self._read_meta(location)
+                if meta is None:
+                    continue
+                info = TableInfo(
+                    database=database,
+                    name=t_status.getPath().getName(),
+                    location=location,
+                    schema=StructType.fromJson(json.loads(meta["schema"])),
+                    primary_keys=meta.get("primary_keys", []),
+                )
+                self._register(info)
+                infos.append(info)
+        return infos
+
+    def table_exists(self, database: str, table: str) -> bool:
+        location = self.config.table_path(database, table)
+        return self._read_meta(location) is not None
+
+    def read(self, database: str, table: str) -> DataFrame:
+        return self.spark.table(f"`{database}`.`{table}`")
+
+    def info(self, database: str, table: str) -> TableInfo | None:
+        location = self.config.table_path(database, table)
+        meta = self._read_meta(location)
+        if meta is None:
+            return None
+        return TableInfo(
+            database=database,
+            name=table,
+            location=location,
+            schema=StructType.fromJson(json.loads(meta["schema"])),
+            primary_keys=meta.get("primary_keys", []),
+        )
+
+    # ------------------------------------------------------------------
+    # Write modes
+    # ------------------------------------------------------------------
+    def create_or_replace(
+        self,
+        database: str,
+        table: str,
+        df: DataFrame,
+        primary_keys: list[str] | None = None,
+    ) -> TableInfo:
+        """Full overwrite (gold ``write_mode=overwrite`` — reference
+        S6). Staged write + swap so a failed job never destroys the
+        previous snapshot."""
+        location = self.config.table_path(database, table)
+        staging = f"{location}__stage_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(staging)
+        if self._exists(location):
+            self._delete(location)
+        self._fs(location).mkdirs(self._hpath(location))
+        self._move_files_into(staging, location)
+        self._delete(staging)
+        info = TableInfo(database, table, location, df.schema, primary_keys or [])
+        self._write_meta(info)
+        self._register(info)
+        return info
+
+    def append(
+        self,
+        database: str,
+        table: str,
+        df: DataFrame,
+        primary_keys: list[str] | None = None,
+    ) -> TableInfo:
+        """Append with union-by-name schema evolution (reference S5 +
+        V6: new columns widen the table schema; old files read as
+        null for them)."""
+        existing = self.info(database, table)
+        if existing is None:
+            return self.create_or_replace(database, table, df, primary_keys)
+        merged_schema = self._merge_schemas(existing.schema, df.schema)
+        df = self._conform(df, merged_schema)
+        df.write.mode("append").parquet(existing.location)
+        info = TableInfo(
+            database, table, existing.location, merged_schema,
+            primary_keys if primary_keys is not None else existing.primary_keys,
+        )
+        self._write_meta(info)
+        if merged_schema != existing.schema:
+            self._register(info)
+        else:
+            self.spark.sql(f"REFRESH TABLE `{database}`.`{table}`")
+        return info
+
+    def merge(
+        self,
+        database: str,
+        table: str,
+        source: DataFrame,
+        keys: list[str],
+    ) -> TableInfo:
+        """Upsert: MERGE-matched-update-all / not-matched-insert-all
+        semantics (reference S7/S8) via file-level copy-on-write.
+
+        Plan, in Spark terms:
+        1. semi-join ``target ⋉ source_keys`` over the hidden
+           ``_metadata.file_path`` column → the set of data files
+           that contain any matched key (driver sees only file
+           *names*, never rows);
+        2. rewrite = (rows of those files anti-joined against source
+           keys) ∪ source;
+        3. stage, swap in, delete only the matched files.
+
+        Cost is proportional to the matched files + the batch. The
+        incoming-keys side of both joins is typically small and
+        broadcast by AQE; skewed PKs are handled by AQE skew-join.
+        """
+        if not keys:
+            raise ValueError("merge requires at least one key column")
+        existing = self.info(database, table)
+        if existing is None:
+            return self.create_or_replace(database, table, source, keys)
+
+        merged_schema = self._merge_schemas(existing.schema, source.schema)
+        source = self._conform(source, merged_schema)
+        location = existing.location
+
+        target = self.spark.read.schema(merged_schema).parquet(location)
+        src_keys = source.select(*keys).dropDuplicates(keys)
+
+        affected = (
+            self.spark.read.schema(merged_schema)
+            .parquet(location)
+            .select(*keys, F.col("_metadata.file_path").alias("__file"))
+            .join(src_keys, on=keys, how="left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        affected_files = [r["__file"] for r in affected]
+
+        staging = f"{location}__stage_{uuid.uuid4().hex[:8]}"
+        if affected_files:
+            survivors = (
+                self.spark.read.schema(merged_schema)
+                .parquet(*affected_files)
+                .join(src_keys, on=keys, how="left_anti")
+            )
+            out = survivors.unionByName(source)
+        else:
+            out = source
+        out.write.mode("overwrite").parquet(staging)
+
+        for f in affected_files:
+            self._delete(f)
+        self._move_files_into(staging, location)
+        self._delete(staging)
+
+        info = TableInfo(database, table, location, merged_schema, keys)
+        self._write_meta(info)
+        if merged_schema != existing.schema:
+            self._register(info)
+        else:
+            self.spark.sql(f"REFRESH TABLE `{database}`.`{table}`")
+        return info
+
+    def delete_insert(
+        self,
+        database: str,
+        table: str,
+        source: DataFrame,
+        keys: list[str],
+    ) -> TableInfo:
+        """Gold ``append`` + ``unique_key``: delete target rows whose
+        key appears in the source, then insert all source rows — the
+        dbt incremental-macro semantics (reference R13,
+        ``macros/materializations/iceberg_incremental.sql:85-113``).
+        Identical mechanics to :meth:`merge` (source may legitimately
+        carry several rows per key, all of which are inserted)."""
+        return self.merge(database, table, source, keys)
+
+    # ------------------------------------------------------------------
+    # Schema evolution helpers
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _merge_schemas(base: StructType, incoming: StructType) -> StructType:
+        """Union-by-name: base field order, new fields appended."""
+        fields = {f.name: f for f in base.fields}
+        merged = list(base.fields)
+        for f in incoming.fields:
+            if f.name not in fields:
+                merged.append(f)
+        return StructType(merged)
+
+    @staticmethod
+    def _conform(df: DataFrame, schema: StructType) -> DataFrame:
+        """Project df to the merged schema (missing columns → null,
+        order normalized, types cast)."""
+        cols = []
+        present = set(df.columns)
+        for f in schema.fields:
+            if f.name in present:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    # ------------------------------------------------------------------
+    # Introspection (reference §2.9)
+    # ------------------------------------------------------------------
+    def list_tables(self) -> list[dict]:
+        out = []
+        for db in self.spark.catalog.listDatabases():
+            if db.name in ("default", "global_temp"):
+                continue
+            for t in self.spark.catalog.listTables(db.name):
+                if t.tableType == "TEMPORARY" or t.isTemporary:
+                    continue  # per-query bronze views leak into listings
+                cols = self.spark.catalog.listColumns(f"{db.name}.{t.name}")
+                domain, _, layer = db.name.rpartition("_")
+                out.append(
+                    {
+                        "domain": domain,
+                        "layer": layer,
+                        "table": t.name,
+                        "columns": [
+                            {"name": c.name, "type": c.dataType} for c in cols
+                        ],
+                    }
+                )
+        return out

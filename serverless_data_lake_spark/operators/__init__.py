@@ -1,0 +1,54 @@
+"""Engine operators.
+
+- ``dedup``      — pipeline PK window-dedup (reference R12) plus the
+  large-scale training-data dedup family: exact, MinHash+LSH,
+  SimHash, n-gram Jaccard, embedding-cosine near-dup.
+- ``similarity`` — similarity search over embedding columns:
+  brute-force cosine top-k and an LSH-bucketed ANN variant.
+- ``text``       — text analysis: language ID, quality scoring,
+  token counting, document fingerprinting.
+- ``multimodal`` — binary-column plumbing for image/audio/video
+  payloads (decode stubbed; Spark-side schema/batching real).
+
+All operators are Column-expression / DataFrame compositions (JVM
+whole-stage-codegen path); Python appears only inside Arrow-batched
+Pandas UDFs where Spark has no built-in equivalent.
+"""
+
+from serverless_data_lake_spark.operators.dedup import (
+    dedup_exact,
+    keep_one_per_key,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from serverless_data_lake_spark.operators.similarity import (
+    cosine_similarity_col,
+    cosine_topk,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
+from serverless_data_lake_spark.operators.text import (
+    detect_language,
+    document_fingerprint,
+    quality_score,
+    token_count,
+    tokenize,
+)
+
+__all__ = [
+    "cosine_similarity_col",
+    "cosine_topk",
+    "dedup_exact",
+    "detect_language",
+    "document_fingerprint",
+    "embedding_near_duplicates",
+    "keep_one_per_key",
+    "lsh_bucketed_topk",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "quality_score",
+    "simhash_signatures",
+    "token_count",
+    "tokenize",
+]

@@ -1,0 +1,366 @@
+"""Deduplication operators.
+
+Pipeline dedup (reference R12) plus the dedup family a large-scale
+training-data pipeline needs. Everything is expressed as DataFrame
+compositions so Catalyst plans the shuffles:
+
+- ``keep_one_per_key``    — one row per PK by order column (the
+  silver-merge pre-pass; reference
+  ``serverless_processing_iceberg/main.py:64-74``).
+- ``dedup_exact``         — exact duplicate removal by content hash
+  (hash-groupBy; one shuffle on the hash).
+- ``ngram_jaccard_pairs`` — exact n-gram Jaccard similarity pairs via
+  token-inverted-index self-join (no O(n²) cross join: the join is on
+  shared tokens, so disjoint documents never meet).
+- ``minhash_lsh_pairs``   — MinHash signatures + banded LSH candidate
+  pairs, the sub-quadratic scale path: shingle → H minhashes →
+  b bands → bucket join; optional exact-Jaccard verification of
+  candidates only.
+- ``simhash_signatures``  — 64-bit SimHash per document; near-dups =
+  signatures within a small Hamming distance.
+- embedding near-dup lives in ``operators/similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Pipeline PK dedup (R12)
+# ---------------------------------------------------------------------------
+def keep_one_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str = "_insert_date",
+    ascending: bool = True,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Keep exactly one row per key, picked by ``order_col``.
+
+    The reference ranks **ascending** on ``_insert_date`` and keeps
+    rank 1 — i.e. the *earliest* record within a batch (its docstring
+    says "latest" but ``rank('ordinal')`` is ascending; SURVEY §7.4).
+    Replicated faithfully; pass ``ascending=False`` for true
+    latest-wins. ``tiebreakers`` make tie rows deterministic (the
+    reference breaks ties by input order, which has no distributed
+    equivalent). Executes as one shuffle on the keys; with AQE the
+    partition count adapts to the batch size.
+    """
+    order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
+    order += [F.col(c).asc() for c in (tiebreakers or [])]
+    return keep_one_ordered(df, keys, order)
+
+
+def keep_one_ordered(df: DataFrame, keys: list[str], order: list) -> DataFrame:
+    """Generalized one-row-per-key with an explicit ordering spec
+    (list of Columns). One shuffle on the keys."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact content dedup
+# ---------------------------------------------------------------------------
+def dedup_exact(
+    df: DataFrame,
+    content_cols: list[str],
+    id_col: str | None = None,
+) -> DataFrame:
+    """Exact dedup by content: one representative row per distinct
+    content tuple. With ``id_col`` the representative is the minimum
+    id (deterministic); otherwise an arbitrary row wins
+    (``dropDuplicates`` — cheaper, map-side partial aggregation).
+
+    The groupBy key is a 64-bit hash of the content, not the content
+    itself, so the shuffle moves 8 bytes + the row instead of
+    shuffling long document texts twice."""
+    if id_col is None:
+        return df.dropDuplicates(content_cols)
+    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    w = Window.partitionBy(h).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenization shared by the similarity-dedup family
+# ---------------------------------------------------------------------------
+def _distinct_tokens(
+    df: DataFrame, id_col: str, text_col: str, pattern: str = "\\s+"
+) -> DataFrame:
+    """(id, token) pairs, distinct per document, empty tokens dropped."""
+    return (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.split(F.lower(F.col(text_col)), pattern)).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+        .distinct()
+    )
+
+
+def _token_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, ngram) distinct pairs: word n-grams via a self-zip of the
+    token array (pure column expressions — no UDF)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+    if n <= 1:
+        grams = toks
+    else:
+        # transform over indices 0..len-n producing space-joined grams
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    return (
+        df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("__tok"))
+        .filter(F.col("__tok") != "")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (inverted-index join)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All document pairs with n-gram Jaccard ≥ threshold.
+
+    Shape: inverted index (token → docs) self-joined on token, so the
+    candidate set is only pairs sharing ≥1 n-gram; intersection sizes
+    come from one groupBy, union sizes from the per-doc counts. At
+    scale the hot spot is frequent n-grams (stop-phrase skew) — AQE
+    skew-join handles moderate skew; for web-scale corpora drop
+    n-grams with document frequency above a cap before the join
+    (standard positional-filter trick), which is exposed via
+    ``minhash_lsh_pairs`` as the preferred scale path anyway.
+
+    Returns columns ``id_a, id_b, jaccard`` with ``id_a < id_b``.
+    """
+    toks = _token_ngrams(df, id_col, text_col, n).cache()
+    sizes = toks.groupBy("__id").agg(F.count("*").alias("__n"))
+    left = toks.alias("l")
+    right = toks.alias("r")
+    inter = (
+        left.join(right, on="__tok")
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .agg(F.count("*").alias("__inter"))
+    )
+    pairs = (
+        inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / (F.col("__na") + F.col("__nb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH (sub-quadratic scale path)
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 128,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, array<bigint> signature) — H independent minhashes.
+
+    Hash family: ``xxhash64(shingle, seed_i)`` (64-bit, JVM-side,
+    whole-stage-codegen). The plan is explode-shingles → one groupBy
+    with H ``min`` aggregates — a single shuffle on the doc id with
+    map-side partial mins, so the shuffled volume is H×8 bytes per
+    doc regardless of document length."""
+    toks = _token_ngrams(df, id_col, text_col, shingle_size)
+    aggs = [
+        F.min(F.xxhash64(F.col("__tok"), F.lit(i))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = toks.groupBy("__id").agg(*aggs)
+    return sig.select(
+        F.col("__id").alias(id_col),
+        F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_size: int = 3,
+    verify_threshold: float | None = 0.8,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    ``num_hashes`` minhashes split into ``bands`` bands of
+    ``num_hashes // bands`` rows; documents sharing any band hash are
+    candidates (probability of detection ≈ 1-(1-s^r)^b). Candidates
+    come from a groupBy on (band, band_hash) — never a cross join —
+    and are optionally verified with exact shingle Jaccard
+    (``verify_threshold``), computed only for the candidate set.
+
+    Returns ``id_a, id_b`` (+ ``jaccard`` when verifying).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    banded = sig.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("signature"), b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("__band", "__bh"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(right, on=["__band", "__bh"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return candidates
+    # Exact verification: recompute intersection only for candidates.
+    toks = _token_ngrams(df, id_col, text_col, shingle_size)
+    sizes = toks.groupBy("__id").agg(F.count("*").alias("__n"))
+    t_a = toks.withColumnRenamed("__id", "id_a")
+    t_b = toks.withColumnRenamed("__id", "id_b")
+    inter = (
+        candidates.join(t_a, "id_a")
+        .join(t_b, ["id_b", "__tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    verified = (
+        inter.join(
+            sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document.
+
+    Each distinct token contributes +1/−1 to every bit position
+    according to its 64-bit hash; the signature's bit b is 1 iff the
+    sum for b is positive. Plan: explode tokens → groupBy(doc) with
+    ``bits`` conditional-sum aggregates (all JVM-side, map-side
+    partial) → bit reassembly with ``shiftleft``/``bor`` over a
+    fold. One shuffle keyed by doc id.
+
+    Near-duplicates are signature pairs within a small Hamming
+    distance: ``bit_count(a ^ b) <= d`` — cheap to evaluate on any
+    candidate set (e.g. band on signature prefixes, same trick as
+    MinHash-LSH)."""
+    toks = _distinct_tokens(df, id_col, text_col)
+    h = F.xxhash64("__tok")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{b}")
+        for b in range(bits)
+    ]
+    sums = toks.groupBy("__id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"__b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select(F.col("__id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on ``64/prefix_bits`` signature
+    chunks (a pair within Hamming d must agree exactly on at least one
+    of d+1 chunks — pigeonhole), verify ``bit_count(xor) <= d``."""
+    sig = simhash_signatures(df, id_col, text_col).cache()
+    chunks = 64 // prefix_bits
+    blocked = sig.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(chunks - 1)),
+                lambda c: F.shiftright(F.col("simhash"), c * prefix_bits).bitwiseAND(
+                    F.lit((1 << prefix_bits) - 1)
+                ),
+            )
+        ).alias("__chunk", "__ch"),
+    )
+    left = blocked.alias("l")
+    right = blocked.alias("r")
+    return (
+        left.join(right, on=["__chunk", "__ch"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,119 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure Column expressions (whole-stage codegen; zero Python in the
+row path):
+
+- ``tokenize`` / ``token_count`` — whitespace tokens plus a BPE-ish
+  regex token count (word pieces, digits, punctuation runs).
+- ``detect_language`` — stopword-hit heuristic over a small built-in
+  lexicon (en/es/de/fr/pt); returns the best-scoring language or
+  ``und``.
+- ``quality_score`` — [0,1] heuristic from length, punctuation
+  ratio, stopword ratio, mean word length — the usual cheap quality
+  gates applied before expensive model-based filtering.
+- ``document_fingerprint`` — 64-bit content fingerprint over
+  normalized text (case/whitespace-insensitive exact-dup key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal stopword lexicons — enough signal for n-gram-free language
+# ID on clean text; swap for fastText/CLD in environments that ship it.
+_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+           "with", "as", "his", "on", "be", "at", "by", "this", "had", "not"],
+    "es": ["de", "la", "que", "el", "en", "y", "los", "del", "se", "las",
+           "por", "un", "para", "con", "una", "su", "al", "lo", "como", "más"],
+    "de": ["der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich",
+           "des", "auf", "für", "ist", "im", "dem", "nicht", "ein", "eine", "als"],
+    "fr": ["de", "la", "le", "et", "les", "des", "en", "un", "du", "une",
+           "que", "est", "pour", "qui", "dans", "par", "plus", "pas", "au", "sur"],
+    "pt": ["de", "a", "o", "que", "e", "do", "da", "em", "um", "para",
+           "com", "não", "uma", "os", "no", "se", "na", "por", "mais", "as"],
+}
+
+_BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def tokenize(text: Column, lowercase: bool = True) -> Column:
+    """Whitespace tokens, empties removed."""
+    t = F.lower(text) if lowercase else text
+    return F.filter(F.split(t, "\\s+"), lambda x: x != "")
+
+
+def token_count(text: Column, mode: str = "whitespace") -> Column:
+    """Token count. ``whitespace`` counts words; ``bpe`` counts
+    GPT-style pieces (letter runs, single digits, punctuation runs) —
+    a serviceable length proxy when no tokenizer model is shipped."""
+    if mode == "whitespace":
+        return F.size(tokenize(text))
+    if mode == "bpe":
+        return F.size(
+            F.filter(
+                F.regexp_extract_all(text, F.lit(_BPE_TOKEN_RE), 0),
+                lambda x: x != "",
+            )
+        )
+    raise ValueError(f"unknown token mode: {mode}")
+
+
+def _stopword_hits(tokens: Column, lang: str) -> Column:
+    words = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(tokens), words))
+
+
+def detect_language(text: Column) -> Column:
+    """Best-scoring language by distinct-stopword hits; ``und`` when
+    nothing matches. Deterministic tie-break by language code order
+    (greatest hit count wins; earlier language wins ties via the
+    ordered CASE)."""
+    toks = tokenize(text)
+    scores = {lang: _stopword_hits(toks, lang) for lang in _STOPWORDS}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # Build reversed so earlier langs take precedence in the CASE chain.
+    for lang in reversed(list(_STOPWORDS)):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Cheap [0,1] document quality heuristic:
+
+    - length factor: saturating at 200 chars;
+    - alpha ratio: letters+spaces / chars (penalizes symbol soup);
+    - stopword presence: any-language distinct stopword hits per token
+      (fluent prose has function words);
+    - mean word length in a sane band (2.5–9).
+
+    Equal-weight average of the four factors."""
+    toks = tokenize(text)
+    n_chars = F.length(text).cast("double")
+    length_f = F.least(n_chars / F.lit(200.0), F.lit(1.0))
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z ]", "")).cast("double")
+    alpha_f = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    hits = None
+    for lang in _STOPWORDS:
+        h = _stopword_hits(toks, lang)
+        hits = h if hits is None else F.greatest(hits, h)
+    n_toks = F.size(toks).cast("double")
+    stop_f = F.when(n_toks > 0, F.least(hits.cast("double") * 4 / n_toks, F.lit(1.0))).otherwise(
+        F.lit(0.0)
+    )
+    mean_w = F.when(n_toks > 0, (n_chars - n_toks + 1) / n_toks).otherwise(F.lit(0.0))
+    word_f = F.when((mean_w >= 2.5) & (mean_w <= 9.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    return (length_f + alpha_f + stop_f + word_f) / F.lit(4.0)
+
+
+def document_fingerprint(text: Column) -> Column:
+    """64-bit fingerprint of whitespace/case-normalized text —
+    the exact-dup key used by ``dedup_exact`` pipelines. xxhash64 is
+    the JVM-side stable hash (seeded, collision-negligible for dedup
+    purposes at trillions of docs ≈ birthday bound √2⁶⁴ ≈ 4·10⁹)."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+    return F.xxhash64(normalized)

@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-oriented defaults.
+
+One long-lived session serves both the query path and the pipeline
+path (the reference used a fresh DuckDB per request —
+``lambdas/query_api/main.py:216-222`` — but a Spark build keeps the
+JVM warm; statelessness is preserved by never leaking temp views,
+see plans/query.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "serverless_data_lake_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    Defaults are chosen for cluster-scale execution and are equally
+    correct on ``local[*]``:
+
+    - **AQE on**: runtime coalescing of shuffle partitions, skew-join
+      splitting, and dynamic join-strategy demotion — the first line
+      of defense against skewed keys at 100 TB.
+    - **Arrow on**: any Pandas-UDF boundary is vectorized.
+    - ``shuffle.partitions`` is a ceiling; AQE coalesces down, so a
+      generous value costs little and protects huge shuffles.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(cpus) * 2),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # JSON bronze files carry ISO-8601 strings; infer them as
+        # timestamps so silver column types match the reference
+        # (DuckDB read_json_auto also infers TIMESTAMP).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Dynamic partition overwrite: MERGE fallback rewrites only
+        # the hash buckets touched by a batch.
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Broadcast threshold: small dimension tables (region, nation,
+        # customer at most SFs) should broadcast rather than shuffle.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SDLS_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
