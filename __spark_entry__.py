@@ -1,38 +1,554 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data-pipeline extensions); every entry
+that is ANSI-SQL-expressible has a matching ``oracle_sql()`` string
+the driver runs on DuckDB over the same parquet tables.
+
+Relational entries run **through the engine's full query path**
+(validate → three-part rewrite → dialect transpile → Catalyst), not
+raw ``spark.sql`` — the correctness gate therefore exercises the
+serving surface, with testdata registered as ``tpch.silver.*``
+external tables (zero-copy, LOCATION = the parquet files).
+
+Numeric determinism notes (so value-hashes match DuckDB):
+- money aggregates: per-row double arithmetic (IEEE-identical in both
+  engines) cast to DECIMAL(38,x) before SUM (exact, order-free), cast
+  back to DOUBLE — bit-identical both sides;
+- vector math: Spark ``aggregate`` folds in array order in double,
+  DuckDB ``list_sum(list_transform(...))`` likewise — verified
+  bit-identical;
+- ``row_number`` is cast to BIGINT (Spark yields INT, DuckDB BIGINT);
+  every ordering carries a unique tiebreaker column.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_data_lake_spark.config import LakeConfig
+from serverless_data_lake_spark.operators.dedup import (
+    dedup_exact,
+    keep_one_per_key,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from serverless_data_lake_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
+from serverless_data_lake_spark.operators.text import (
+    detect_language,
+    quality_score,
+    token_count,
+)
+from serverless_data_lake_spark.plans.query import QueryEngine
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+_registered_sf: list[str] = []
 
 
+def _data_path(sf_dir: str, table: str) -> str:
+    """Path Spark should read for a testdata table.
+
+    The driver's parquet stores timestamps as TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects outright. DuckDB reads them fine,
+    so the oracle is unaffected; for Spark we lazily materialize a
+    lossless ns→µs copy (pyarrow cast, one-time per sf_dir) in /tmp
+    and read that. Values are identical to what DuckDB sees."""
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/{table}.parquet"
+    schema = pq.read_schema(src)
+    needs_fix = any(
+        str(f.type).startswith("timestamp[ns") for f in schema
+    )
+    if not needs_fix:
+        return src
+
+    import pyarrow as pa
+
+    safe = sf_dir.strip("/").replace("/", "_")
+    cache_dir = f"/tmp/sdls_nanocache/{safe}"
+    dst = f"{cache_dir}/{table}.parquet"
+    if not os.path.exists(dst):
+        os.makedirs(cache_dir, exist_ok=True)
+        tbl = pq.read_table(src)
+        fields = [
+            pa.field(f.name, pa.timestamp("us"))
+            if str(f.type).startswith("timestamp[ns")
+            else f
+            for f in tbl.schema
+        ]
+        tmp = f"{dst}.tmp-{os.getpid()}"
+        # safe=False truncates ns→µs exactly as DuckDB does on read,
+        # so Spark and the oracle see identical values.
+        pq.write_table(tbl.cast(pa.schema(fields), safe=False), tmp)
+        os.replace(tmp, dst)
+    return dst
+
+
+def _ensure_catalog(spark: SparkSession, sf_dir: str) -> QueryEngine:
+    """Register the testdata as ``tpch_silver.*`` external parquet
+    tables (no copy beyond the ns→µs shim) so three-part names
+    resolve through the engine."""
+    if not _registered_sf or _registered_sf[-1] != sf_dir:
+        spark.sql("CREATE DATABASE IF NOT EXISTS tpch_silver")
+        for t in TABLES:
+            spark.sql(f"DROP TABLE IF EXISTS tpch_silver.{t}")
+            spark.sql(
+                f"CREATE TABLE tpch_silver.{t} USING parquet "
+                f"LOCATION '{_data_path(sf_dir, t)}'"
+            )
+        _registered_sf.append(sf_dir)
+    return QueryEngine(spark, LakeConfig(root="/tmp/sdls_entry"))
+
+
+def _engine_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ensure_catalog(spark, sf_dir).dataframe(sql)
+
+    return run
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(_data_path(sf_dir, table))
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL texts: engine runs them with tpch.silver.X refs; oracles
+# are the same text with refs stripped to bare table names.
+# ---------------------------------------------------------------------------
+def _strip(sql: str) -> str:
+    return sql.replace("tpch.silver.", "")
+
+
+_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM tpch.silver.lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+_Q3 = """
+SELECT o.o_orderkey,
+  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+  o.o_orderdate, o.o_orderpriority
+FROM tpch.silver.customer c
+JOIN tpch.silver.orders o ON c.c_custkey = o.o_custkey
+JOIN tpch.silver.lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+_Q5 = """
+SELECT n.n_name,
+  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM tpch.silver.customer c
+JOIN tpch.silver.orders o ON c.c_custkey = o.o_custkey
+JOIN tpch.silver.lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN tpch.silver.supplier s
+  ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN tpch.silver.nation n ON c.c_nationkey = n.n_nationkey
+JOIN tpch.silver.region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'AMERICA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+"""
+
+_CROSS = """
+SELECT r.r_name, COUNT(*) AS n
+FROM tpch.silver.nation n JOIN tpch.silver.region r ON 1 = 1
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+
+_WINDOW_TOP3 = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+    ) AS BIGINT) AS rn
+  FROM tpch.silver.orders
+) WHERE rn <= 3
+"""
+
+_QUALIFY = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM tpch.silver.orders
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+"""
+
+_UNION = """
+SELECT n_name AS name FROM tpch.silver.nation WHERE n_regionkey = 0
+UNION
+SELECT r_name AS name FROM tpch.silver.region
+"""
+
+_CTE_SEMI_ANTI = """
+WITH big AS (
+  SELECT o_custkey, COUNT(*) AS n_orders
+  FROM tpch.silver.orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+)
+SELECT c.c_mktsegment, COUNT(*) AS n_customers
+FROM tpch.silver.customer c
+WHERE c.c_custkey IN (SELECT o_custkey FROM big)
+  AND NOT EXISTS (
+    SELECT 1 FROM tpch.silver.supplier s WHERE s.s_suppkey = c.c_custkey
+  )
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+_ROLLUP = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+FROM tpch.silver.orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+ORDER BY priority, status
+"""
+
+_COUNT_DISTINCT = """
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       COUNT(*) AS n_customers
+FROM tpch.silver.customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+_DATE_TRUNC = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+FROM tpch.silver.orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+# JSON extraction differs by name: get_json_object (Spark) vs
+# json_extract_string (DuckDB) — separate texts, same output names.
+_JSON_SPARK = """
+SELECT event_type,
+       CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM tpch.silver.events
+GROUP BY event_type
+ORDER BY event_type
+"""
+_JSON_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_TOKENS_SPARK = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT explode(split(lower(text), ' ')) AS token FROM tpch.silver.documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+_TOKENS_ORACLE = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+_EPOCH_SPARK = """
+SELECT event_id,
+       epoch_ms(CAST(get_json_object(props, '$.k') AS BIGINT) * 86400000) AS k_day
+FROM tpch.silver.events
+WHERE event_id < 100
+"""
+_EPOCH_ORACLE = """
+SELECT event_id,
+       epoch_ms(CAST(json_extract_string(props, '$.k') AS BIGINT) * 86400000) AS k_day
+FROM events
+WHERE event_id < 100
+"""
+
+_TEXT_STATS_SPARK = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(size(filter(split(lower(text), ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+       md5(regexp_replace(lower(trim(text)), '\\\\s+', ' ')) AS fingerprint
+FROM tpch.silver.documents
+"""
+_TEXT_STATS_ORACLE = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+# Exact trigram-Jaccard oracle (shared by the inverted-index operator
+# and — because banded MinHash at 128/32 has ~certain recall at
+# s ≥ 0.8 — by the LSH operator with exact verification).
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, g AS tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(toks) - 2),
+                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g
+    FROM (SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents)
+  ) WHERE g <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, i / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / (sa.n + sb.n - i) >= 0.8
+"""
+
+_COSINE_PAIRS_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3
+"""
+
+_COSINE_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_sum(list_transform(list_zip(e.embedding, q.qe),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+  FROM embeddings e, q
+)
+SELECT query_id, vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+_DEDUP_EVENTS_ORACLE = """
+SELECT user_id, event_id, event_type, ts, value
+FROM (
+  SELECT user_id, event_id, event_type, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+_DEDUP_EXACT_ORACLE = """
+SELECT doc_id, text FROM (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Operator-backed callables
+# ---------------------------------------------------------------------------
+def _q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    return keep_one_per_key(
+        events, ["user_id"], order_col="ts", ascending=True,
+        tiebreakers=["event_id"],
+    ).select("user_id", "event_id", "event_type", "ts", "value")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_exact(docs, ["text"], id_col="doc_id").select("doc_id", "text")
+
+
+def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=128, bands=32, shingle_size=3, verify_threshold=0.8,
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+
+
+def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, dim=64, id_col="vec_id", vec_col="embedding",
+        threshold=0.3, planes=0,
+    )
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries_df, id_col="vec_id", k=10)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucketed_topk(emb, queries_df, dim=64, id_col="vec_id", k=10)
+
+
+def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        detect_language(F.col("text")).alias("detected_lang"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        token_count(F.col("text"), "bpe").cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_data_lake_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image/fake").alias("mime_type"),
+        F.col("n_chars").alias("n_bytes"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    feats = extract_image_features(media, dim=16)
+    return feats.select(
+        "media_id",
+        F.size("feature").alias("feature_dim"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("feature_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001 through the full engine path."""
+    engine = _ensure_catalog(spark, "/root/testdata/sf0.001")
+    return engine.dataframe(_Q5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # Relational surface (engine path: validate→rewrite→transpile)
+        "q1_pricing_summary": _engine_query(_Q1),
+        "q3_top_revenue_orders": _engine_query(_Q3),
+        "q5_nation_revenue": _engine_query(_Q5),
+        "cross_join_counts": _engine_query(_CROSS),
+        "window_top3_orders": _engine_query(_WINDOW_TOP3),
+        "qualify_top_order": _engine_query(_QUALIFY),
+        "union_names": _engine_query(_UNION),
+        "cte_semi_anti": _engine_query(_CTE_SEMI_ANTI),
+        "rollup_order_stats": _engine_query(_ROLLUP),
+        "count_distinct_segments": _engine_query(_COUNT_DISTINCT),
+        "monthly_revenue": _engine_query(_DATE_TRUNC),
+        "json_extract_sum": _engine_query(_JSON_SPARK),
+        "top_tokens": _engine_query(_TOKENS_SPARK),
+        "epoch_ms_shim": _engine_query(_EPOCH_SPARK),
+        "text_stats": _engine_query(_TEXT_STATS_SPARK),
+        # Pipeline / training-data operators
+        "dedup_first_event_per_user": _q_dedup_events,
+        "dedup_exact_documents": _q_dedup_exact,
+        "ngram_jaccard_pairs": _q_jaccard,
+        "minhash_lsh_pairs": _q_minhash,
+        "simhash_near_duplicates": _q_simhash,
+        "embedding_similarity_pairs": _q_cosine_pairs,
+        "cosine_topk": _q_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh,
+        "text_analysis": _q_text_analysis,
+        "multimodal_features": _q_multimodal,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _strip(_Q1),
+        "q3_top_revenue_orders": _strip(_Q3),
+        "q5_nation_revenue": _strip(_Q5),
+        "cross_join_counts": _strip(_CROSS),
+        "window_top3_orders": _strip(_WINDOW_TOP3),
+        "qualify_top_order": _strip(_QUALIFY),
+        "union_names": _strip(_UNION),
+        "cte_semi_anti": _strip(_CTE_SEMI_ANTI),
+        "rollup_order_stats": _strip(_ROLLUP),
+        "count_distinct_segments": _strip(_COUNT_DISTINCT),
+        "monthly_revenue": _strip(_DATE_TRUNC),
+        "json_extract_sum": _JSON_ORACLE,
+        "top_tokens": _TOKENS_ORACLE,
+        "epoch_ms_shim": _EPOCH_ORACLE,
+        "text_stats": _TEXT_STATS_ORACLE,
+        "dedup_first_event_per_user": _DEDUP_EVENTS_ORACLE,
+        "dedup_exact_documents": _DEDUP_EXACT_ORACLE,
+        "ngram_jaccard_pairs": _JACCARD_ORACLE,
+        "minhash_lsh_pairs": _JACCARD_ORACLE,
+        "embedding_similarity_pairs": _COSINE_PAIRS_ORACLE,
+        "cosine_topk": _COSINE_TOPK_ORACLE,
+        # rows-only (no SQL-expressible oracle): simhash_near_duplicates,
+        # ann_lsh_topk, text_analysis, multimodal_features
+    }

@@ -1,0 +1,92 @@
+"""Headline benchmark.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with a ``noop``-format write (full
+computation, no driver-side result transfer skewing the numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from serverless_data_lake_spark.session import get_spark
+
+# Every oracle-checked query plus the rows-only scale operators —
+# the full declared surface is the benchmark, no cherry-picking.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "cross_join_counts",
+    "window_top3_orders",
+    "qualify_top_order",
+    "union_names",
+    "cte_semi_anti",
+    "rollup_order_stats",
+    "count_distinct_segments",
+    "monthly_revenue",
+    "json_extract_sum",
+    "top_tokens",
+    "epoch_ms_shim",
+    "text_stats",
+    "dedup_first_event_per_user",
+    "dedup_exact_documents",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_near_duplicates",
+    "embedding_similarity_pairs",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "text_analysis",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(app_name="sdls-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + the ns→µs parquet cache outside the timed region.
+    entrymod._ensure_catalog(spark, sf_dir)
+    for t in entrymod.TABLES:
+        entrymod._data_path(sf_dir, t)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, sf_dir)
+        started = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - started, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -337,17 +337,15 @@ def simhash_near_duplicates(
     of d+1 chunks — pigeonhole), verify ``bit_count(xor) <= d``."""
     sig = simhash_signatures(df, id_col, text_col).cache()
     chunks = 64 // prefix_bits
+    mask = (1 << prefix_bits) - 1
+    chunk_cols = [
+        F.shiftright(F.col("simhash"), c * prefix_bits).bitwiseAND(F.lit(mask))
+        for c in range(chunks)
+    ]
     blocked = sig.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(chunks - 1)),
-                lambda c: F.shiftright(F.col("simhash"), c * prefix_bits).bitwiseAND(
-                    F.lit((1 << prefix_bits) - 1)
-                ),
-            )
-        ).alias("__chunk", "__ch"),
+        F.posexplode(F.array(*chunk_cols)).alias("__chunk", "__ch"),
     )
     left = blocked.alias("l")
     right = blocked.alias("r")
