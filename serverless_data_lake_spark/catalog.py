@@ -179,6 +179,10 @@ class TableStore:
         return self._read_meta(location) is not None
 
     def read(self, database: str, table: str) -> DataFrame:
+        if not self.spark.catalog.tableExists(f"`{database}`.`{table}`"):
+            info = self.info(database, table)
+            if info is not None:
+                self._register(info)
         return self.spark.table(f"`{database}`.`{table}`")
 
     def info(self, database: str, table: str) -> TableInfo | None:

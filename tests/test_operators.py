@@ -1,0 +1,226 @@
+"""Operator correctness: the reference's one real-compute anchor
+(filter_df: 3 rows, dup PK → 2 rows; tests/test_processing.py:8-18)
+plus ground-truth checks for the scale-dedup/similarity family."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_data_lake_spark.operators.dedup import (
+    dedup_exact,
+    keep_one_per_key,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+from serverless_data_lake_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
+from serverless_data_lake_spark.operators.text import (
+    detect_language,
+    document_fingerprint,
+    quality_score,
+    token_count,
+)
+
+
+class TestPkDedup:
+    def test_reference_fixture(self, spark):
+        """3 rows, duplicate PK, keep earliest _insert_date → 2 rows."""
+        df = spark.createDataFrame(
+            [
+                (1, "first", "2024-01-01T00:00:00"),
+                (1, "second", "2024-01-01T00:00:01"),
+                (2, "only", "2024-01-01T00:00:02"),
+            ],
+            ["id", "tag", "_insert_date"],
+        )
+        out = keep_one_per_key(df, ["id"]).orderBy("id").collect()
+        assert len(out) == 2
+        assert out[0].tag == "first"
+
+    def test_descending(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", "t1"), (1, "b", "t2")], ["id", "tag", "_insert_date"]
+        )
+        out = keep_one_per_key(df, ["id"], ascending=False).collect()
+        assert out[0].tag == "b"
+
+    def test_composite_keys(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x", "a", "t1"), (1, "x", "b", "t2"), (1, "y", "c", "t1")],
+            ["k1", "k2", "tag", "_insert_date"],
+        )
+        assert keep_one_per_key(df, ["k1", "k2"]).count() == 2
+
+
+class TestExactDedup:
+    def test_min_id_representative(self, spark):
+        df = spark.createDataFrame(
+            [(3, "dup"), (1, "dup"), (2, "unique")], ["id", "text"]
+        )
+        out = {r.id for r in dedup_exact(df, ["text"], id_col="id").collect()}
+        assert out == {1, 2}
+
+    def test_without_id(self, spark):
+        df = spark.createDataFrame([("a",), ("a",), ("b",)], ["text"])
+        assert dedup_exact(df, ["text"]).count() == 2
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),
+        (1, base),  # exact duplicate
+        (2, base.replace("today", "tomorrow")),  # near-dup
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "another unrelated document mentioning benchmarks and optimizers"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestSimilarityDedup:
+    def test_jaccard_ground_truth(self, spark, near_dup_docs):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(
+                near_dup_docs, "doc_id", "text", n=3, threshold=0.5
+            ).collect()
+        }
+        assert (0, 1) in pairs  # identical
+        assert (0, 2) in pairs and (1, 2) in pairs  # near-dup
+        assert not any(3 in p or 4 in p for p in pairs)
+
+    def test_minhash_agrees_with_exact(self, spark, near_dup_docs):
+        exact = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(
+                near_dup_docs, "doc_id", "text", n=3, threshold=0.5
+            ).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                near_dup_docs, "doc_id", "text",
+                num_hashes=64, bands=16, verify_threshold=0.5,
+            ).collect()
+        }
+        assert lsh == exact
+
+    def test_simhash_identical_docs_same_signature(self, spark, near_dup_docs):
+        sigs = {
+            r.doc_id: r.simhash
+            for r in simhash_signatures(near_dup_docs, "doc_id", "text").collect()
+        }
+        assert sigs[0] == sigs[1]
+        assert sigs[0] != sigs[3]
+
+    def test_simhash_near_duplicates(self, spark, near_dup_docs):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in simhash_near_duplicates(
+                near_dup_docs, "doc_id", "text", max_hamming=3
+            ).collect()
+        }
+        assert (0, 1) in pairs
+        assert (3, 4) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # ~same direction as 0
+        (2, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),    # opposite
+        (4, [0.7, 0.7, 0.0, 0.0]),     # diagonal
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+class TestSimilaritySearch:
+    def test_near_duplicates_exact(self, spark, vectors):
+        pairs = {
+            (r.id_a, r.id_b): r.cosine
+            for r in embedding_near_duplicates(
+                vectors, dim=4, threshold=0.95, planes=0
+            ).collect()
+        }
+        assert set(pairs) == {(0, 1)}
+        assert pairs[(0, 1)] > 0.99
+
+    def test_topk_ranks(self, spark, vectors):
+        queries = vectors.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        rows = cosine_topk(vectors, queries, id_col="vec_id", k=3).collect()
+        ranked = [r.vec_id for r in sorted(rows, key=lambda r: r.rank)]
+        assert ranked[0] == 0 and ranked[1] == 1 and ranked[2] == 4
+
+    def test_lsh_topk_includes_self(self, spark, vectors):
+        queries = vectors.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        rows = lsh_bucketed_topk(
+            vectors, queries, dim=4, id_col="vec_id", k=3, planes=4
+        ).collect()
+        assert any(r.vec_id == 0 and r.rank == 1 for r in rows)
+
+
+class TestText:
+    def test_language_detection(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat and it was happy with this"),
+                (2, "el gato se sienta en la casa y es feliz con su vida"),
+                (3, "der Hund ist in dem Haus und er ist nicht allein"),
+                (4, "xyzzy plugh 12345"),
+            ],
+            ["id", "text"],
+        )
+        out = {r.id: r.lang for r in df.select(
+            "id", detect_language(F.col("text")).alias("lang")
+        ).collect()}
+        assert out[1] == "en"
+        assert out[2] == "es"
+        assert out[3] == "de"
+        assert out[4] == "und"
+
+    def test_quality_score_ordering(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "The project was finished early because the whole team "
+                    "understood the goals and worked together through the "
+                    "entire release cycle without major problems."),
+                (2, "$$$ !!! ??? ### 123 @@@ %%% ^^^ &&& ***"),
+            ],
+            ["id", "text"],
+        )
+        out = {r.id: r.q for r in df.select(
+            "id", quality_score(F.col("text")).alias("q")
+        ).collect()}
+        assert out[1] > 0.7 > out[2]
+
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([(1, "Hello world, 42 times!")], ["id", "t"])
+        row = df.select(
+            token_count(F.col("t")).alias("ws"),
+            token_count(F.col("t"), "bpe").alias("bpe"),
+        ).collect()[0]
+        assert row.ws == 4
+        # hello / world / , / 4 / 2 / times / !
+        assert row.bpe == 7
+
+    def test_fingerprint_normalizes_whitespace_case(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello   World"), (2, "hello world"), (3, "other")], ["id", "t"]
+        )
+        out = {r.id: r.fp for r in df.select(
+            "id", document_fingerprint(F.col("t")).alias("fp")
+        ).collect()}
+        assert out[1] == out[2] != out[3]

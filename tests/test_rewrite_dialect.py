@@ -1,0 +1,144 @@
+"""Name-rewrite and dialect-shim unit anchors (ports of the
+reference's rewrite tests, tests/test_dbt_runner.py:36-150 and
+tests/test_consumption.py:57-67)."""
+
+from __future__ import annotations
+
+from serverless_data_lake_spark.plans.dialect import transpile
+from serverless_data_lake_spark.plans.rewrite import (
+    bronze_view_name,
+    find_table_refs,
+    rewrite_query,
+)
+
+
+class TestRewrite:
+    def test_silver(self):
+        assert (
+            rewrite_query("SELECT * FROM sales.silver.orders")
+            == "SELECT * FROM sales_silver.orders"
+        )
+
+    def test_gold(self):
+        assert (
+            rewrite_query("SELECT * FROM sales.gold.daily_revenue")
+            == "SELECT * FROM sales_gold.daily_revenue"
+        )
+
+    def test_bronze_becomes_view(self):
+        assert (
+            rewrite_query("SELECT * FROM sales.bronze.orders")
+            == f"SELECT * FROM {bronze_view_name('sales', 'orders')}"
+        )
+
+    def test_multiple_tables_with_aliases(self):
+        sql = (
+            "SELECT a.id, b.name FROM sales.silver.orders a "
+            "JOIN sales.silver.customers b ON a.cust_id = b.id"
+        )
+        out = rewrite_query(sql)
+        assert "sales_silver.orders a" in out
+        assert "sales_silver.customers b" in out
+
+    def test_different_domains(self):
+        sql = (
+            "SELECT * FROM sales.silver.orders o "
+            "JOIN marketing.gold.campaigns c ON 1=1"
+        )
+        out = rewrite_query(sql)
+        assert "sales_silver.orders" in out
+        assert "marketing_gold.campaigns" in out
+
+    def test_mixed_layers_union(self):
+        sql = (
+            "SELECT id FROM sales.silver.orders "
+            "UNION SELECT id FROM sales.gold.summary"
+        )
+        out = rewrite_query(sql)
+        assert "sales_silver.orders" in out and "sales_gold.summary" in out
+
+    def test_no_rewrite_for_other_patterns(self):
+        for sql in (
+            "SELECT * FROM plain_table WHERE x = 1",
+            "SELECT a.b.c.d FROM t",  # 4-part: inner 3 don't match layer
+            "SELECT * FROM db.schema.table",  # layer not in bronze/silver/gold
+        ):
+            assert rewrite_query(sql) == sql
+
+    def test_find_refs_dedup_ordered(self):
+        sql = (
+            "SELECT * FROM sales.silver.orders o, sales.silver.orders o2, "
+            "hr.bronze.people p"
+        )
+        assert find_table_refs(sql) == [
+            ("sales", "silver", "orders"),
+            ("hr", "bronze", "people"),
+        ]
+
+    def test_case_insensitive_layer(self):
+        assert (
+            rewrite_query("SELECT * FROM Sales.SILVER.Orders")
+            == "SELECT * FROM Sales_silver.Orders"
+        )
+
+
+class TestDialect:
+    def test_epoch_ms(self):
+        assert transpile("SELECT epoch_ms(x) FROM t") == (
+            "SELECT timestamp_millis(x) FROM t"
+        )
+
+    def test_to_timestamp_epoch_seconds(self):
+        assert transpile("SELECT to_timestamp(x) FROM t") == (
+            "SELECT timestamp_seconds(x) FROM t"
+        )
+
+    def test_list_contains(self):
+        assert transpile("SELECT list_contains(arr, 'v') FROM t") == (
+            "SELECT array_contains(arr, 'v') FROM t"
+        )
+
+    def test_array_length(self):
+        assert transpile("SELECT array_length(arr) FROM t") == (
+            "SELECT size(arr) FROM t"
+        )
+
+    def test_string_split(self):
+        assert transpile("SELECT string_split(s, ',') FROM t") == (
+            "SELECT split(s, ',') FROM t"
+        )
+
+    def test_exclude(self):
+        assert transpile("SELECT * EXCLUDE (a, b) FROM t") == (
+            "SELECT * EXCEPT (a, b) FROM t"
+        )
+
+    def test_rename_is_word_bounded(self):
+        # "epoch_ms" inside an identifier must not rewrite.
+        assert transpile("SELECT my_epoch_ms_col FROM t") == (
+            "SELECT my_epoch_ms_col FROM t"
+        )
+
+    def test_rename_not_inside_literal_names(self):
+        assert "timestamp_millis(" in transpile("SELECT EPOCH_MS(c) FROM t")
+
+    def test_qualify_simple(self, spark):
+        df = spark.sql(
+            transpile(
+                "SELECT id FROM (SELECT explode(sequence(1, 5)) AS id) "
+                "QUALIFY row_number() OVER (ORDER BY id DESC) <= 2"
+            )
+        )
+        assert sorted(r.id for r in df.collect()) == [4, 5]
+        assert df.columns == ["id"]
+
+    def test_qualify_with_tail(self, spark):
+        df = spark.sql(
+            transpile(
+                "SELECT id, id % 2 AS par FROM (SELECT explode(sequence(1, 6)) AS id) "
+                "QUALIFY row_number() OVER (PARTITION BY id % 2 ORDER BY id) = 1 "
+                "ORDER BY id LIMIT 1"
+            )
+        )
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0].id == 1
