@@ -302,6 +302,36 @@ FROM events
 WHERE event_id < 100
 """
 
+_FROM_JSON_SPARK = """
+SELECT event_id, from_json(props, 'k INT').k AS k
+FROM tpch.silver.events
+WHERE event_id < 50
+"""
+_FROM_JSON_ORACLE = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+WHERE event_id < 50
+"""
+
+# Written once in the DuckDB dialect; the engine transpiles
+# list_contains→array_contains, string_split→split, array_length→size
+# while the oracle runs the text natively.
+_DIALECT_ARRAY = """
+SELECT doc_id,
+       CAST(array_length(string_split(lower(text), ' ')) AS BIGINT) AS n_raw_tokens,
+       list_contains(string_split(lower(text), ' '), 'data') AS mentions_data
+FROM tpch.silver.documents
+"""
+
+_CUBE = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n
+FROM tpch.silver.orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+ORDER BY priority, status
+"""
+
 _TEXT_STATS_SPARK = """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
@@ -511,6 +541,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": _engine_query(_TOKENS_SPARK),
         "epoch_ms_shim": _engine_query(_EPOCH_SPARK),
         "text_stats": _engine_query(_TEXT_STATS_SPARK),
+        "from_json_struct": _engine_query(_FROM_JSON_SPARK),
+        "dialect_array_funcs": _engine_query(_DIALECT_ARRAY),
+        "cube_order_counts": _engine_query(_CUBE),
         # Pipeline / training-data operators
         "dedup_first_event_per_user": _q_dedup_events,
         "dedup_exact_documents": _q_dedup_exact,
@@ -543,6 +576,9 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": _TOKENS_ORACLE,
         "epoch_ms_shim": _EPOCH_ORACLE,
         "text_stats": _TEXT_STATS_ORACLE,
+        "from_json_struct": _FROM_JSON_ORACLE,
+        "dialect_array_funcs": _strip(_DIALECT_ARRAY),
+        "cube_order_counts": _strip(_CUBE),
         "dedup_first_event_per_user": _DEDUP_EVENTS_ORACLE,
         "dedup_exact_documents": _DEDUP_EXACT_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,

@@ -65,10 +65,22 @@ class SilverProcessor:
 
     # ------------------------------------------------------------------
     def process_endpoint(self, domain: str, endpoint: str) -> SilverResult:
-        """Process the full bronze prefix for one endpoint (the batch
-        analogue of replaying all S3 events)."""
-        df = self.bronze.read(domain, endpoint)
-        return self.process_batch(domain, endpoint, self._with_arrival(df))
+        """Process bronze objects not yet processed for one endpoint.
+
+        The reference is event-driven: every S3 object is processed
+        exactly once. The batch analogue keeps a processed-object
+        manifest per endpoint, so re-running is incremental and —
+        crucially for PK-less append endpoints — never duplicates
+        rows. (Streaming endpoints track progress in their own
+        checkpoint instead; use one mode per endpoint.)"""
+        objects = self.bronze.list_objects(domain, endpoint)
+        done = self._load_state(domain, endpoint)
+        new = [o for o in objects if o not in done]
+        if not new:
+            return SilverResult(domain, endpoint, 0, 0, "noop")
+        result = self.process_objects(domain, endpoint, new)
+        self._save_state(domain, endpoint, done | set(new))
+        return result
 
     def process_objects(
         self, domain: str, endpoint: str, paths: list[str]
@@ -76,6 +88,36 @@ class SilverProcessor:
         """Process specific bronze objects (the per-S3-event path)."""
         df = self.spark.read.option("inferTimestamp", "true").json(paths)
         return self.process_batch(domain, endpoint, self._with_arrival(df))
+
+    # -- processed-object manifest -------------------------------------
+    def _state_file(self, domain: str, endpoint: str) -> str:
+        return f"{self.config.root}/_processing_state/{domain}/{endpoint}.json"
+
+    def _load_state(self, domain: str, endpoint: str) -> set[str]:
+        path = self._state_file(domain, endpoint)
+        if not self.store._exists(path):  # noqa: SLF001
+            return set()
+        fs = self.store._fs(path)  # noqa: SLF001
+        stream = fs.open(self.store._hpath(path))  # noqa: SLF001
+        try:
+            jvm = self.spark._jvm  # noqa: SLF001
+            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        import json as _json
+
+        return set(_json.loads(data.decode()))
+
+    def _save_state(self, domain: str, endpoint: str, done: set[str]) -> None:
+        import json as _json
+
+        path = self._state_file(domain, endpoint)
+        fs = self.store._fs(path)  # noqa: SLF001
+        out = fs.create(self.store._hpath(path), True)  # noqa: SLF001
+        try:
+            out.write(bytearray(_json.dumps(sorted(done)).encode()))
+        finally:
+            out.close()
 
     @staticmethod
     def _with_arrival(df: DataFrame) -> DataFrame:
