@@ -453,6 +453,24 @@ class RestSource:
                 batches += 1
         return PullResult(spec.name, total, batches, errors)
 
+    def run_plans_by_tag(self, tag: str) -> list[PullResult]:
+        """Scheduled ingestion run (reference O6,
+        ``containers/ingestion_runner/entrypoint.py:210-241``): run
+        every stored plan with a matching tag, sequentially; raise at
+        the end if any plan failed."""
+        results: list[PullResult] = []
+        failures: list[str] = []
+        for plan in self.lake.list_ingestion_plans():
+            if plan.tag != tag:
+                continue
+            try:
+                results.extend(self.run_plan(plan))
+            except Exception as exc:  # noqa: BLE001
+                failures.append(f"{plan.domain}: {exc}")
+        if failures:
+            raise RuntimeError("; ".join(failures))
+        return results
+
     def run_plan(self, plan: IngestionPlan) -> list[PullResult]:
         """Run every endpoint sequentially; raise at the end if any
         failed (reference ``containers/ingestion_runner/entrypoint.py:

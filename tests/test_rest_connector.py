@@ -265,3 +265,29 @@ class TestPlanToLake:
             src.run_plan(plan)
         # the good endpoint still landed
         assert lake.bronze.list_objects("crm", "good")
+
+
+class TestPlanRegistry:
+    def test_save_list_run_by_tag(self, lake):
+        f = fake_server({f"{BASE}/items": lambda p: [{"id": 1, "v": 2.0}]})
+        plan = IngestionPlan(
+            domain="crm", base_url=BASE, tag="hour",
+            endpoints=[EndpointSpec(name="items", path="/items")],
+        )
+        lake.save_ingestion_plan(plan)
+        loaded = lake.list_ingestion_plans()
+        assert len(loaded) == 1
+        assert loaded[0].tag == "hour"
+        assert loaded[0].endpoints[0].name == "items"
+        src = RestSource(lake, fetcher=f)
+        assert src.run_plans_by_tag("day") == []  # tag mismatch
+        results = src.run_plans_by_tag("hour")
+        assert results[0].records == 1
+
+
+class TestExport:
+    def test_export_parquet(self, lake, tmp_path):
+        lake.ingest_batch("crm", "t", [{"id": 1, "v": 1.5}, {"id": 2, "v": 2.5}])
+        lake.process_silver("crm", "t")
+        n = lake.export_parquet("crm.silver.t", str(tmp_path / "out"))
+        assert n == 2
