@@ -20,12 +20,14 @@ from serverless_data_lake_spark.operators.dedup import (
     keep_one_per_key,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash_near_duplicates,
     simhash_signatures,
 )
 from serverless_data_lake_spark.operators.similarity import (
     cosine_similarity_col,
     cosine_topk,
     embedding_near_duplicates,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from serverless_data_lake_spark.operators.text import (
@@ -43,11 +45,13 @@ __all__ = [
     "detect_language",
     "document_fingerprint",
     "embedding_near_duplicates",
+    "ivf_topk",
     "keep_one_per_key",
     "lsh_bucketed_topk",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "quality_score",
+    "simhash_near_duplicates",
     "simhash_signatures",
     "token_count",
     "tokenize",

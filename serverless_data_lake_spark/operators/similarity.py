@@ -162,6 +162,113 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 2,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse
+    quantizer partitions the corpus into ``nlist`` cells; each query
+    scans only its ``nprobe`` nearest cells.
+
+    The quantizer is trained driver-side on a bounded sample
+    (``sample_size`` rows — constant driver memory regardless of
+    corpus size) and shipped as literal centroid arrays; assignment
+    is a JVM-side argmax over ``nlist`` dot products. The scan itself
+    is a (cell-id) equi-join — at scale the corpus can additionally
+    be *stored* partitioned by cell id so a probe prunes files.
+    Recall/latency trades via ``nlist``/``nprobe``, exactly like
+    FAISS IVF-Flat."""
+    import numpy as np
+
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(vec_col).limit(sample_size).collect()
+        ],
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = sample / norms
+
+    rng = np.random.RandomState(seed)
+    centroids = unit[rng.choice(len(unit), size=min(nlist, len(unit)), replace=False)]
+    for _ in range(10):  # Lloyd iterations on the sample
+        sims = unit @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = unit[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    centroids[c] = m / nrm
+
+    cent_cols = [
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ]
+
+    def cell_scores(vec: Column) -> Column:
+        return F.array(*[_dot(vec, c) for c in cent_cols])
+
+    def argmax_cell(vec: Column) -> Column:
+        scores = cell_scores(vec)
+        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cnorm"),
+        argmax_cell(F.col(vec_col)).alias("__cell"),
+    )
+    # Each query probes its nprobe best cells.
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col)).alias("__qnorm"),
+        F.explode(
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.zip_with(
+                            cell_scores(F.col(vec_col)),
+                            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                            lambda s, i: F.struct(
+                                s.alias("score"), i.alias("cell")
+                            ),
+                        )
+                    )
+                ),
+                1,
+                nprobe,
+            ).cell
+        ).alias("__cell"),
+    )
+    scored = c.join(F.broadcast(q), on="__cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (
+            _dot(F.col("__cvec"), F.col("__qvec"))
+            / (F.col("__cnorm") * F.col("__qnorm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     dim: int,

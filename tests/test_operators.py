@@ -224,3 +224,36 @@ class TestText:
             "id", document_fingerprint(F.col("t")).alias("fp")
         ).collect()}
         assert out[1] == out[2] != out[3]
+
+
+class TestIvf:
+    def test_ivf_matches_exact_topk_at_full_probe(self, spark):
+        from serverless_data_lake_spark.operators.similarity import ivf_topk
+        import __spark_entry__ as e
+        emb = spark.read.parquet(e._data_path("/root/testdata/sf0.01", "embeddings"))
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r.query_id, r.rank): r.vec_id
+            for r in cosine_topk(emb, queries, id_col="vec_id", k=5).collect()
+        }
+        # nprobe == nlist -> scans everything -> must equal exact
+        full = {
+            (r.query_id, r.rank): r.vec_id
+            for r in ivf_topk(emb, queries, dim=64, k=5,
+                              nlist=8, nprobe=8).collect()
+        }
+        assert full == exact
+
+    def test_ivf_partial_probe_high_recall_for_top1(self, spark):
+        from serverless_data_lake_spark.operators.similarity import ivf_topk
+        import __spark_entry__ as e
+        emb = spark.read.parquet(e._data_path("/root/testdata/sf0.01", "embeddings"))
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        rows = ivf_topk(emb, queries, dim=64, k=1, nlist=8, nprobe=2).collect()
+        # top-1 for a query drawn from the corpus is itself (cosine 1),
+        # and the query's own cell is always its best cell.
+        assert {(r.query_id, r.vec_id) for r in rows} == {(i, i) for i in range(10)}

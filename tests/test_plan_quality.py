@@ -1,0 +1,130 @@
+"""Plan-quality regression tests: the physical plans the engine
+produces must keep the properties that make them survive a 100×
+scale-up — filters pushed into parquet scans, pruned read schemas,
+broadcast joins for dimensions, no Python in the row path."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _count_nodes(plan: str, node: str) -> int:
+    """Count physical-plan nodes by their detail entries — formatted
+    mode prints each node in both the tree and the detail section."""
+    return len(re.findall(rf"^\(\d+\) {node}\b", plan, re.MULTILINE))
+
+
+def _formatted_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(  # noqa: SLF001
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = entrymod.queries()
+
+    def get(name: str) -> str:
+        return _formatted_plan(spark, qs[name](spark, SF))
+
+    return get
+
+
+def test_q1_filter_pushed_to_scan(plans):
+    plan = plans("q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_reads_only_needed_columns(plans):
+    plan = plans("q1_pricing_summary")
+    scan_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    # 7 columns used; the other 4 (orderkey/partkey/suppkey/linenumber)
+    # must be pruned from the scan.
+    for absent in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert absent not in scan_schema
+
+
+def test_q5_broadcasts_dimensions(plans):
+    plan = plans("q5_nation_revenue")
+    assert _count_nodes(plan, "BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan  # everything fits broadcast at test SF
+    assert "EqualTo(r_name,AMERICA)" in plan
+
+
+def test_q3_date_filters_pushed(plans):
+    plan = plans("q3_top_revenue_orders")
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_no_python_udfs_in_relational_plans(plans):
+    for name in (
+        "q1_pricing_summary",
+        "q5_nation_revenue",
+        "window_top3_orders",
+        "top_tokens",
+        "text_stats",
+    ):
+        plan = plans(name)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_dedup_is_single_shuffle(spark):
+    """keep_one_per_key compiles to exactly one exchange (the window
+    partitioning) over the scan."""
+    from pyspark.sql import functions as F
+
+    from serverless_data_lake_spark.operators.dedup import keep_one_per_key
+
+    events = spark.read.parquet(entrymod._data_path(SF, "events"))
+    df = keep_one_per_key(events, ["user_id"], order_col="ts",
+                          tiebreakers=["event_id"])
+    plan = _formatted_plan(spark, df)
+    assert _count_nodes(plan, "Exchange") == 1
+
+
+def test_minhash_signatures_single_shuffle(spark):
+    from serverless_data_lake_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(entrymod._data_path(SF, "documents"))
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+    plan = _formatted_plan(spark, sig)
+    # partial (map-side) min + final min around ONE exchange
+    assert _count_nodes(plan, "Exchange") == 1
+    assert _count_nodes(plan, "HashAggregate") == 2  # partial + final min
+
+
+def test_multimodal_metadata_stats_prunes_binary(spark):
+    """Metadata-only profiling must not read the binary column."""
+    import pyspark.sql.functions as F
+
+    from serverless_data_lake_spark.operators.multimodal import (
+        media_metadata_stats,
+    )
+
+    docs = spark.read.parquet(entrymod._data_path(SF, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image/fake").alias("mime_type"),
+        F.col("n_chars").alias("n_bytes"),
+        F.lit(100).alias("width"),
+        F.lit(100).alias("height"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    tmp = "/tmp/sdls_media_prune_test"
+    media.write.mode("overwrite").parquet(tmp)
+    stats = media_metadata_stats(spark.read.parquet(tmp))
+    plan = _formatted_plan(spark, stats)
+    scan_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "content" not in scan_schema
