@@ -97,22 +97,27 @@ def dedup_exact(
 def _distinct_tokens(
     df: DataFrame, id_col: str, text_col: str, pattern: str = "\\s+"
 ) -> DataFrame:
-    """(id, token) pairs, distinct per document, empty tokens dropped."""
-    return (
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.explode(F.split(F.lower(F.col(text_col)), pattern)).alias("__tok"),
-        )
-        .filter(F.col("__tok") != "")
-        .distinct()
+    """(id, token) pairs, distinct per document, empty tokens dropped.
+
+    Per-doc dedup happens **inside the row** (``array_distinct``
+    before ``explode``) — a pure map, no shuffle. A global
+    ``.distinct()`` here would shuffle the whole exploded token set
+    for a property that is already per-row."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), pattern), lambda t: t != ""
+    )
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(toks)).alias("__tok"),
     )
 
 
 def _token_ngrams(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(id, ngram) distinct pairs: word n-grams via a self-zip of the
-    token array (pure column expressions — no UDF)."""
+    """(id, ngram) distinct-per-doc pairs: word n-grams via a
+    self-zip of the token array, deduped with ``array_distinct``
+    inside the row (no shuffle), then exploded."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
     if n <= 1:
         grams = toks
@@ -122,10 +127,11 @@ def _token_ngrams(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         )
-    return (
-        df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("__tok"))
-        .filter(F.col("__tok") != "")
-        .distinct()
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(F.filter(grams, lambda g: g != ""))).alias(
+            "__tok"
+        ),
     )
 
 
@@ -186,22 +192,37 @@ def minhash_signatures(
     num_hashes: int = 128,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """(id, array<bigint> signature) — H independent minhashes.
+    """(id, array<bigint> signature) — H pairwise-independent
+    minhashes.
 
-    Hash family: ``xxhash64(shingle, seed_i)`` (64-bit, JVM-side,
-    whole-stage-codegen). The plan is explode-shingles → one groupBy
-    with H ``min`` aggregates — a single shuffle on the doc id with
-    map-side partial mins, so the shuffled volume is H×8 bytes per
-    doc regardless of document length."""
+    Hash family: ONE ``xxhash64`` of the shingle *string*, then H
+    derived hashes ``xxhash64(base, i)`` over the fixed-width base —
+    the variable-length string bytes are hashed once instead of H
+    times, so per-shingle cost is O(len + H) not O(len·H). The plan
+    is explode-shingles →
+    one groupBy with H ``min`` aggregates — a single shuffle keyed by
+    doc id with map-side partial mins, so the shuffled volume is
+    H×8 bytes per doc regardless of document length."""
     toks = _token_ngrams(df, id_col, text_col, shingle_size)
+    sig = _signatures_from_tokens(toks, num_hashes)
+    return sig.select(
+        F.col("__id").alias(id_col), F.col("signature")
+    )
+
+
+def _signatures_from_tokens(toks: DataFrame, num_hashes: int) -> DataFrame:
+    with_base = toks.withColumn("__base", F.xxhash64(F.col("__tok")))
     aggs = [
-        F.min(F.xxhash64(F.col("__tok"), F.lit(i))).alias(f"__h{i}")
+        F.min(F.xxhash64(F.col("__base"), F.lit(i))).alias(f"__h{i}")
         for i in range(num_hashes)
     ]
-    sig = toks.groupBy("__id").agg(*aggs)
-    return sig.select(
-        F.col("__id").alias(id_col),
-        F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("signature"),
+    return (
+        with_base.groupBy("__id")
+        .agg(*aggs)
+        .select(
+            "__id",
+            F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("signature"),
+        )
     )
 
 
@@ -226,7 +247,13 @@ def minhash_lsh_pairs(
     Returns ``id_a, id_b`` (+ ``jaccard`` when verifying).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    # One tokenization feeds signatures AND verification — the
+    # distinct-shuffle over (doc, shingle) is the expensive step, so
+    # it is persisted and reused instead of recomputed three times.
+    toks = _token_ngrams(df, id_col, text_col, shingle_size).persist()
+    sig = _signatures_from_tokens(toks, num_hashes).withColumnRenamed(
+        "__id", id_col
+    )
     banded = sig.select(
         F.col(id_col).alias("__id"),
         F.posexplode(
@@ -254,8 +281,8 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return candidates
-    # Exact verification: recompute intersection only for candidates.
-    toks = _token_ngrams(df, id_col, text_col, shingle_size)
+    # Exact verification: recompute intersection only for candidates,
+    # reusing the persisted token set.
     sizes = toks.groupBy("__id").agg(F.count("*").alias("__n"))
     t_a = toks.withColumnRenamed("__id", "id_a")
     t_b = toks.withColumnRenamed("__id", "id_b")

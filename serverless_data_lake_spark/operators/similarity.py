@@ -30,6 +30,20 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_d(a: Column, b: Column) -> Column:
+    """Dot product of two already-double arrays — hoist the per-element
+    cast out of per-pair loops via :func:`_as_double`."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _as_double(a: Column) -> Column:
+    return F.transform(a, lambda x: x.cast("double"))
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -64,18 +78,18 @@ def cosine_topk(
     """
     c = corpus.select(
         F.col(id_col),
-        F.col(vec_col).alias("__cvec"),
+        _as_double(F.col(vec_col)).alias("__cvec"),
         _norm(F.col(vec_col)).alias("__cnorm"),
     )
     q = queries.select(
         F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
+        _as_double(F.col(vec_col)).alias("__qvec"),
         _norm(F.col(vec_col)).alias("__qnorm"),
     )
     scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        (_dot(F.col("__cvec"), F.col("__qvec")) / (F.col("__cnorm") * F.col("__qnorm"))).alias(
+        (_dot_d(F.col("__cvec"), F.col("__qvec")) / (F.col("__cnorm") * F.col("__qnorm"))).alias(
             "cosine"
         ),
     )
@@ -286,7 +300,7 @@ def embedding_near_duplicates(
     recall at tight thresholds). Returns ``id_a, id_b, cosine``."""
     base = df.select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__vec"),
+        _as_double(F.col(vec_col)).alias("__vec"),
         _norm(F.col(vec_col)).alias("__norm"),
         *(
             [_hyperplane_signature(F.col(vec_col), dim, planes).alias("__bucket")]
@@ -308,7 +322,7 @@ def embedding_near_duplicates(
             F.col("l.__id").alias("id_a"),
             F.col("r.__id").alias("id_b"),
             (
-                _dot(F.col("l.__vec"), F.col("r.__vec"))
+                _dot_d(F.col("l.__vec"), F.col("r.__vec"))
                 / (F.col("l.__norm") * F.col("r.__norm"))
             ).alias("cosine"),
         )

@@ -105,9 +105,11 @@ class TestSimilarityDedup:
         }
         lsh = {
             (r.id_a, r.id_b)
+            # bands=32/rows=2: detection prob at s=0.5 is
+            # 1-(1-0.25)^32 ≈ 1.0 — adequate for this low threshold.
             for r in minhash_lsh_pairs(
                 near_dup_docs, "doc_id", "text",
-                num_hashes=64, bands=16, verify_threshold=0.5,
+                num_hashes=64, bands=32, verify_threshold=0.5,
             ).collect()
         }
         assert lsh == exact
