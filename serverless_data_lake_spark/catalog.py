@@ -338,6 +338,54 @@ class TableStore:
         carry several rows per key, all of which are inserted)."""
         return self.merge(database, table, source, keys)
 
+    def compact(
+        self,
+        database: str,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        small_file_bytes: int | None = None,
+    ) -> int:
+        """Bin-pack small data files into ~target-size files.
+
+        Incremental merges and appends accumulate small files (each
+        micro-batch writes at least one); scans then pay per-file open
+        cost and lose row-group locality — the classic small-file
+        problem. This rewrites only files below ``small_file_bytes``
+        (default: half the target), coalesced to
+        ceil(total/target) output files; large files are untouched.
+        Returns the number of files compacted. Same staged-swap
+        mechanics as merge, so readers never see a partial state."""
+        info = self.info(database, table)
+        if info is None:
+            raise KeyError(f"no such table {database}.{table}")
+        threshold = small_file_bytes or target_file_bytes // 2
+        fs = self._fs(info.location)
+        small: list[str] = []
+        total = 0
+        for st in fs.listStatus(self._hpath(info.location)):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                if st.getLen() < threshold:
+                    small.append(st.getPath().toString())
+                    total += st.getLen()
+        if len(small) < 2:
+            return 0
+        n_out = max(1, -(-total // target_file_bytes))
+        staging = f"{info.location}__stage_{uuid.uuid4().hex[:8]}"
+        (
+            self.spark.read.schema(info.schema)
+            .parquet(*small)
+            .repartition(int(n_out))
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        for f in small:
+            self._delete(f)
+        self._move_files_into(staging, info.location)
+        self._delete(staging)
+        self.spark.sql(f"REFRESH TABLE `{database}`.`{table}`")
+        return len(small)
+
     # ------------------------------------------------------------------
     # Schema evolution helpers
     # ------------------------------------------------------------------

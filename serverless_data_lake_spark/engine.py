@@ -38,7 +38,7 @@ class Lake:
         self.bronze = BronzeZone(spark, config, self.registry)
         self.silver = SilverProcessor(spark, config, self.registry, self.store)
         self.gold = GoldRunner(spark, config, self.registry, self.store)
-        self.queries = QueryEngine(spark, config)
+        self.queries = QueryEngine(spark, config, registry=self.registry)
         # Make previously persisted tables resolvable in this session.
         self.store.register_all()
 

@@ -48,6 +48,7 @@ class QueryResult:
 class QueryEngine:
     spark: SparkSession
     config: LakeConfig
+    registry: object | None = None  # SchemaRegistry, for the fast path
     _bronze_views: set[str] = field(default_factory=set)
 
     # -- plan-only entry (returns a DataFrame; no collect) ---------
@@ -95,13 +96,42 @@ class QueryEngine:
         faithful to the schemaless contract."""
         path = self.config.bronze_path(domain, table)
         view = bronze_view_name(domain, table)
-        df = (
-            self.spark.read.option("recursiveFileLookup", "true")
-            .option("inferTimestamp", "true")
-            .json(path)
+        reader = self.spark.read.option("recursiveFileLookup", "true").option(
+            "inferTimestamp", "true"
         )
+        schema = self._registry_schema(domain, table)
+        if schema is not None:
+            # Fast path: schema from the registry — the scan skips the
+            # full-prefix inference pass (which reads every object
+            # once just to infer; prohibitive on a large bronze zone).
+            # Union-by-name semantics hold: files missing declared
+            # columns read as null.
+            reader = reader.schema(schema)
+        df = reader.json(path)
         df.createOrReplaceTempView(view)
         self._bronze_views.add(view)
+
+    def _registry_schema(self, domain: str, table: str):
+        if self.registry is None:
+            return None
+        endpoint = self.registry.get(domain, table)
+        if endpoint is None or not endpoint.columns:
+            return None
+        from serverless_data_lake_spark.schema.types import SchemaMode
+
+        if endpoint.schema_mode is not SchemaMode.MANUAL:
+            # Auto-inferred registrations may lag behind payload drift;
+            # only user-declared schemas are authoritative enough to
+            # skip the union-by-name inference scan.
+            return None
+        from pyspark.sql.types import StringType, StructField
+
+        from serverless_data_lake_spark.schema.types import to_struct_type
+
+        schema = to_struct_type(endpoint.columns)
+        for meta in ("_insert_date", "_domain", "_endpoint"):
+            schema = schema.add(StructField(meta, StringType(), True))
+        return schema
 
 
 class QueryExecutionError(RuntimeError):

@@ -1,0 +1,110 @@
+"""TableStore mechanics: file-level COW merge rewrites only matched
+files; compaction bin-packs small files; schema evolution."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_data_lake_spark.catalog import TableStore
+from serverless_data_lake_spark.config import LakeConfig
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TableStore(spark, LakeConfig(root=str(tmp_path / "lake")))
+
+
+def _files(store, db, table):
+    info = store.info(db, table)
+    return sorted(store._list_data_files(info.location))
+
+
+class TestMergeCow:
+    def test_merge_rewrites_only_matched_files(self, spark, store):
+        # Two distinct key ranges written as separate appends → at
+        # least two files with disjoint keys.
+        df1 = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("a").alias("v")
+        ).coalesce(1)
+        df2 = spark.range(1000, 1100).select(
+            F.col("id").alias("k"), F.lit("b").alias("v")
+        ).coalesce(1)
+        store.create_or_replace("db", "t", df1, ["k"])
+        store.append("db", "t", df2)
+        before = _files(store, "db", "t")
+        assert len(before) >= 2
+
+        # Batch touches ONLY keys in df2's range.
+        updates = spark.createDataFrame([(1000, "B")], ["k", "v"])
+        store.merge("db", "t", updates, ["k"])
+        after = _files(store, "db", "t")
+
+        # df1's file(s) survive untouched (same names); df2's were
+        # rewritten (different names).
+        untouched = set(before) & set(after)
+        assert untouched  # at least the unmatched file persisted
+        rows = {r.k: r.v for r in store.read("db", "t").collect()}
+        assert rows[1000] == "B" and rows[0] == "a"
+        assert len(rows) == 200
+
+    def test_merge_insert_new_keys(self, spark, store):
+        store.create_or_replace(
+            "db", "t", spark.createDataFrame([(1, "x")], ["k", "v"]), ["k"]
+        )
+        store.merge(
+            "db", "t", spark.createDataFrame([(2, "y")], ["k", "v"]), ["k"]
+        )
+        assert store.read("db", "t").count() == 2
+
+    def test_schema_evolution_on_merge(self, spark, store):
+        store.create_or_replace(
+            "db", "t", spark.createDataFrame([(1, "x")], ["k", "v"]), ["k"]
+        )
+        store.merge(
+            "db", "t",
+            spark.createDataFrame([(2, "y", 9.5)], ["k", "v", "score"]),
+            ["k"],
+        )
+        rows = {r.k: (r.v, r.score) for r in store.read("db", "t").collect()}
+        assert rows[1] == ("x", None)
+        assert rows[2] == ("y", 9.5)
+
+
+class TestCompaction:
+    def test_compacts_small_files(self, spark, store):
+        store.create_or_replace(
+            "db", "t",
+            spark.range(0, 10).select(F.col("id").alias("k")).coalesce(1),
+            ["k"],
+        )
+        for i in range(5):
+            store.append(
+                "db", "t",
+                spark.range(100 + i, 101 + i).select(
+                    F.col("id").alias("k")
+                ).coalesce(1),
+            )
+        before = _files(store, "db", "t")
+        assert len(before) >= 6
+        compacted = store.compact("db", "t")
+        assert compacted == len(before)
+        after = _files(store, "db", "t")
+        assert len(after) < len(before)
+        assert store.read("db", "t").count() == 15
+
+    def test_compact_noop_on_single_file(self, spark, store):
+        store.create_or_replace(
+            "db", "t", spark.range(5).select(F.col("id").alias("k")).coalesce(1)
+        )
+        assert store.compact("db", "t") == 0
+
+    def test_compact_skips_large_files(self, spark, store):
+        store.create_or_replace(
+            "db", "t", spark.range(5).select(F.col("id").alias("k")).coalesce(1)
+        )
+        store.append(
+            "db", "t", spark.range(5, 10).select(F.col("id").alias("k")).coalesce(1)
+        )
+        # threshold below any real file size -> nothing is "small"
+        assert store.compact("db", "t", small_file_bytes=1) == 0
