@@ -332,6 +332,33 @@ GROUP BY CUBE(o_orderpriority, o_orderstatus)
 ORDER BY priority, status
 """
 
+# LIST aggregation (reference §2.3 LIST/STRUCT types): engine-side
+# sort_array(collect_list(...)), oracle-side list_sort(list(...)).
+_LIST_AGG_SPARK = """
+SELECT c_nationkey, sort_array(collect_list(c_mktsegment)) AS segments
+FROM tpch.silver.customer
+WHERE c_custkey <= 200
+GROUP BY c_nationkey
+"""
+_LIST_AGG_ORACLE = """
+SELECT c_nationkey, list_sort(list(c_mktsegment)) AS segments
+FROM customer
+WHERE c_custkey <= 200
+GROUP BY c_nationkey
+"""
+
+# Non-equi (theta) join beyond the pure cross join: equi key plus a
+# range residual condition.
+_NONEQUI = """
+SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+       CAST(a.o_totalprice - b.o_totalprice AS DOUBLE) AS price_diff
+FROM tpch.silver.orders a
+JOIN tpch.silver.orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND ABS(a.o_totalprice - b.o_totalprice) < 10.0
+"""
+
 _TEXT_STATS_SPARK = """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
@@ -456,10 +483,15 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_data_lake_spark.operators.similarity import (
+        embedding_all_pairs_numpy,
+    )
+
     emb = _read(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(
-        emb, dim=64, id_col="vec_id", vec_col="embedding",
-        threshold=0.3, planes=0,
+    # Arrow/numpy exact kernel: bit-identical to the SQL fold and the
+    # DuckDB oracle, ~6x faster (see operators/similarity.py).
+    return embedding_all_pairs_numpy(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.3
     )
 
 
@@ -555,6 +587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "from_json_struct": _engine_query(_FROM_JSON_SPARK),
         "dialect_array_funcs": _engine_query(_DIALECT_ARRAY),
         "cube_order_counts": _engine_query(_CUBE),
+        "list_agg_segments": _engine_query(_LIST_AGG_SPARK),
+        "nonequi_price_pairs": _engine_query(_NONEQUI),
         # Pipeline / training-data operators
         "dedup_first_event_per_user": _q_dedup_events,
         "dedup_exact_documents": _q_dedup_exact,
@@ -591,6 +625,8 @@ def oracle_sql() -> dict[str, str]:
         "from_json_struct": _FROM_JSON_ORACLE,
         "dialect_array_funcs": _strip(_DIALECT_ARRAY),
         "cube_order_counts": _strip(_CUBE),
+        "list_agg_segments": _LIST_AGG_ORACLE,
+        "nonequi_price_pairs": _strip(_NONEQUI),
         "dedup_first_event_per_user": _DEDUP_EVENTS_ORACLE,
         "dedup_exact_documents": _DEDUP_EXACT_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,

@@ -37,6 +37,12 @@ BENCH_QUERIES = [
     "rollup_order_stats",
     "count_distinct_segments",
     "monthly_revenue",
+    "ann_ivf_topk",
+    "nonequi_price_pairs",
+    "list_agg_segments",
+    "cube_order_counts",
+    "dialect_array_funcs",
+    "from_json_struct",
     "json_extract_sum",
     "top_tokens",
     "epoch_ms_shim",

@@ -26,6 +26,7 @@ from serverless_data_lake_spark.operators.dedup import (
 from serverless_data_lake_spark.operators.similarity import (
     cosine_similarity_col,
     cosine_topk,
+    embedding_all_pairs_numpy,
     embedding_near_duplicates,
     ivf_topk,
     lsh_bucketed_topk,
@@ -42,6 +43,7 @@ __all__ = [
     "cosine_similarity_col",
     "cosine_topk",
     "dedup_exact",
+    "embedding_all_pairs_numpy",
     "detect_language",
     "document_fingerprint",
     "embedding_near_duplicates",

@@ -283,6 +283,96 @@ def ivf_topk(
     )
 
 
+def embedding_all_pairs_numpy(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via an Arrow-batched numpy
+    kernel.
+
+    The right side (full corpus) is broadcast as a dense float64
+    matrix; the left side streams through ``mapInPandas``. The dot
+    products are vectorized **across pairs** but accumulated
+    **sequentially across dimensions** (``acc += A[:,i]·B[:,i]``), so
+    every cosine is bit-identical to the JVM fold and to DuckDB's
+    ``list_sum(list_transform(...))`` — the numpy path is a faster
+    engine for the same arithmetic, not an approximation.
+
+    Exact all-pairs is inherently O(n²); the broadcast bound
+    (``max_broadcast_rows``) makes the applicability explicit —
+    beyond it, use the LSH/IVF blocked variants.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    corpus = df.select(id_col, vec_col).collect()
+    if len(corpus) > max_broadcast_rows:
+        raise ValueError(
+            f"corpus too large for exact all-pairs broadcast "
+            f"({len(corpus)} > {max_broadcast_rows}); use "
+            f"embedding_near_duplicates(planes>0) or ivf_topk"
+        )
+    ids = np.array([r[0] for r in corpus], dtype=np.int64)
+    mat = np.array([r[1] for r in corpus], dtype=np.float64)
+    dim = mat.shape[1]
+    # Sequential-fold norms (bit-identical to the SQL _norm).
+    nrm_acc = np.zeros(len(ids))
+    for i in range(dim):
+        nrm_acc += mat[:, i] * mat[:, i]
+    norms = np.sqrt(nrm_acc)
+
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        r_ids, r_mat, r_norms = b_ids.value, b_mat.value, b_norms.value
+        for pdf in batches:
+            l_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            l_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if not len(l_ids):
+                continue
+            l_acc = np.zeros(len(l_ids))
+            for i in range(dim):
+                l_acc += l_mat[:, i] * l_mat[:, i]
+            l_norms = np.sqrt(l_acc)
+            dots = np.zeros((len(l_ids), len(r_ids)))
+            for i in range(dim):
+                dots += l_mat[:, i][:, None] * r_mat[:, i][None, :]
+            cos = dots / (l_norms[:, None] * r_norms[None, :])
+            mask = (l_ids[:, None] < r_ids[None, :]) & (cos >= threshold)
+            li, ri = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": l_ids[li],
+                    "id_b": r_ids[ri],
+                    "cosine": cos[li, ri],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema=out_schema)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     dim: int,
@@ -294,10 +384,12 @@ def embedding_near_duplicates(
     """All pairs with cosine ≥ threshold (embedding near-dup).
 
     ``planes=0`` does the exact self-join (quadratic — correctness
-    oracle / small corpora). ``planes>0`` blocks by hyperplane
-    signature first, the sub-quadratic scale path (high-cosine pairs
-    agree on most hyperplane signs, so same-bucket blocking has high
-    recall at tight thresholds). Returns ``id_a, id_b, cosine``."""
+    oracle / small corpora; see :func:`embedding_all_pairs_numpy` for
+    the Arrow-vectorized exact kernel). ``planes>0`` blocks by
+    hyperplane signature first, the sub-quadratic scale path
+    (high-cosine pairs agree on most hyperplane signs, so same-bucket
+    blocking has high recall at tight thresholds). Returns
+    ``id_a, id_b, cosine``."""
     base = df.select(
         F.col(id_col).alias("__id"),
         _as_double(F.col(vec_col)).alias("__vec"),

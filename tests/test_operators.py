@@ -259,3 +259,37 @@ class TestIvf:
         # top-1 for a query drawn from the corpus is itself (cosine 1),
         # and the query's own cell is always its best cell.
         assert {(r.query_id, r.vec_id) for r in rows} == {(i, i) for i in range(10)}
+
+
+class TestNumpyPairsKernel:
+    def test_bitwise_equal_to_sql_path(self, spark):
+        from serverless_data_lake_spark.operators.similarity import (
+            embedding_all_pairs_numpy,
+        )
+        import __spark_entry__ as e
+        emb = spark.read.parquet(
+            e._data_path("/root/testdata/sf0.001", "embeddings")
+        )
+        sql_rows = sorted(
+            (r.id_a, r.id_b, r.cosine)
+            for r in embedding_near_duplicates(
+                emb, dim=64, threshold=0.3, planes=0
+            ).collect()
+        )
+        np_rows = sorted(
+            (r.id_a, r.id_b, r.cosine)
+            for r in embedding_all_pairs_numpy(emb, threshold=0.3).collect()
+        )
+        assert sql_rows == np_rows  # bit-exact, including the doubles
+
+    def test_broadcast_bound_raises(self, spark):
+        from serverless_data_lake_spark.operators.similarity import (
+            embedding_all_pairs_numpy,
+        )
+        import pytest as _pytest
+        import __spark_entry__ as e
+        emb = spark.read.parquet(
+            e._data_path("/root/testdata/sf0.001", "embeddings")
+        )
+        with _pytest.raises(ValueError, match="too large"):
+            embedding_all_pairs_numpy(emb, max_broadcast_rows=10)
