@@ -88,12 +88,22 @@ class BronzeZone:
             "_endpoint": table,
         }
 
+    def _wrap_single_column(self, schema, records: list[dict]) -> list[dict]:
+        """``single_column`` schema mode (reference ``models.py:32-37``):
+        the payload is kept schema-less, stored whole under a single
+        ``data`` column (serialized JSON string)."""
+        import json as _json
+
+        return [{"data": _json.dumps(r, default=str)} for r in records]
+
     def ingest(
         self, domain: str, table: str, record: dict[str, Any]
     ) -> IngestResult:
         """Single-record push (reference POST /ingest)."""
         schema = self.registry.get(domain, table)
-        if schema is not None and schema.columns:
+        if schema is not None and schema.schema_mode.value == "single_column":
+            record = self._wrap_single_column(schema, [record])[0]
+        elif schema is not None and schema.columns:
             try:
                 record = validate_record(
                     record, schema.columns, strict=schema.strict_validation
@@ -111,7 +121,9 @@ class BronzeZone:
         POST /ingest/batch, ``main.py:257-279``)."""
         schema = self.registry.get(domain, table)
         errors: list[dict[str, Any]] = []
-        if schema is not None and schema.columns:
+        if schema is not None and schema.schema_mode.value == "single_column":
+            records = self._wrap_single_column(schema, records)
+        elif schema is not None and schema.columns:
             records, errors = validate_batch(
                 records, schema.columns, strict=schema.strict_validation
             )

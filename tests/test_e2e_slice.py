@@ -208,3 +208,23 @@ def test_schema_evolution_union_by_name(seeded):
     assert res.row_count == 4
     assert res.rows[-1]["coupon"] == "WELCOME"
     assert res.rows[0]["coupon"] is None
+
+
+def test_single_column_mode(lake):
+    from serverless_data_lake_spark.schema.types import (
+        EndpointSchema, SchemaMode,
+    )
+
+    lake.create_endpoint(EndpointSchema(
+        domain="raw", name="blobs", schema_mode=SchemaMode.SINGLE_COLUMN,
+    ))
+    lake.ingest_batch("raw", "blobs", [
+        {"anything": {"nested": [1, 2]}, "x": 1},
+        {"other": "shape"},
+    ])
+    lake.process_silver("raw", "blobs")
+    res = lake.query(
+        "SELECT get_json_object(data, '$.x') AS x FROM raw.silver.blobs"
+    )
+    assert res.row_count == 2
+    assert {r["x"] for r in res.rows} == {"1", None}
