@@ -302,6 +302,16 @@ FROM events
 WHERE event_id < 100
 """
 
+# Tumbling-window (hourly) event aggregation — the batch shape of a
+# streaming windowed agg (reference has none; parity-plus).
+_HOURLY_EVENTS = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM tpch.silver.events
+GROUP BY 1, 2
+"""
+
 _FROM_JSON_SPARK = """
 SELECT event_id, from_json(props, 'k INT').k AS k
 FROM tpch.silver.events
@@ -589,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_order_counts": _engine_query(_CUBE),
         "list_agg_segments": _engine_query(_LIST_AGG_SPARK),
         "nonequi_price_pairs": _engine_query(_NONEQUI),
+        "hourly_event_windows": _engine_query(_HOURLY_EVENTS),
         # Pipeline / training-data operators
         "dedup_first_event_per_user": _q_dedup_events,
         "dedup_exact_documents": _q_dedup_exact,
@@ -627,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_order_counts": _strip(_CUBE),
         "list_agg_segments": _LIST_AGG_ORACLE,
         "nonequi_price_pairs": _strip(_NONEQUI),
+        "hourly_event_windows": _strip(_HOURLY_EVENTS),
         "dedup_first_event_per_user": _DEDUP_EVENTS_ORACLE,
         "dedup_exact_documents": _DEDUP_EXACT_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "monthly_revenue",
     "ann_ivf_topk",
     "nonequi_price_pairs",
+    "hourly_event_windows",
     "list_agg_segments",
     "cube_order_counts",
     "dialect_array_funcs",

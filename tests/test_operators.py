@@ -293,3 +293,16 @@ class TestNumpyPairsKernel:
         )
         with _pytest.raises(ValueError, match="too large"):
             embedding_all_pairs_numpy(emb, max_broadcast_rows=10)
+
+
+class TestMultimodalStrict:
+    def test_strict_decode_raises(self, spark):
+        from serverless_data_lake_spark.operators.multimodal import (
+            extract_image_features,
+        )
+        media = spark.createDataFrame(
+            [(1, "image/png", b"\x89PNG")],
+            ["media_id", "mime_type", "content"],
+        )
+        with pytest.raises(Exception, match="NotImplementedError|codec"):
+            extract_image_features(media, strict=True).collect()
