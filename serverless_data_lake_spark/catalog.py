@@ -415,7 +415,35 @@ class TableStore:
     # ------------------------------------------------------------------
     # Introspection (reference §2.9)
     # ------------------------------------------------------------------
-    def list_tables(self) -> list[dict]:
+    def list_tables(self, registry=None) -> list[dict]:
+        """Catalog listing. With a registry, bronze endpoints that
+        have no silver table yet are included with their registered
+        columns (reference fallback, ``query_api/main.py:266-272``)."""
+        out = self._list_catalog_tables()
+        if registry is not None:
+            silver = {
+                (t["domain"], t["table"])
+                for t in out
+                if t["layer"] == "silver"
+            }
+            for domain, name in registry.list_endpoints(layer="bronze"):
+                if (domain, name) in silver:
+                    continue
+                schema = registry.get(domain, name)
+                out.append(
+                    {
+                        "domain": domain,
+                        "layer": "bronze",
+                        "table": name,
+                        "columns": [
+                            {"name": c.name, "type": c.type.value}
+                            for c in (schema.columns if schema else [])
+                        ],
+                    }
+                )
+        return out
+
+    def _list_catalog_tables(self) -> list[dict]:
         out = []
         for db in self.spark.catalog.listDatabases():
             if db.name in ("default", "global_temp"):

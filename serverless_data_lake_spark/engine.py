@@ -154,4 +154,4 @@ class Lake:
         return self.queries.dataframe(sql)
 
     def list_tables(self) -> list[dict]:
-        return self.store.list_tables()
+        return self.store.list_tables(registry=self.registry)

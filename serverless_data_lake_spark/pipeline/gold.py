@@ -135,6 +135,26 @@ class GoldRunner:
 
     # ------------------------------------------------------------------
     def run_job(self, job: GoldJobConfig) -> GoldResult:
+        """Run one gold job; a failure is recorded in the execution
+        status (reference O5 — the SFN execution state is persisted
+        whether it succeeded or not) and re-raised."""
+        try:
+            return self._run_job(job)
+        except Exception as exc:
+            self.registry.save_execution_status(
+                job.domain,
+                job.name,
+                {
+                    "status": "FAILED",
+                    "error": str(exc).splitlines()[0][:300],
+                    "finished_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                },
+            )
+            raise
+
+    def _run_job(self, job: GoldJobConfig) -> GoldResult:
         started = time.time()
         database = self.config.database_name(job.domain, "gold")
         sql = transpile(rewrite_query(job.query))

@@ -148,3 +148,33 @@ class TestHttpApi:
             raise AssertionError("expected 404")
         except urllib.error.HTTPError as err:
             assert err.code == 404
+
+
+class TestStatusAndListing:
+    def test_failed_job_records_status(self, lake):
+        from serverless_data_lake_spark.schema.registry import GoldJobConfig
+        import pytest as _pytest
+
+        lake.create_gold_job(GoldJobConfig(
+            domain="sales", name="broken",
+            query="SELECT * FROM sales.silver.does_not_exist",
+        ))
+        with _pytest.raises(Exception):
+            lake.run_gold("sales", "broken")
+        status = lake.registry.get_execution_status("sales", "broken")
+        assert status["status"] == "FAILED"
+        assert "does_not_exist" in status["error"]
+
+    def test_bronze_endpoint_in_listing_before_silver(self, lake):
+        from serverless_data_lake_spark.schema.types import (
+            ColumnDef, DataType, EndpointSchema,
+        )
+
+        lake.create_endpoint(EndpointSchema(
+            domain="new", name="fresh",
+            columns=[ColumnDef("id", DataType.INTEGER, primary_key=True)],
+        ))
+        tables = lake.list_tables()
+        bronze = [t for t in tables
+                  if t["layer"] == "bronze" and t["table"] == "fresh"]
+        assert bronze and bronze[0]["columns"][0]["name"] == "id"
