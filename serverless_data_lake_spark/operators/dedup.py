@@ -158,7 +158,16 @@ def ngram_jaccard_pairs(
 
     Returns columns ``id_a, id_b, jaccard`` with ``id_a < id_b``.
     """
-    toks = _token_ngrams(df, id_col, text_col, n).cache()
+    # Join on a 64-bit hash of the n-gram, not the string: the
+    # inverted-index shuffle moves 8-byte keys instead of ~25-byte
+    # trigrams and the join compares longs. A hash collision would
+    # need two docs sharing a colliding pair to miscount by 1 —
+    # negligible at 64 bits.
+    toks = (
+        _token_ngrams(df, id_col, text_col, n)
+        .select("__id", F.xxhash64("__tok").alias("__tok"))
+        .cache()
+    )
     sizes = toks.groupBy("__id").agg(F.count("*").alias("__n"))
     left = toks.alias("l")
     right = toks.alias("r")
