@@ -120,3 +120,32 @@ class TestDataPathTotality:
         path = detect_data_path(body)
         if path is not None:
             assert extract_path(body, path) is not None
+
+
+class TestDifferentialFuzz:
+    def test_random_queries_match_duckdb(self, spark):
+        """Differential check: random grammar-generated queries through
+        the full engine path must match DuckDB exactly (small count
+        here; tools/fuzz_oracle.py runs the big sweep)."""
+        import random
+
+        import duckdb
+
+        from tools.fuzz_oracle import canon, gen_query
+        import __spark_entry__ as e
+
+        sf_dir = "/root/testdata/sf0.001"
+        engine = e._ensure_catalog(spark, sf_dir)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+        )
+        rng = random.Random(7)
+        for _ in range(10):
+            q = gen_query(rng)
+            sdf = engine.dataframe(q)
+            srows = [tuple(canon(r[c]) for c in sdf.columns)
+                     for r in sdf.collect()]
+            cur = con.execute(q.replace("tpch.silver.", ""))
+            drows = [tuple(canon(v) for v in row) for row in cur.fetchall()]
+            assert srows == drows, q

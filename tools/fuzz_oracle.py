@@ -1,0 +1,112 @@
+"""Differential SQL fuzzing: random queries from a determinism-safe
+grammar run on the engine (full validate→rewrite→transpile path) and
+on DuckDB; results must match exactly.
+
+The grammar stays inside the cross-engine deterministic subset the
+oracle contract relies on (decimal-cast aggregates, unique ORDER BY
+tiebreakers, BIGINT-cast counts) so any mismatch is an engine bug,
+not a float artifact.
+
+Usage: python tools/fuzz_oracle.py [n_queries] [seed] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from serverless_data_lake_spark.session import get_spark  # noqa: E402
+
+DIM_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+KEY_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
+
+
+def gen_query(rng: random.Random) -> str:
+    group_cols = rng.sample(DIM_COLS, rng.randint(1, len(DIM_COLS)))
+    aggs = []
+    for i in range(rng.randint(1, 3)):
+        col = rng.choice(NUM_COLS)
+        kind = rng.choice(["sum", "count", "min", "max", "countd"])
+        if kind == "sum":
+            aggs.append(
+                f"CAST(SUM(CAST({col} AS DECIMAL(38,6))) AS DOUBLE) AS agg_{i}"
+            )
+        elif kind == "count":
+            aggs.append(f"COUNT({col}) AS agg_{i}")
+        elif kind == "countd":
+            key = rng.choice(KEY_COLS)
+            aggs.append(f"COUNT(DISTINCT {key}) AS agg_{i}")
+        else:
+            aggs.append(f"{kind.upper()}({col}) AS agg_{i}")
+    preds = []
+    if rng.random() < 0.8:
+        key = rng.choice(KEY_COLS)
+        op = rng.choice(["<", ">", "<=", ">=", "%2 ="])
+        val = rng.randint(0, 5000) if "%" not in op else rng.randint(0, 1)
+        preds.append(f"{key} {op} {val}")
+    if rng.random() < 0.4:
+        preds.append(f"{rng.choice(NUM_COLS)} > {rng.uniform(0, 10):.2f}")
+    where = f"WHERE {' AND '.join(preds)}" if preds else ""
+    having = ""
+    if rng.random() < 0.3:
+        having = f"HAVING COUNT(*) >= {rng.randint(1, 3)}"
+    limit = f"LIMIT {rng.randint(5, 50)}" if rng.random() < 0.5 else ""
+    cols = ", ".join(group_cols)
+    order = ", ".join(group_cols)  # group cols are a unique key
+    return (
+        f"SELECT {cols}, {', '.join(aggs)}, COUNT(*) AS n "
+        f"FROM tpch.silver.lineitem {where} "
+        f"GROUP BY {cols} {having} ORDER BY {order} {limit}"
+    )
+
+
+def canon(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return repr(v)
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+    rng = random.Random(seed)
+
+    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    engine = entrymod._ensure_catalog(spark, sf_dir)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+
+    failures = 0
+    for i in range(n):
+        q = gen_query(rng)
+        sdf = engine.dataframe(q)
+        srows = [
+            tuple(canon(r[c]) for c in sdf.columns) for r in sdf.collect()
+        ]
+        cur = con.execute(q.replace("tpch.silver.", ""))
+        drows = [tuple(canon(v) for v in row) for row in cur.fetchall()]
+        if srows != drows:
+            failures += 1
+            print(f"MISMATCH #{i}: {q}")
+            print(f"  spark={srows[:2]} duck={drows[:2]}")
+        elif i % 10 == 0:
+            print(f"ok #{i}: {len(srows)} rows :: {q[:100]}")
+    print(f"\n{n} queries, {failures} mismatches")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
