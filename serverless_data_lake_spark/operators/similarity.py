@@ -141,25 +141,40 @@ def lsh_bucketed_topk(
     query_id_col: str = "query_id",
     k: int = 10,
     planes: int = 8,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: corpus and queries are bucketed by a
     ``planes``-bit hyperplane signature; candidates are same-bucket
     pairs only. With p planes the corpus splits into ≤2^p buckets, so
-    the scored pairs shrink ~2^p× vs brute force. Recall can be
-    raised by multi-probe (flipping signature bits) — not needed for
-    the baseline contract."""
+    the scored pairs shrink ~2^p× vs brute force.
+
+    ``multiprobe=1`` additionally probes every bucket at Hamming
+    distance 1 from the query's signature (p extra probes — near-miss
+    vectors usually differ by one hyperplane sign), trading candidate
+    volume for recall without touching the corpus layout. The probe
+    expansion happens on the (small, broadcast) query side only."""
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__cvec"),
         _norm(F.col(vec_col)).alias("__cnorm"),
         _hyperplane_signature(F.col(vec_col), dim, planes).alias("__bucket"),
     )
+    sig = _hyperplane_signature(F.col(vec_col), dim, planes)
+    if multiprobe >= 1:
+        probes = F.array(
+            sig, *[sig.bitwiseXOR(F.lit(1 << b)) for b in range(planes)]
+        )
+    else:
+        probes = F.array(sig)
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         _norm(F.col(vec_col)).alias("__qnorm"),
-        _hyperplane_signature(F.col(vec_col), dim, planes).alias("__bucket"),
+        F.explode(probes).alias("__bucket"),
     )
+    # No dedup needed: a corpus row has exactly one bucket and a
+    # query's probe buckets are distinct, so each (query, corpus)
+    # pair matches at most once.
     scored = c.join(F.broadcast(q), on="__bucket").select(
         F.col(query_id_col),
         F.col(id_col),

@@ -142,3 +142,17 @@ class TestDialect:
         )
         rows = df.collect()
         assert len(rows) == 1 and rows[0].id == 1
+
+
+class TestQualifyNested:
+    def test_qualify_inside_cte(self, spark):
+        from serverless_data_lake_spark.plans.dialect import transpile
+
+        q = (
+            "WITH ranked AS ("
+            "  SELECT id, id % 3 AS grp FROM (SELECT explode(sequence(1, 9)) AS id)"
+            "  QUALIFY row_number() OVER (PARTITION BY id % 3 ORDER BY id) = 1"
+            ") SELECT grp, id FROM ranked ORDER BY grp"
+        )
+        rows = spark.sql(transpile(q)).collect()
+        assert [(r.grp, r.id) for r in rows] == [(0, 3), (1, 1), (2, 2)]
