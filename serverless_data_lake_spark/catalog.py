@@ -179,11 +179,29 @@ class TableStore:
         return self._read_meta(location) is not None
 
     def read(self, database: str, table: str) -> DataFrame:
-        if not self.spark.catalog.tableExists(f"`{database}`.`{table}`"):
-            info = self.info(database, table)
-            if info is not None:
-                self._register(info)
-        return self.spark.table(f"`{database}`.`{table}`")
+        qualified = f"`{database}`.`{table}`"
+        info = self.info(database, table)
+        if info is not None and (
+            not self.spark.catalog.tableExists(qualified)
+            or self._registered_location(database, table) != info.location
+        ):
+            # Missing, or a stale registration left by another Lake
+            # instance (different root) in this shared session.
+            self._register(info)
+        return self.spark.table(qualified)
+
+    def _registered_location(self, database: str, table: str) -> str | None:
+        try:
+            rows = self.spark.sql(
+                f"DESCRIBE FORMATTED `{database}`.`{table}`"
+            ).collect()
+        except Exception:  # noqa: BLE001
+            return None
+        for r in rows:
+            if r.col_name.strip() == "Location":
+                loc = r.data_type.strip()
+                return loc.removeprefix("file:")
+        return None
 
     def info(self, database: str, table: str) -> TableInfo | None:
         location = self.config.table_path(database, table)

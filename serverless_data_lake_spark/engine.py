@@ -11,6 +11,12 @@ Usage::
     lake.process_silver("sales", "orders")        # dedup + MERGE → silver
     lake.create_gold_job(job_cfg); lake.run_gold("sales", "daily_revenue")
     lake.query("SELECT * FROM sales.silver.orders LIMIT 10")
+
+One Lake per SparkSession is the supported deployment: the session
+catalog is global, so two Lakes with colliding database/table names
+in one session can race on registrations for the raw-SQL path
+(``TableStore.read`` self-heals by checking locations; ``spark.sql``
+resolution follows whichever Lake registered last).
 """
 
 from __future__ import annotations

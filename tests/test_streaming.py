@@ -49,21 +49,21 @@ def test_stream_merges_batches(spark, lake):
         schema=stream_schema, trigger_seconds=1,
     )
     try:
-        assert _wait(lambda: lake.store.table_exists("iot_silver", "readings"))
-        assert _wait(
-            lambda: lake.store.read("iot_silver", "readings").count() == 2
-        )
+        # processAllAvailable blocks until every currently-available
+        # file is processed — deterministic, no sleep-polling.
+        query.processAllAvailable()
+        assert lake.store.table_exists("iot_silver", "readings")
+        assert lake.store.read("iot_silver", "readings").count() == 2
         # Late update for device 1 + new device 3 in a second object.
         lake.ingest_batch("iot", "readings",
                           [{"device_id": 1, "temp": 25.0},
                            {"device_id": 3, "temp": 19.0}])
-        assert _wait(
-            lambda: lake.store.read("iot_silver", "readings").count() == 3
-        )
+        query.processAllAvailable()
         rows = {
             r.device_id: r.temp
             for r in lake.store.read("iot_silver", "readings").collect()
         }
+        assert len(rows) == 3
         assert rows[1] == 25.0  # micro-batch upsert overwrote
         assert rows[3] == 19.0
     finally:
