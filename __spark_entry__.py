@@ -344,17 +344,65 @@ ORDER BY priority, status
 
 # LIST aggregation (reference §2.3 LIST/STRUCT types): engine-side
 # sort_array(collect_list(...)), oracle-side list_sort(list(...)).
+# The aggregated list is serialized to a scalar on BOTH sides because
+# the driver's canonicalizer sorts result columns in pandas, which
+# cannot hash array cells (r1 red row); array_join keeps the full
+# list semantics comparable while staying hashable.
 _LIST_AGG_SPARK = """
-SELECT c_nationkey, sort_array(collect_list(c_mktsegment)) AS segments
+SELECT c_nationkey,
+       array_join(sort_array(collect_list(c_mktsegment)), ',') AS segments
 FROM tpch.silver.customer
 WHERE c_custkey <= 200
 GROUP BY c_nationkey
 """
 _LIST_AGG_ORACLE = """
-SELECT c_nationkey, list_sort(list(c_mktsegment)) AS segments
+SELECT c_nationkey,
+       array_to_string(list_sort(list(c_mktsegment)), ',') AS segments
 FROM customer
 WHERE c_custkey <= 200
 GROUP BY c_nationkey
+"""
+
+# --- DuckDB-spelling shim queries: ONE text runs through the engine
+# (transpiled) AND natively on the DuckDB oracle. These pin the exact
+# surface the reference transform-agent prompt mandates
+# (reference analyzer.py:50-74): FROM-clause lateral UNNEST,
+# from_json with a JSON type-descriptor literal, json_extract_string,
+# and SELECT * REPLACE.
+_UNNEST_LATERAL = """
+SELECT t.doc_id, COUNT(DISTINCT u.val) AS n_distinct_tokens
+FROM tpch.silver.documents t,
+     UNNEST(string_split(lower(t.text), ' ')) AS u(val)
+WHERE u.val <> ''
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+_FROM_JSON_UNNEST = """
+SELECT t.event_id, u.val
+FROM tpch.silver.events t,
+     UNNEST(from_json('["' || t.event_type || '","e' || t.event_id || '"]',
+                      '["VARCHAR"]')) AS u(val)
+WHERE t.event_id < 100
+ORDER BY t.event_id, u.val
+"""
+
+_STAR_REPLACE = """
+SELECT o_orderkey, o_totalprice, o_orderpriority FROM (
+  SELECT * REPLACE (CAST(o_totalprice * 2 AS DOUBLE) AS o_totalprice,
+                    lower(o_orderpriority) AS o_orderpriority)
+  FROM tpch.silver.orders
+) WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+"""
+
+_JSON_EXTRACT_SHIM = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM tpch.silver.events
+GROUP BY event_type
+ORDER BY event_type
 """
 
 # Non-equi (theta) join beyond the pure cross join: equi key plus a
@@ -516,23 +564,66 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ANN entries emit a per-query recall@k GATE against the in-Spark
+# exact top-k rather than raw approximate rows: the gate output is
+# deterministic, so the DuckDB oracle (`SELECT query_id, true`) turns
+# the driver's hash compare into a real quality check — if ANN recall
+# drops below the gate, the row hashes stop matching (r1 verdict #3).
+#
+# Gate level: the synthetic test embeddings are isotropic random
+# vectors (top-1 cosine ≈ 0.38 vs bulk ≈ 0), so expected ANN recall
+# ≈ the scanned corpus fraction — a mathematical property of
+# structureless data, not an implementation limit (see
+# operators/similarity.py docstrings). The parameters below scan
+# ~50-69% and measure recall ≥ 0.6 on every query at sf0.001/0.01/
+# 0.1; the gate asserts ≥ 0.5 with margin. On real clustered
+# embeddings the same code reaches high recall at far smaller probe
+# budgets.
+_ANN_RECALL_GATE = 0.5
+
+
+def _ann_quality_gate(
+    spark: SparkSession, sf_dir: str, ann_fn
+) -> DataFrame:
+    from serverless_data_lake_spark.operators.similarity import (
+        ann_recall_at_k,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = ann_fn(emb, queries_df)
+    exact = cosine_topk(emb, queries_df, id_col="vec_id", k=10)
+    recall = ann_recall_at_k(ann, exact, k=10)
+    return recall.select(
+        "query_id",
+        (F.col("recall_at_k") >= _ANN_RECALL_GATE).alias("recall_ok"),
+    )
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serverless_data_lake_spark.operators.similarity import ivf_topk
 
-    emb = _read(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    return _ann_quality_gate(
+        spark, sf_dir,
+        lambda emb, q: ivf_topk(emb, q, dim=64, id_col="vec_id", k=10,
+                                nlist=8, nprobe=4),
     )
-    return ivf_topk(emb, queries_df, dim=64, id_col="vec_id", k=10,
-                    nlist=16, nprobe=4)
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    return _ann_quality_gate(
+        spark, sf_dir,
+        lambda emb, q: lsh_bucketed_topk(emb, q, dim=64, id_col="vec_id",
+                                         k=10, planes=4, multiprobe=2),
     )
-    return lsh_bucketed_topk(emb, queries_df, dim=64, id_col="vec_id", k=10)
+
+
+_ANN_GATE_ORACLE = """
+SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS recall_ok
+FROM embeddings WHERE vec_id < 5
+"""
 
 
 def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -598,6 +689,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_array_funcs": _engine_query(_DIALECT_ARRAY),
         "cube_order_counts": _engine_query(_CUBE),
         "list_agg_segments": _engine_query(_LIST_AGG_SPARK),
+        "unnest_lateral_tokens": _engine_query(_UNNEST_LATERAL),
+        "from_json_unnest": _engine_query(_FROM_JSON_UNNEST),
+        "star_replace_orders": _engine_query(_STAR_REPLACE),
+        "json_extract_string_shim": _engine_query(_JSON_EXTRACT_SHIM),
         "nonequi_price_pairs": _engine_query(_NONEQUI),
         "hourly_event_windows": _engine_query(_HOURLY_EVENTS),
         # Pipeline / training-data operators
@@ -637,6 +732,10 @@ def oracle_sql() -> dict[str, str]:
         "dialect_array_funcs": _strip(_DIALECT_ARRAY),
         "cube_order_counts": _strip(_CUBE),
         "list_agg_segments": _LIST_AGG_ORACLE,
+        "unnest_lateral_tokens": _strip(_UNNEST_LATERAL),
+        "from_json_unnest": _strip(_FROM_JSON_UNNEST),
+        "star_replace_orders": _strip(_STAR_REPLACE),
+        "json_extract_string_shim": _strip(_JSON_EXTRACT_SHIM),
         "nonequi_price_pairs": _strip(_NONEQUI),
         "hourly_event_windows": _strip(_HOURLY_EVENTS),
         "dedup_first_event_per_user": _DEDUP_EVENTS_ORACLE,
@@ -645,6 +744,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _JACCARD_ORACLE,
         "embedding_similarity_pairs": _COSINE_PAIRS_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,
+        "ann_lsh_topk": _ANN_GATE_ORACLE,
+        "ann_ivf_topk": _ANN_GATE_ORACLE,
         # rows-only (no SQL-expressible oracle): simhash_near_duplicates,
-        # ann_lsh_topk, text_analysis, multimodal_features
+        # multimodal_features — justifications in docs/oracles.md
     }

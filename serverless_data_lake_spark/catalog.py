@@ -22,10 +22,18 @@ the *plan shape* matches what an Iceberg MERGE would do at 100 TB:
   tables (``{domain}_{layer}.{table}``), so ``spark.sql`` resolves
   rewritten three-part names and Catalyst gets stats/pushdown.
 
-Durability model: single writer per table, staged writes + metadata
-refresh (the reference's per-object Lambda + Iceberg commit gives
-snapshot isolation; swap the backend for Iceberg/Delta in
-environments that ship the jar — the interface is unchanged).
+Durability model: single writer per table. Writes are staged and then
+committed with a roll-forward marker: new files move in *before* old
+files are deleted, and the list of files to delete is journalled in a
+``_sdls_pending.json`` marker first. A crash mid-commit therefore
+leaves extra (duplicate) rows, never lost rows, and the next write on
+the table rolls the pending deletes forward to the consistent state.
+Full-table replace swaps whole directories by rename. This is weaker
+than the reference's Iceberg snapshot isolation — a concurrent reader
+can observe duplicates during the (small) commit window — and that
+trade is deliberate for plain parquet; swap the backend for
+Iceberg/Delta in environments that ship the jar, the interface is
+unchanged.
 """
 
 from __future__ import annotations
@@ -42,6 +50,7 @@ from pyspark.sql.types import StructType
 from serverless_data_lake_spark.config import LakeConfig
 
 _META_FILE = "_sdls_meta.json"
+_PENDING_FILE = "_sdls_pending.json"
 
 
 @dataclass
@@ -95,6 +104,58 @@ class TableStore:
         for f in self._list_data_files(src_dir):
             name = f.rsplit("/", 1)[1]
             fs.rename(self._hpath(f), self._hpath(f"{dst_dir}/{name}"))
+
+    def _rename_dir(self, src: str, dst: str) -> None:
+        self._fs(dst).rename(self._hpath(src), self._hpath(dst))
+
+    # ------------------------------------------------------------------
+    # Commit protocol: journal the files a commit will delete BEFORE
+    # new files become visible; deleting them + removing the marker IS
+    # the commit's final step, so recovery after a crash is a pure
+    # roll-forward (duplicates are removed, nothing is ever lost).
+    # ------------------------------------------------------------------
+    def _write_pending(
+        self, location: str, staging: str, delete_files: list[str]
+    ) -> None:
+        fs = self._fs(location)
+        out = fs.create(self._hpath(f"{location}/{_PENDING_FILE}"), True)
+        out.write(
+            bytearray(
+                json.dumps(
+                    {"staging": staging, "delete": delete_files}
+                ).encode()
+            )
+        )
+        out.close()
+
+    def _apply_pending(self, location: str) -> None:
+        """Roll forward an in-flight (or crashed) commit: finish the
+        staged move-in if the staging dir still exists, then delete
+        the journalled files, then the marker. Idempotent — and
+        ordered so a crash at any point never loses rows (the staged
+        files are always moved in before their originals go)."""
+        path = f"{location}/{_PENDING_FILE}"
+        if not self._exists(path):
+            return
+        fs = self._fs(path)
+        stream = fs.open(self._hpath(path))
+        try:
+            data = bytes(
+                self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(  # noqa: SLF001
+                    stream
+                )
+            )
+        finally:
+            stream.close()
+        pending = json.loads(data.decode())
+        staging = pending.get("staging")
+        if staging and self._exists(staging):
+            self._move_files_into(staging, location)
+            self._delete(staging)
+        for f in pending.get("delete", []):
+            if self._exists(f):
+                self._delete(f)
+        self._delete(path)
 
     # ------------------------------------------------------------------
     # Metadata
@@ -159,10 +220,14 @@ class TableStore:
             for t_status in fs.listStatus(db_status.getPath()):
                 if not t_status.isDirectory():
                     continue
+                name = t_status.getPath().getName()
+                if "__stage_" in name or "__old_" in name:
+                    continue  # leftovers of a crashed staged write
                 location = t_status.getPath().toString()
                 meta = self._read_meta(location)
                 if meta is None:
                     continue
+                self._apply_pending(location)
                 info = TableInfo(
                     database=database,
                     name=t_status.getPath().getName(),
@@ -227,18 +292,24 @@ class TableStore:
         primary_keys: list[str] | None = None,
     ) -> TableInfo:
         """Full overwrite (gold ``write_mode=overwrite`` — reference
-        S6). Staged write + swap so a failed job never destroys the
-        previous snapshot."""
+        S6). The new snapshot is fully staged (data + metadata), then
+        swapped in with two directory renames; the previous snapshot
+        is deleted only after the new one is in place, so a failed job
+        never destroys it (a crash between the renames leaves the old
+        snapshot recoverable under ``<location>__old_*``)."""
         location = self.config.table_path(database, table)
         staging = f"{location}__stage_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(staging)
-        if self._exists(location):
-            self._delete(location)
-        self._fs(location).mkdirs(self._hpath(location))
-        self._move_files_into(staging, location)
-        self._delete(staging)
         info = TableInfo(database, table, location, df.schema, primary_keys or [])
-        self._write_meta(info)
+        self._write_meta(
+            TableInfo(database, table, staging, df.schema, primary_keys or [])
+        )
+        old = f"{location}__old_{uuid.uuid4().hex[:8]}"
+        if self._exists(location):
+            self._rename_dir(location, old)
+        self._rename_dir(staging, location)
+        if self._exists(old):
+            self._delete(old)
         self._register(info)
         return info
 
@@ -252,6 +323,7 @@ class TableStore:
         """Append with union-by-name schema evolution (reference S5 +
         V6: new columns widen the table schema; old files read as
         null for them)."""
+        self._apply_pending(self.config.table_path(database, table))
         existing = self.info(database, table)
         if existing is None:
             return self.create_or_replace(database, table, df, primary_keys)
@@ -286,14 +358,25 @@ class TableStore:
            *names*, never rows);
         2. rewrite = (rows of those files anti-joined against source
            keys) ∪ source;
-        3. stage, swap in, delete only the matched files.
+        3. stage; journal the matched files in the pending marker;
+           move the staged files in; delete the matched files + the
+           marker (the commit step).
 
-        Cost is proportional to the matched files + the batch. The
+        A crash mid-commit leaves matched rows duplicated (old + new
+        file both present), never lost; the next write on the table
+        rolls the journalled deletes forward first. Cost is
+        proportional to the matched files + the batch. The
         incoming-keys side of both joins is typically small and
         broadcast by AQE; skewed PKs are handled by AQE skew-join.
         """
+        if isinstance(keys, str):
+            # dbt-style configs allow a scalar unique_key; a bare
+            # string would otherwise iterate into per-character
+            # column names.
+            keys = [keys]
         if not keys:
             raise ValueError("merge requires at least one key column")
+        self._apply_pending(self.config.table_path(database, table))
         existing = self.info(database, table)
         if existing is None:
             return self.create_or_replace(database, table, source, keys)
@@ -302,7 +385,6 @@ class TableStore:
         source = self._conform(source, merged_schema)
         location = existing.location
 
-        target = self.spark.read.schema(merged_schema).parquet(location)
         src_keys = source.select(*keys).dropDuplicates(keys)
 
         affected = (
@@ -328,10 +410,8 @@ class TableStore:
             out = source
         out.write.mode("overwrite").parquet(staging)
 
-        for f in affected_files:
-            self._delete(f)
-        self._move_files_into(staging, location)
-        self._delete(staging)
+        self._write_pending(location, staging, affected_files)
+        self._apply_pending(location)
 
         info = TableInfo(database, table, location, merged_schema, keys)
         self._write_meta(info)
@@ -371,11 +451,14 @@ class TableStore:
         problem. This rewrites only files below ``small_file_bytes``
         (default: half the target), coalesced to
         ceil(total/target) output files; large files are untouched.
-        Returns the number of files compacted. Same staged-swap
-        mechanics as merge, so readers never see a partial state."""
+        Returns the number of files compacted. Same journalled
+        move-in-then-delete commit as merge: a crash mid-commit
+        duplicates rows (rolled forward on the next write), never
+        loses them."""
         info = self.info(database, table)
         if info is None:
             raise KeyError(f"no such table {database}.{table}")
+        self._apply_pending(info.location)
         threshold = small_file_bytes or target_file_bytes // 2
         fs = self._fs(info.location)
         small: list[str] = []
@@ -397,10 +480,8 @@ class TableStore:
             .write.mode("overwrite")
             .parquet(staging)
         )
-        for f in small:
-            self._delete(f)
-        self._move_files_into(staging, info.location)
-        self._delete(staging)
+        self._write_pending(info.location, staging, small)
+        self._apply_pending(info.location)
         self.spark.sql(f"REFRESH TABLE `{database}`.`{table}`")
         return len(small)
 

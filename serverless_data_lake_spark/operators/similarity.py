@@ -150,9 +150,19 @@ def lsh_bucketed_topk(
 
     ``multiprobe=1`` additionally probes every bucket at Hamming
     distance 1 from the query's signature (p extra probes — near-miss
-    vectors usually differ by one hyperplane sign), trading candidate
-    volume for recall without touching the corpus layout. The probe
-    expansion happens on the (small, broadcast) query side only."""
+    vectors usually differ by one hyperplane sign); ``multiprobe=2``
+    extends to Hamming distance 2. Trades candidate volume for recall
+    without touching the corpus layout; the probe expansion happens
+    on the (small, broadcast) query side only.
+
+    Recall reality check: hyperplane LSH exploits *angular
+    concentration*. On isotropic (random) vectors the top-k
+    neighbors' cosines barely exceed the bulk, so expected recall
+    approaches the scanned corpus fraction — no sublinear method
+    does better on structureless data. Choose planes/multiprobe for
+    the clustering actually present in the corpus; the quality gate
+    in the driver entry (`ann_recall_at_k`) makes the achieved
+    recall an asserted, regression-checked number either way."""
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__cvec"),
@@ -160,12 +170,16 @@ def lsh_bucketed_topk(
         _hyperplane_signature(F.col(vec_col), dim, planes).alias("__bucket"),
     )
     sig = _hyperplane_signature(F.col(vec_col), dim, planes)
+    probe_cols = [sig]
     if multiprobe >= 1:
-        probes = F.array(
-            sig, *[sig.bitwiseXOR(F.lit(1 << b)) for b in range(planes)]
-        )
-    else:
-        probes = F.array(sig)
+        probe_cols += [sig.bitwiseXOR(F.lit(1 << b)) for b in range(planes)]
+    if multiprobe >= 2:
+        probe_cols += [
+            sig.bitwiseXOR(F.lit((1 << a) | (1 << b)))
+            for a in range(planes)
+            for b in range(a + 1, planes)
+        ]
+    probes = F.array(*probe_cols)
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
@@ -188,6 +202,43 @@ def lsh_bucketed_topk(
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def ann_recall_at_k(
+    ann: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall@k of an ANN result against the exact top-k:
+    |ann ∩ exact| / k. Computed in-Spark (a semi-join + a count per
+    query) so an ANN entry can ship a *quality gate* instead of raw
+    approximate rows — the gate output is deterministic, hence
+    oracle-checkable, while the raw ANN rows are not SQL-expressible.
+
+    Returns ``(query_id, recall_at_k)`` with one row per query in
+    ``exact``."""
+    hits = ann.join(
+        exact.select(query_id_col, id_col),
+        on=[query_id_col, id_col],
+        how="left_semi",
+    )
+    per_query = hits.groupBy(query_id_col).agg(
+        F.count("*").alias("__n_hit")
+    )
+    return (
+        exact.select(query_id_col)
+        .distinct()
+        .join(per_query, on=query_id_col, how="left")
+        .select(
+            F.col(query_id_col),
+            (
+                F.coalesce(F.col("__n_hit"), F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall_at_k"),
+        )
     )
 
 

@@ -22,6 +22,11 @@ from __future__ import annotations
 import re
 from collections.abc import Callable
 
+from serverless_data_lake_spark.plans.dialect import (
+    mask_literals,
+    unmask_literals,
+)
+
 _THREE_PART_RE = re.compile(
     r"\b([A-Za-z_][A-Za-z0-9_]*)\.(bronze|silver|gold)\.([A-Za-z_][A-Za-z0-9_]*)\b",
     re.IGNORECASE,
@@ -30,9 +35,12 @@ _THREE_PART_RE = re.compile(
 
 def find_table_refs(sql: str) -> list[tuple[str, str, str]]:
     """All three-part refs in the query as (domain, layer, table),
-    deduplicated, in order of first appearance."""
+    deduplicated, in order of first appearance. String literals are
+    masked first so a literal like ``'sales.silver.orders'`` is
+    neither registered nor rewritten."""
+    masked, _ = mask_literals(sql)
     seen: list[tuple[str, str, str]] = []
-    for m in _THREE_PART_RE.finditer(sql):
+    for m in _THREE_PART_RE.finditer(masked):
         ref = (m.group(1), m.group(2).lower(), m.group(3))
         if ref not in seen:
             seen.append(ref)
@@ -59,7 +67,8 @@ def rewrite_query(
             return bronze_view_name(domain, table)
         return f"{domain}_{layer}.{table}"
 
-    return _THREE_PART_RE.sub(_sub, sql)
+    masked, lits = mask_literals(sql)
+    return unmask_literals(_THREE_PART_RE.sub(_sub, masked), lits)
 
 
 def bronze_view_name(domain: str, table: str) -> str:

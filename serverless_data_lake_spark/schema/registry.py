@@ -174,6 +174,13 @@ class GoldJobConfig:
     dependencies: list[str] = field(default_factory=list)
     description: str = ""
 
+    def __post_init__(self) -> None:
+        # dbt-style configs allow a scalar unique_key; left as a bare
+        # string, list("id") in to_dict would silently shred it into
+        # per-character key columns.
+        if isinstance(self.unique_key, str):
+            self.unique_key = [self.unique_key]
+
     def to_dict(self) -> dict:
         return {
             "domain": self.domain,

@@ -206,17 +206,22 @@ def paginate(
 ) -> Iterator[list[dict]]:
     """Yield pages of records following the configured strategy.
     Paginator failures fall back to auto → single_page (reference
-    ``runner.py:971-989``)."""
+    ``runner.py:971-989``) — but only when no page has been yielded
+    yet: pages already yielded are already ingested downstream, and a
+    single_page retry would re-fetch page 1 and duplicate its records
+    in bronze (unrecoverable for PK-less endpoints)."""
     cfg = spec.pagination
     strategy = cfg.type if cfg.type in PAGINATION_TYPES else "auto"
     url = urljoin(base_url.rstrip("/") + "/", spec.path.lstrip("/"))
+    yielded = False
     try:
-        yield from _paginate_with(strategy, url, spec, headers, fetcher)
+        for page in _paginate_with(strategy, url, spec, headers, fetcher):
+            yield page
+            yielded = True
     except _PaginatorError:
-        if strategy not in ("auto", "single_page"):
-            yield from _paginate_with("single_page", url, spec, headers, fetcher)
-        else:
+        if yielded or strategy in ("auto", "single_page"):
             raise
+        yield from _paginate_with("single_page", url, spec, headers, fetcher)
 
 
 class _PaginatorError(RuntimeError):

@@ -106,32 +106,47 @@ def _session_fn(gap_seconds: int):
             return
 
         rows = pd.concat(list(pdfs))
-        rows = rows.sort_values("ts")
         ts_ms = (rows["ts"].astype("int64") // 1_000_000).tolist()
         vals = rows["value"].fillna(0.0).tolist()
 
-        closed: list[tuple[int, int, int, float]] = []
+        # Merge the open session (if any) and the batch's events as
+        # intervals, exactly like the batch oracle would over the
+        # union — so a late-but-within-watermark event extends
+        # start_ms backwards, and an event older than the open
+        # session by more than the gap forms its own (closed)
+        # session instead of being folded in.
+        items: list[tuple[int, int, int, float]] = [
+            (t, t, 1, float(v)) for t, v in zip(ts_ms, vals)
+        ]
         if state.exists:
-            start_ms, end_ms, n, total = state.get
-        else:
-            start_ms, end_ms, n, total = None, None, 0, 0.0
+            s0, e0, n0, t0 = state.get
+            items.append((s0, e0, n0, t0))
+        items.sort(key=lambda x: (x[0], x[1]))
 
-        for t, v in zip(ts_ms, vals):
-            if start_ms is None:
-                start_ms, end_ms, n, total = t, t, 1, float(v)
-            elif t - end_ms > gap_ms:
-                closed.append((start_ms, end_ms, n, total))
-                start_ms, end_ms, n, total = t, t, 1, float(v)
+        merged: list[tuple[int, int, int, float]] = []
+        cs, ce, cn, ct = items[0]
+        for s, e, cnt, tot in items[1:]:
+            if s - ce > gap_ms:
+                merged.append((cs, ce, cn, ct))
+                cs, ce, cn, ct = s, e, cnt, tot
             else:
-                end_ms = max(end_ms, t)
-                n += 1
-                total += float(v)
+                ce = max(ce, e)
+                cn += cnt
+                ct += tot
+        start_ms, end_ms, n, total = cs, ce, cn, ct
 
         state.update((start_ms, end_ms, n, total))
         # Close the open session after gap_seconds of event-time
-        # silence (watermark advances the clock).
-        state.setTimeoutTimestamp(end_ms + gap_ms)
-        for s in closed:
+        # silence (watermark advances the clock). The timestamp must
+        # stay strictly above the current watermark or Spark aborts
+        # the query; an already-expired session then times out on the
+        # next trigger.
+        timeout_ms = end_ms + gap_ms
+        wm = state.getCurrentWatermarkMs()
+        if timeout_ms <= wm:
+            timeout_ms = wm + 1
+        state.setTimeoutTimestamp(timeout_ms)
+        for s in merged:
             yield _emit(user_id, *s)
 
     def _emit(user_id, start_ms, end_ms, n, total) -> pd.DataFrame:

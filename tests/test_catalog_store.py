@@ -108,3 +108,96 @@ class TestCompaction:
         )
         # threshold below any real file size -> nothing is "small"
         assert store.compact("db", "t", small_file_bytes=1) == 0
+
+
+class TestCommitRecovery:
+    """Crash-safety of the journalled commit (r1 advice): a crash at
+    any point between staging and the final deletes must be
+    recoverable with no lost rows — duplicates at worst, rolled
+    forward by the next write."""
+
+    def _setup(self, spark, store):
+        df1 = spark.range(0, 10).select(
+            F.col("id").alias("k"), F.lit("a").alias("v")
+        ).coalesce(1)
+        df2 = spark.range(100, 110).select(
+            F.col("id").alias("k"), F.lit("b").alias("v")
+        ).coalesce(1)
+        store.create_or_replace("db", "t", df1, ["k"])
+        store.append("db", "t", df2)
+        return store.info("db", "t")
+
+    def test_crash_after_marker_before_movein(self, spark, store):
+        """Simulate: staging written, marker written, crash. Recovery
+        must move staged files in and delete the originals."""
+        info = self._setup(spark, store)
+        matched = [
+            f for f in store._list_data_files(info.location)
+        ]
+        # Hand-build the crashed state: a staging dir with the rewrite
+        # (all keys, updated values) and a marker listing all files.
+        staging = f"{info.location}__stage_crash"
+        spark.read.parquet(info.location).withColumn(
+            "v", F.lit("UPDATED")
+        ).write.mode("overwrite").parquet(staging)
+        store._write_pending(info.location, staging, matched)
+
+        store._apply_pending(info.location)  # what the next write does
+        spark.sql("REFRESH TABLE `db`.`t`")
+        rows = store.read("db", "t").collect()
+        assert len(rows) == 20
+        assert all(r.v == "UPDATED" for r in rows)
+        assert not store._exists(staging)
+        assert not store._exists(f"{info.location}/_sdls_pending.json")
+
+    def test_crash_after_movein_before_delete(self, spark, store):
+        """Simulate: staged files moved in, crash before originals
+        were deleted → duplicates visible; recovery deletes them."""
+        info = self._setup(spark, store)
+        originals = store._list_data_files(info.location)
+        staging = f"{info.location}__stage_crash"
+        spark.read.parquet(info.location).withColumn(
+            "v", F.lit("UPDATED")
+        ).write.mode("overwrite").parquet(staging)
+        store._write_pending(info.location, staging, originals)
+        store._move_files_into(staging, info.location)
+        store._delete(staging)
+        # Crashed state: duplicates (old + new), marker present.
+        spark.sql("REFRESH TABLE `db`.`t`")
+        assert store.read("db", "t").count() == 40
+
+        store._apply_pending(info.location)
+        spark.sql("REFRESH TABLE `db`.`t`")
+        rows = store.read("db", "t").collect()
+        assert len(rows) == 20
+        assert all(r.v == "UPDATED" for r in rows)
+
+    def test_merge_heals_prior_crash(self, spark, store):
+        """A real merge on a table with a pending marker rolls the
+        crashed commit forward before computing its own COW set."""
+        info = self._setup(spark, store)
+        originals = store._list_data_files(info.location)
+        staging = f"{info.location}__stage_crash"
+        spark.read.parquet(info.location).write.mode("overwrite").parquet(
+            staging
+        )
+        store._write_pending(info.location, staging, originals)
+
+        updates = spark.createDataFrame([(0, "Z")], ["k", "v"])
+        store.merge("db", "t", updates, ["k"])
+        rows = {r.k: r.v for r in store.read("db", "t").collect()}
+        assert len(rows) == 20 and rows[0] == "Z" and rows[100] == "b"
+
+    def test_register_all_skips_stage_dirs(self, spark, store, tmp_path):
+        self._setup(spark, store)
+        # Leftover staging dir with a meta file must not register.
+        info = store.info("db", "t")
+        staging = f"{info.location}__stage_leftover"
+        spark.range(1).write.parquet(staging)
+        from serverless_data_lake_spark.catalog import TableInfo
+        store._write_meta(
+            TableInfo("db", "t__stage_leftover", staging,
+                      spark.range(1).schema, [])
+        )
+        names = {i.name for i in store.register_all()}
+        assert names == {"t"}

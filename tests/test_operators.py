@@ -261,6 +261,74 @@ class TestIvf:
         assert {(r.query_id, r.vec_id) for r in rows} == {(i, i) for i in range(10)}
 
 
+class TestAnnRecallGate:
+    """The driver's ANN entries assert recall@k ≥ 0.5 via
+    ann_recall_at_k (r1 verdict #3); these anchor the measured
+    recall and the helper's arithmetic."""
+
+    def _exact_and_queries(self, spark):
+        import __spark_entry__ as e
+        emb = spark.read.parquet(
+            e._data_path("/root/testdata/sf0.01", "embeddings")
+        )
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = cosine_topk(emb, queries, id_col="vec_id", k=10)
+        return emb, queries, exact
+
+    def test_recall_helper_counts_hits(self, spark):
+        from serverless_data_lake_spark.operators.similarity import (
+            ann_recall_at_k,
+        )
+        _, _, exact = self._exact_and_queries(spark)
+        # ANN == exact -> recall 1.0 for every query.
+        rows = ann_recall_at_k(exact, exact, k=10).collect()
+        assert len(rows) == 5
+        assert all(r.recall_at_k == 1.0 for r in rows)
+
+    def test_lsh_multiprobe2_recall_above_gate(self, spark):
+        from serverless_data_lake_spark.operators.similarity import (
+            ann_recall_at_k, lsh_bucketed_topk,
+        )
+        emb, queries, exact = self._exact_and_queries(spark)
+        ann = lsh_bucketed_topk(emb, queries, dim=64, id_col="vec_id",
+                                k=10, planes=4, multiprobe=2)
+        rows = ann_recall_at_k(ann, exact, k=10).collect()
+        assert min(r.recall_at_k for r in rows) >= 0.5
+
+    def test_ivf_recall_above_gate(self, spark):
+        from serverless_data_lake_spark.operators.similarity import (
+            ann_recall_at_k, ivf_topk,
+        )
+        emb, queries, exact = self._exact_and_queries(spark)
+        ann = ivf_topk(emb, queries, dim=64, id_col="vec_id", k=10,
+                       nlist=8, nprobe=4)
+        rows = ann_recall_at_k(ann, exact, k=10).collect()
+        assert min(r.recall_at_k for r in rows) >= 0.5
+
+    def test_multiprobe2_supersets_multiprobe1(self, spark):
+        from serverless_data_lake_spark.operators.similarity import (
+            lsh_bucketed_topk,
+        )
+        emb, queries, _ = self._exact_and_queries(spark)
+        got1 = {
+            (r.query_id, r.vec_id)
+            for r in lsh_bucketed_topk(
+                emb, queries, dim=64, id_col="vec_id", k=500,
+                planes=4, multiprobe=1,
+            ).collect()
+        }
+        got2 = {
+            (r.query_id, r.vec_id)
+            for r in lsh_bucketed_topk(
+                emb, queries, dim=64, id_col="vec_id", k=500,
+                planes=4, multiprobe=2,
+            ).collect()
+        }
+        assert got1 <= got2 and len(got2) > len(got1)
+
+
 class TestNumpyPairsKernel:
     def test_bitwise_equal_to_sql_path(self, spark):
         from serverless_data_lake_spark.operators.similarity import (

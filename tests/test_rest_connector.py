@@ -177,6 +177,40 @@ class TestPagination:
         pages = list(paginate(BASE, self.spec(), {}, f))
         assert pages == [[{"id": 1}]]
 
+    def test_no_fallback_after_pages_yielded(self):
+        """A paginator failure AFTER pages were yielded must raise,
+        not fall back to single_page — the fallback would re-fetch
+        page 1 and duplicate already-ingested records in bronze
+        (r1 advice)."""
+        from serverless_data_lake_spark.sources.rest import _PaginatorError
+
+        f = fake_server({
+            f"{BASE}/items": lambda p: {"results": [{"id": 1}],
+                                        "next": f"{BASE}/items"},
+        })
+        spec = self.spec(
+            pagination={"type": "json_link", "max_pages": 2}
+        )
+        got = []
+        with pytest.raises(_PaginatorError):
+            for page in paginate(BASE, spec, {}, f):
+                got.append(page)
+        # Pages seen before the failure were yielded exactly once.
+        assert got and all(p == [{"id": 1}] for p in got)
+
+    def test_fallback_when_nothing_yielded(self):
+        """Unknown strategy fails before any yield → single_page
+        fallback still applies (reference behavior)."""
+        f = fake_server({f"{BASE}/items": lambda p: [{"id": 7}]})
+        spec = self.spec()
+        spec.pagination.type = "page_number"
+        # Sabotage: page_number against a server that returns a plain
+        # list forever would loop to max_pages; use max_pages=0 so it
+        # raises before yielding.
+        spec.pagination.max_pages = 0
+        pages = list(paginate(BASE, spec, {}, f))
+        assert pages == [[{"id": 7}]]
+
 
 class TestFuzzyDedup:
     def test_plural_normalization(self):

@@ -144,6 +144,106 @@ class TestDialect:
         assert len(rows) == 1 and rows[0].id == 1
 
 
+class TestLiteralMasking:
+    """Regex rewrites must never mutate string literals (r1 advice:
+    'epoch(x)' and 'sales.silver.orders' inside literals were
+    silently rewritten)."""
+
+    def test_rename_skips_literals(self):
+        out = transpile("SELECT 'epoch(x)' AS lit, epoch(ts) AS e FROM t")
+        assert "'epoch(x)'" in out and "unix_timestamp(ts)" in out
+
+    def test_three_part_skips_literals(self):
+        out = rewrite_query("SELECT 'a.silver.b' AS lit FROM sales.silver.orders")
+        assert "'a.silver.b'" in out and "sales_silver.orders" in out
+
+    def test_find_refs_skips_literals(self):
+        assert find_table_refs("SELECT 'a.bronze.b' FROM x.silver.y") == [
+            ("x", "silver", "y")
+        ]
+
+    def test_escaped_quotes_preserved(self):
+        sql = "SELECT 'it''s epoch_ms(1)' AS lit FROM t"
+        assert transpile(sql) == sql
+
+
+class TestDuckDBShims:
+    def test_json_extract_string(self):
+        assert transpile("SELECT json_extract_string(p, '$.k') FROM t") == (
+            "SELECT get_json_object(p, '$.k') FROM t"
+        )
+
+    def test_unnest_lateral_comma(self):
+        out = transpile(
+            "SELECT t.id, u.val FROM my_table t, UNNEST(t.arr) AS u(val)"
+        )
+        assert "LATERAL VIEW explode(t.arr) u AS val" in out
+        assert "UNNEST" not in out.upper() or "explode" in out
+
+    def test_unnest_lateral_cross_join(self):
+        out = transpile(
+            "SELECT t.id, u.val FROM t CROSS JOIN "
+            "UNNEST(string_split(t.s, ',')) AS u(val) WHERE u.val <> ''"
+        )
+        assert "LATERAL VIEW explode(split(t.s, ',')) u AS val" in out
+        assert "WHERE u.val <> ''" in out
+
+    def test_unnest_select_position(self, spark):
+        rows = spark.sql(
+            transpile("SELECT unnest(array(1, 2, 3)) AS x")
+        ).collect()
+        assert sorted(r.x for r in rows) == [1, 2, 3]
+
+    def test_unnest_lateral_runs(self, spark):
+        rows = spark.sql(
+            transpile(
+                "SELECT t.id, u.val FROM (SELECT 1 AS id, array('a','b') AS arr) t, "
+                "UNNEST(t.arr) AS u(val)"
+            )
+        ).collect()
+        assert sorted((r.id, r.val) for r in rows) == [(1, "a"), (1, "b")]
+
+    def test_from_json_array_descriptor(self):
+        out = transpile("SELECT from_json(c, '[\"VARCHAR\"]') FROM t")
+        assert "'array<string>'" in out
+
+    def test_from_json_struct_descriptor(self):
+        out = transpile(
+            'SELECT from_json(j, \'{"k": "INTEGER", "v": "VARCHAR"}\').k FROM t'
+        )
+        assert "'struct<k:int,v:string>'" in out
+
+    def test_from_json_spark_ddl_untouched(self):
+        sql = "SELECT from_json(props, 'k INT').k FROM events"
+        assert transpile(sql) == sql
+
+    def test_from_json_nested_descriptor(self):
+        out = transpile('SELECT from_json(j, \'{"xs": ["DOUBLE"]}\') FROM t')
+        assert "'struct<xs:array<double>>'" in out
+
+    def test_star_replace_single(self, spark):
+        rows = spark.sql(
+            transpile(
+                "SELECT * REPLACE (x * 2 AS x) FROM (SELECT 3 AS x, 'a' AS y)"
+            )
+        ).collect()
+        assert rows[0].x == 6 and rows[0].y == "a"
+
+    def test_star_replace_multi(self, spark):
+        rows = spark.sql(
+            transpile(
+                "SELECT * REPLACE (x + 1 AS x, upper(y) AS y) "
+                "FROM (SELECT 1 AS x, 'a' AS y, 9 AS z)"
+            )
+        ).collect()
+        assert (rows[0].x, rows[0].y, rows[0].z) == (2, "A", 9)
+
+    def test_replace_keyword_in_function_untouched(self):
+        # replace(...) the string function must survive.
+        sql = "SELECT replace(s, 'a', 'b') FROM t"
+        assert transpile(sql) == sql
+
+
 class TestQualifyNested:
     def test_qualify_inside_cte(self, spark):
         from serverless_data_lake_spark.plans.dialect import transpile

@@ -66,6 +66,102 @@ class TestBatch:
         assert sessionize_batch(df, gap_seconds=1800).count() == 1
 
 
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing _session_fn."""
+
+    def __init__(self, value=None, watermark_ms=0, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.timeout_set = None
+        self._wm = watermark_ms
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value = None
+
+    def setTimeoutTimestamp(self, ms):
+        if ms <= self._wm:
+            raise AssertionError(
+                f"timeout {ms} <= watermark {self._wm}: Spark would abort"
+            )
+        self.timeout_set = ms
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+
+class TestStateFn:
+    """Out-of-order/late-event semantics of the stateful function
+    (r1 advice): late events extend start_ms; events older than the
+    open session by more than the gap form their own session; the
+    timeout timestamp never lands at/below the watermark."""
+
+    def _run(self, fn, user, events_ms, state):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "user_id": [user] * len(events_ms),
+                "ts": [pd.Timestamp(t, unit="ms") for t in events_ms],
+                "value": [1.0] * len(events_ms),
+            }
+        )
+        return list(fn((user,), iter([pdf]), state))
+
+    def test_late_event_extends_session_start(self):
+        from serverless_data_lake_spark.streaming.sessionize import _session_fn
+
+        fn = _session_fn(gap_seconds=60)
+        # Open session [100_000, 100_000]; late event at 70_000 is
+        # within the gap → merges AND start_ms moves back.
+        state = _FakeState(value=(100_000, 100_000, 1, 1.0))
+        out = self._run(fn, 1, [70_000], state)
+        assert out == []  # nothing closed
+        assert state.get == (70_000, 100_000, 2, 2.0)
+
+    def test_event_before_session_beyond_gap_closes_own_session(self):
+        from serverless_data_lake_spark.streaming.sessionize import _session_fn
+
+        fn = _session_fn(gap_seconds=60)
+        state = _FakeState(value=(500_000, 500_000, 1, 1.0))
+        out = self._run(fn, 1, [100_000, 110_000], state)
+        # The two old events merge into one bygone session, emitted
+        # closed; the open session is untouched.
+        assert len(out) == 1
+        row = out[0].iloc[0]
+        assert int(row.n_events) == 2
+        assert state.get == (500_000, 500_000, 1, 1.0)
+
+    def test_timeout_clamped_above_watermark(self):
+        from serverless_data_lake_spark.streaming.sessionize import _session_fn
+
+        fn = _session_fn(gap_seconds=60)
+        # Watermark far past session end + gap: raw timeout would be
+        # 160_000 <= watermark → must clamp (FakeState asserts).
+        state = _FakeState(watermark_ms=10_000_000)
+        self._run(fn, 1, [100_000], state)
+        assert state.timeout_set == 10_000_001
+
+    def test_in_order_batch_splits_on_gap(self):
+        from serverless_data_lake_spark.streaming.sessionize import _session_fn
+
+        fn = _session_fn(gap_seconds=60)
+        state = _FakeState()
+        out = self._run(fn, 1, [0, 10_000, 200_000], state)
+        assert len(out) == 1  # first session closed
+        assert state.get[0] == 200_000  # second stays open
+
+
 class TestStream:
     def test_stream_agrees_with_batch(self, spark, tmp_path):
         src = tmp_path / "events_in"
