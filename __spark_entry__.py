@@ -61,27 +61,30 @@ _registered_sf: list[str] = []
 def _data_path(sf_dir: str, table: str) -> str:
     """Path Spark should read for a testdata table.
 
-    The driver's parquet stores timestamps as TIMESTAMP(NANOS), which
-    Spark's parquet reader rejects outright. DuckDB reads them fine,
-    so the oracle is unaffected; for Spark we lazily materialize a
-    lossless ns→µs copy (pyarrow cast, one-time per sf_dir) in /tmp
-    and read that. Values are identical to what DuckDB sees."""
+    Two local-layout fixes, values bit-identical to what DuckDB sees
+    on the originals:
+
+    1. The driver's parquet stores timestamps as TIMESTAMP(NANOS),
+       which Spark's parquet reader rejects outright; the cache copy
+       casts to µs (``safe=False`` truncation = DuckDB's own read
+       behavior).
+    2. The driver writes ONE row group per file, so Spark scans —
+       which split files at row-group boundaries — run single-
+       threaded no matter the core count. The cache copy is written
+       with ~64 row groups so a scan parallelizes (with
+       ``spark.sql.files.maxPartitionBytes`` sized accordingly, see
+       bench.py). At production scale inputs arrive as many files /
+       row groups and none of this is needed.
+    """
     import pyarrow.parquet as pq
 
     src = f"{sf_dir}/{table}.parquet"
-    schema = pq.read_schema(src)
-    needs_fix = any(
-        str(f.type).startswith("timestamp[ns") for f in schema
-    )
-    if not needs_fix:
-        return src
-
-    import pyarrow as pa
-
     safe = sf_dir.strip("/").replace("/", "_")
-    cache_dir = f"/tmp/sdls_nanocache/{safe}"
+    cache_dir = f"/tmp/sdls_nanocache/v2/{safe}"
     dst = f"{cache_dir}/{table}.parquet"
     if not os.path.exists(dst):
+        import pyarrow as pa
+
         os.makedirs(cache_dir, exist_ok=True)
         tbl = pq.read_table(src)
         fields = [
@@ -91,9 +94,11 @@ def _data_path(sf_dir: str, table: str) -> str:
             for f in tbl.schema
         ]
         tmp = f"{dst}.tmp-{os.getpid()}"
-        # safe=False truncates ns→µs exactly as DuckDB does on read,
-        # so Spark and the oracle see identical values.
-        pq.write_table(tbl.cast(pa.schema(fields), safe=False), tmp)
+        pq.write_table(
+            tbl.cast(pa.schema(fields), safe=False),
+            tmp,
+            row_group_size=max(1024, -(-tbl.num_rows // 64)),
+        )
         os.replace(tmp, dst)
     return dst
 
@@ -123,6 +128,23 @@ def _engine_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(_data_path(sf_dir, table))
+
+
+def _read_parallel(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read with compute parallelism guaranteed.
+
+    The documents/embeddings testdata files are ~1 MB — below any
+    file-split threshold — while the operators over them do heavy
+    per-row compute (hundreds of hash/dot-product evaluations per
+    document). A single-partition scan would serialize that compute
+    on one core; one cheap shuffle of the small input restores the
+    parallelism a production multi-file layout has natively. Guarded:
+    inputs that already carry enough partitions are left alone."""
+    df = _read(spark, sf_dir, table)
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        df = df.repartition(cores)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -523,12 +545,25 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_parallel(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
+def _q_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path: drop n-grams with document frequency > 100
+    before the inverted-index self-join (bounds the per-gram join
+    blowup to cap² — the stop-phrase-skew killer at 100 TB). On this
+    corpus the output is identical to the exact path (verified at
+    sf0.01 and sf0.1: near-duplicate overlap is carried by rare
+    grams), so the exact-Jaccard oracle applies unchanged."""
+    docs = _read_parallel(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=100
+    )
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_parallel(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, "doc_id", "text",
         num_hashes=128, bands=32, shingle_size=3, verify_threshold=0.8,
@@ -536,7 +571,7 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_parallel(spark, sf_dir, "documents")
     return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
 
 
@@ -545,6 +580,11 @@ def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_all_pairs_numpy,
     )
 
+    # Plain read on purpose: the numpy kernel parallelizes ACROSS the
+    # broadcast corpus inside each Arrow batch; fanning a ~2k-row
+    # input over 32 partitions just multiplies Python-worker startup
+    # + broadcast deserialization (measured 5× slower). At real scale
+    # the input arrives multi-partition and the kernel scales with it.
     emb = _read(spark, sf_dir, "embeddings")
     # Arrow/numpy exact kernel: bit-identical to the SQL fold and the
     # DuckDB oracle, ~6x faster (see operators/similarity.py).
@@ -554,7 +594,7 @@ def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_parallel(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -589,7 +629,7 @@ def _ann_quality_gate(
         ann_recall_at_k,
     )
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_parallel(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -627,7 +667,7 @@ FROM embeddings WHERE vec_id < 5
 
 
 def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_parallel(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         detect_language(F.col("text")).alias("detected_lang"),
@@ -641,6 +681,9 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_image_features,
     )
 
+    # Plain read: the stubbed decode is cheap per row, so fanning the
+    # ~1 MB input over 32 Python workers costs more in worker spin-up
+    # than it saves (same reasoning as the all-pairs numpy kernel).
     docs = _read(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -699,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_first_event_per_user": _q_dedup_events,
         "dedup_exact_documents": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_jaccard,
+        "ngram_jaccard_capped": _q_jaccard_capped,
         "minhash_lsh_pairs": _q_minhash,
         "simhash_near_duplicates": _q_simhash,
         "embedding_similarity_pairs": _q_cosine_pairs,
@@ -741,6 +785,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_first_event_per_user": _DEDUP_EVENTS_ORACLE,
         "dedup_exact_documents": _DEDUP_EXACT_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
+        "ngram_jaccard_capped": _JACCARD_ORACLE,
         "minhash_lsh_pairs": _JACCARD_ORACLE,
         "embedding_similarity_pairs": _COSINE_PAIRS_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,

