@@ -671,9 +671,117 @@ def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         detect_language(F.col("text")).alias("detected_lang"),
-        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        # raw double, no rounding: the oracle replays the identical
+        # arithmetic, so the values are bit-equal as-is.
+        quality_score(F.col("text")).alias("quality"),
         token_count(F.col("text"), "bpe").cast("bigint").alias("bpe_tokens"),
     )
+
+
+def _text_analysis_oracle() -> str:
+    """DuckDB SQL replaying detect_language / quality_score /
+    token_count('bpe') arithmetic exactly (same stopword lexicon, same
+    regexes, same double-precision operation order), generated from
+    the operator's own constants so the two can never drift."""
+    from serverless_data_lake_spark.operators.text import (
+        _BPE_TOKEN_RE,
+        _STOPWORDS,
+    )
+
+    def arr(words: list[str]) -> str:
+        inner = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+        return f"[{inner}]"
+
+    langs = list(_STOPWORDS)
+    scores = ",\n         ".join(
+        f"len(list_intersect(toks_d, {arr(_STOPWORDS[lang])})) AS s_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    lang_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN s_{lang} > 0 AND s_{lang} = __best THEN '{lang}'"
+            for lang in langs
+        )
+        + " ELSE 'und' END"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), sc AS (
+  SELECT doc_id, text, tk, list_distinct(tk) AS toks_d FROM toks
+), scored AS (
+  SELECT doc_id, text, tk,
+         {scores}
+  FROM sc
+), q AS (
+  SELECT doc_id, text, tk, {best} AS __best,
+         s_{langs[0]}{"".join(f", s_{x}" for x in langs[1:])},
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(tk) AS DOUBLE) AS n_toks,
+         CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) AS alpha
+  FROM scored
+)
+SELECT doc_id,
+       {lang_case} AS detected_lang,
+       (least(n_chars / 200.0, 1.0)
+        + CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END
+        + CASE WHEN n_toks > 0
+               THEN least(CAST(__best AS DOUBLE) * 4 / n_toks, 1.0)
+               ELSE 0.0 END
+        + CASE WHEN n_toks > 0
+                    AND (n_chars - n_toks + 1) / n_toks >= 2.5
+                    AND (n_chars - n_toks + 1) / n_toks <= 9.0
+               THEN 1.0 ELSE 0.3 END) / 4.0 AS quality,
+       CAST(len(list_filter(regexp_extract_all(text, '{_BPE_TOKEN_RE}', 0),
+                            x -> x <> '')) AS BIGINT) AS bpe_tokens
+FROM q
+"""
+
+
+def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media profiling — the binary column must never
+    be read (parquet column pruning; asserted by plan tests). The
+    mime type is synthesized from doc_id so the groupBy is
+    non-trivial."""
+    from serverless_data_lake_spark.operators.multimodal import (
+        media_metadata_stats,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("mime_type"),
+        F.col("n_chars").cast("long").alias("n_bytes"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    stats = media_metadata_stats(media)
+    return stats.select(
+        "mime_type",
+        F.col("n").cast("bigint").alias("n_media"),
+        F.col("total_bytes").cast("bigint").alias("total_bytes"),
+        F.col("avg_bytes").cast("double").alias("avg_bytes"),
+    )
+
+
+_MULTIMODAL_META_ORACLE = """
+SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png'
+            WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime_type,
+       COUNT(*) AS n_media,
+       CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_bytes
+FROM documents
+GROUP BY 1
+"""
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -751,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "text_analysis": _q_text_analysis,
         "multimodal_features": _q_multimodal,
+        "multimodal_metadata_stats": _q_multimodal_metadata,
     }
     return q
 
@@ -791,6 +900,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _COSINE_TOPK_ORACLE,
         "ann_lsh_topk": _ANN_GATE_ORACLE,
         "ann_ivf_topk": _ANN_GATE_ORACLE,
+        "text_analysis": _text_analysis_oracle(),
+        "multimodal_metadata_stats": _MULTIMODAL_META_ORACLE,
         # rows-only (no SQL-expressible oracle): simhash_near_duplicates,
         # multimodal_features — justifications in docs/oracles.md
     }

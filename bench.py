@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "text_analysis",
     "multimodal_features",
+    "multimodal_metadata_stats",
 ]
 
 

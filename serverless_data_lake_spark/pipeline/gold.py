@@ -30,6 +30,7 @@ import time
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from serverless_data_lake_spark.catalog import TableStore
 from serverless_data_lake_spark.config import LakeConfig
@@ -158,7 +159,16 @@ class GoldRunner:
         started = time.time()
         database = self.config.database_name(job.domain, "gold")
         sql = transpile(rewrite_query(job.query))
-        df = self.spark.sql(sql)
+        # ``rows`` = rows produced by THIS run, observed on the write
+        # pass itself. The r1 implementation re-counted the whole
+        # table after every run — a second full-table scan per job,
+        # i.e. a second job at 100 TB.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = self.spark.sql(sql).observe(
+            obs, F.count(F.lit(1)).alias("rows")
+        )
 
         if job.write_mode == "overwrite" or not self.store.table_exists(
             database, job.name
@@ -174,7 +184,7 @@ class GoldRunner:
         else:
             raise ValueError(f"unknown write_mode: {job.write_mode}")
 
-        rows = self.store.read(database, job.name).count()
+        rows = int(obs.get["rows"])
         seconds = time.time() - started
         self.registry.save_execution_status(
             job.domain,

@@ -139,6 +139,15 @@ class SilverProcessor:
     ) -> SilverResult:
         schema = self.registry.get(domain, endpoint)
         primary_keys = schema.primary_keys if schema else []
+
+        # The batch is materialized ONCE (persist + the rows_in count
+        # action); the dedup window, the merge's two scans of the
+        # batch, and the rows_written count all read the cache. The
+        # r1 implementation re-ran the JSON scan for every consumer —
+        # three scans and two window passes per batch. A silver batch
+        # is one bronze object (bounded), so caching it is the
+        # standard foreachBatch pattern, not a table-sized persist.
+        df = df.persist()
         rows_in = df.count()
 
         database = self.config.database_name(domain, "silver")
@@ -147,16 +156,20 @@ class SilverProcessor:
                 [F.col("__arrival").desc()] if "__arrival" in df.columns else []
             ) + [F.col("_insert_date").asc()]
             deduped = keep_one_ordered(df, primary_keys, order)
-            cleaned = deduped.drop(*METADATA_COLUMNS, "__arrival")
+            cleaned = deduped.drop(*METADATA_COLUMNS, "__arrival").persist()
+            rows_written = cleaned.count()
             self.store.merge(database, endpoint, cleaned, primary_keys)
             mode = "merge"
         else:
             cleaned = df.drop(*METADATA_COLUMNS, "__arrival")
+            rows_written = rows_in
             self.store.append(database, endpoint, cleaned)
             mode = "append"
 
         self._register_silver(domain, endpoint, cleaned, primary_keys)
-        rows_written = cleaned.count()
+        df.unpersist()
+        if mode == "merge":
+            cleaned.unpersist()
         return SilverResult(domain, endpoint, rows_in, rows_written, mode)
 
     # ------------------------------------------------------------------

@@ -47,12 +47,26 @@ _JOB_STATUS_RE = re.compile(r"^/transform/jobs/([\w-]+)/([\w-]+)/status$")
 
 class LakeServer:
     """Serves one Lake over HTTP. ``start()`` binds an ephemeral (or
-    given) port and returns it; ``stop()`` shuts down."""
+    given) port and returns it; ``stop()`` shuts down.
 
-    def __init__(self, lake, host: str = "127.0.0.1", port: int = 0) -> None:
+    With ``api_key`` set, every request must carry a matching
+    ``x-api-key`` header (constant-time compare) — the reference's
+    API-gateway authorizer contract
+    (``lambdas/authorizer/main.py:41-59``: lowercase header, SIMPLE
+    allow/deny). Unset = open, matching the reference's default local
+    stack."""
+
+    def __init__(
+        self,
+        lake,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        api_key: str | None = None,
+    ) -> None:
         self.lake = lake
         self.host = host
         self.port = port
+        self.api_key = api_key
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -64,6 +78,17 @@ class LakeServer:
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *args: Any) -> None:  # noqa: D102
                 pass
+
+            def _authorized(self) -> bool:
+                if outer.api_key is None:
+                    return True
+                import hmac
+
+                supplied = (self.headers.get("x-api-key") or "").strip()
+                if not supplied:
+                    return False
+                return hmac.compare_digest(supplied, outer.api_key)
+
 
             # -- helpers -------------------------------------------
             def _send(self, code: int, payload: dict) -> None:
@@ -82,6 +107,9 @@ class LakeServer:
 
             # -- GET -----------------------------------------------
             def do_GET(self) -> None:  # noqa: N802
+                if not self._authorized():
+                    self._send(401, {"error": "unauthorized"})
+                    return
                 url = urlparse(self.path)
                 try:
                     if url.path == "/consumption/query":
@@ -117,6 +145,9 @@ class LakeServer:
 
             # -- POST ----------------------------------------------
             def do_POST(self) -> None:  # noqa: N802
+                if not self._authorized():
+                    self._send(401, {"error": "unauthorized"})
+                    return
                 url = urlparse(self.path)
                 try:
                     body = self._body()

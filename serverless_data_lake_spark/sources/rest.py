@@ -228,6 +228,11 @@ class _PaginatorError(RuntimeError):
     pass
 
 
+class _PrimaryKeyUnboundError(RuntimeError):
+    """Declared primary key column absent from the fetched records
+    (the dlt ``UnboundColumnException`` analogue)."""
+
+
 def _paginate_with(
     strategy: str,
     url: str,
@@ -423,6 +428,20 @@ class RestSource:
         raise RuntimeError("unreachable")
 
     def run_endpoint(self, plan: IngestionPlan, spec: EndpointSpec) -> PullResult:
+        """Pull one endpoint. A declared primary key that does not
+        exist in the fetched data triggers ONE retry without the key
+        (reference ``runner.py:956-970``: dlt's UnboundColumnException
+        → strip ``primary_key`` from every resource and re-run). The
+        unbound key is detected on the first page, before anything is
+        ingested, so the retry re-pulls from a clean slate."""
+        try:
+            return self._run_endpoint(plan, spec, drop_pk=False)
+        except _PrimaryKeyUnboundError:
+            return self._run_endpoint(plan, spec, drop_pk=True)
+
+    def _run_endpoint(
+        self, plan: IngestionPlan, spec: EndpointSpec, drop_pk: bool
+    ) -> PullResult:
         from serverless_data_lake_spark.schema.inference import (
             detect_primary_key,
             infer_schema_from_payload,
@@ -441,11 +460,17 @@ class RestSource:
                 continue
             if not registered:
                 schema = infer_schema_from_payload(plan.domain, spec.name, page[0])
-                pk = (
-                    to_snake_case(spec.primary_key)
-                    if spec.primary_key
-                    else detect_primary_key(page, spec.name)
-                )
+                if drop_pk:
+                    pk = None
+                elif spec.primary_key:
+                    pk = to_snake_case(spec.primary_key)
+                    if pk not in {c.name for c in schema.columns}:
+                        raise _PrimaryKeyUnboundError(
+                            f"declared primary key '{spec.primary_key}' not "
+                            f"present in {spec.name} records"
+                        )
+                else:
+                    pk = detect_primary_key(page, spec.name)
                 for col in schema.columns:
                     col.primary_key = col.name == pk
                 self.lake.registry.register(schema)

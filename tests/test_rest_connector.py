@@ -285,6 +285,29 @@ class TestPlanToLake:
         res = lake.query("SELECT COUNT(*) AS n FROM crm.silver.users")
         assert res.rows[0]["n"] == 60
 
+    def test_pk_drop_retry_on_unbound_key(self, lake):
+        """A declared primary key missing from the data retries the
+        endpoint once WITHOUT the key (reference runner.py:956-970,
+        dlt UnboundColumnException handling); records are ingested
+        exactly once and the registered schema carries no PK."""
+        f = fake_server({f"{BASE}/users": lambda p: [
+            {"name": "a", "score": 1.0}, {"name": "b", "score": 2.0},
+        ]})
+        plan = IngestionPlan(
+            domain="crm", base_url=BASE,
+            endpoints=[EndpointSpec(
+                name="users", path="/users",
+                pagination=PaginationConfig(type="single_page"),
+                primary_key="user_uuid",  # not in the records
+            )],
+        )
+        results = RestSource(lake, fetcher=f, sleep=lambda s: None).run_plan(plan)
+        assert results[0].records == 2 and results[0].errors == 0
+        schema = lake.registry.get("crm", "users")
+        assert schema.primary_keys == []
+        # retry re-fetched the page (once before, once after the drop)
+        assert len(f.calls) == 2
+
     def test_failed_endpoint_raises_after_all(self, lake):
         f = fake_server({f"{BASE}/good": lambda p: [{"id": 1}]})
         plan = IngestionPlan(

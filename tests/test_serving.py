@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import urllib.error
 import urllib.request
 from urllib.parse import quote
 
@@ -178,3 +179,52 @@ class TestStatusAndListing:
         bronze = [t for t in tables
                   if t["layer"] == "bronze" and t["table"] == "fresh"]
         assert bronze and bronze[0]["columns"][0]["name"] == "id"
+
+
+class TestAuth:
+    """x-api-key gate (reference authorizer/main.py:41-59): with a key
+    configured, requests without/with-wrong key get 401; the right key
+    passes. Unset key = open (reference local default)."""
+
+    @pytest.fixture()
+    def auth_server(self, lake):
+        srv = LakeServer(lake, api_key="sekret")
+        port = srv.start()
+        yield f"http://127.0.0.1:{port}"
+        srv.stop()
+
+    def _get_raw(self, url, headers=None):
+        req = urllib.request.Request(url, headers=headers or {})
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as exc:
+            return exc.code, json.loads(exc.read())
+
+    def test_missing_key_401(self, auth_server):
+        status, body = self._get_raw(f"{auth_server}/consumption/tables")
+        assert status == 401 and body["error"] == "unauthorized"
+
+    def test_wrong_key_401(self, auth_server):
+        status, _ = self._get_raw(
+            f"{auth_server}/consumption/tables", {"x-api-key": "nope"}
+        )
+        assert status == 401
+
+    def test_right_key_ok(self, auth_server):
+        status, body = self._get_raw(
+            f"{auth_server}/consumption/tables", {"x-api-key": "sekret"}
+        )
+        assert status == 200 and "tables" in body
+
+    def test_post_requires_key(self, auth_server):
+        req = urllib.request.Request(
+            f"{auth_server}/process/sales/orders", data=b"{}",
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                status = resp.status
+        except urllib.error.HTTPError as exc:
+            status = exc.code
+        assert status == 401
