@@ -160,12 +160,16 @@ class TableStore:
     # ------------------------------------------------------------------
     # Metadata
     # ------------------------------------------------------------------
-    def _write_meta(self, info: TableInfo) -> None:
+    def _write_meta(
+        self, info: TableInfo, file_stats: dict | None = None
+    ) -> None:
         meta = {
             "schema": info.schema.json(),
             "primary_keys": info.primary_keys,
             "updated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        if file_stats is not None:
+            meta["file_stats"] = file_stats
         fs = self._fs(info.location)
         out = fs.create(self._hpath(f"{info.location}/{_META_FILE}"), True)
         out.write(bytearray(json.dumps(meta).encode()))
@@ -186,6 +190,70 @@ class TableStore:
         finally:
             stream.close()
         return json.loads(data.decode())
+
+    # ------------------------------------------------------------------
+    # Zone maps: per-data-file [min, max] of the lead primary key,
+    # persisted in the table meta and maintained incrementally by
+    # every write. merge() uses them to prune files whose key range
+    # cannot overlap the incoming batch BEFORE its affected-file
+    # scan — the Iceberg/Delta data-skipping idea, so merge I/O is
+    # O(overlapping files), not O(table). Only numeric keys are
+    # tracked (string ordering differs between JVM UTF8 bytes and
+    # Python codepoints; a file without stats is simply never pruned,
+    # which is always safe).
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _statable(v) -> bool:
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+    def _collect_file_stats(
+        self, files: list[str], key: str, schema: StructType
+    ) -> dict[str, list]:
+        """``{file_basename: [min, max]}`` for the given data files.
+        Basenames are stable across the staging→location rename."""
+        if not files or not any(f.name == key for f in schema.fields):
+            return {}
+        rows = (
+            self.spark.read.schema(schema)
+            .parquet(*files)
+            .select(
+                F.col(key).alias("__k"),
+                F.col("_metadata.file_path").alias("__f"),
+            )
+            .groupBy("__f")
+            .agg(F.min("__k").alias("mn"), F.max("__k").alias("mx"))
+            .collect()
+        )
+        return {
+            r["__f"].rsplit("/", 1)[-1]: [r["mn"], r["mx"]]
+            for r in rows
+            if self._statable(r["mn"]) and self._statable(r["mx"])
+        }
+
+    def _load_file_stats(self, location: str) -> dict[str, list]:
+        meta = self._read_meta(location)
+        return (meta or {}).get("file_stats") or {}
+
+    def _prune_by_stats(
+        self,
+        all_files: list[str],
+        stats: dict[str, list],
+        batch_min,
+        batch_max,
+    ) -> list[str]:
+        """Files that may contain keys within [batch_min, batch_max]:
+        stat-less files always qualify; ranged files qualify unless
+        disjoint from the batch range."""
+        if not stats or not (
+            self._statable(batch_min) and self._statable(batch_max)
+        ):
+            return all_files
+        out = []
+        for f in all_files:
+            s = stats.get(f.rsplit("/", 1)[-1])
+            if s is None or not (s[1] < batch_min or s[0] > batch_max):
+                out.append(f)
+        return out
 
     # ------------------------------------------------------------------
     # Catalog registration
@@ -301,8 +369,16 @@ class TableStore:
         staging = f"{location}__stage_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(staging)
         info = TableInfo(database, table, location, df.schema, primary_keys or [])
+        stats = (
+            self._collect_file_stats(
+                self._list_data_files(staging), primary_keys[0], df.schema
+            )
+            if primary_keys
+            else {}
+        )
         self._write_meta(
-            TableInfo(database, table, staging, df.schema, primary_keys or [])
+            TableInfo(database, table, staging, df.schema, primary_keys or []),
+            file_stats=stats,
         )
         old = f"{location}__old_{uuid.uuid4().hex[:8]}"
         if self._exists(location):
@@ -329,12 +405,23 @@ class TableStore:
             return self.create_or_replace(database, table, df, primary_keys)
         merged_schema = self._merge_schemas(existing.schema, df.schema)
         df = self._conform(df, merged_schema)
+        before = set(self._list_data_files(existing.location))
         df.write.mode("append").parquet(existing.location)
         info = TableInfo(
             database, table, existing.location, merged_schema,
             primary_keys if primary_keys is not None else existing.primary_keys,
         )
-        self._write_meta(info)
+        stats = self._load_file_stats(existing.location)
+        if info.primary_keys:
+            new_files = [
+                f
+                for f in self._list_data_files(existing.location)
+                if f not in before
+            ]
+            stats = stats | self._collect_file_stats(
+                new_files, info.primary_keys[0], merged_schema
+            )
+        self._write_meta(info, file_stats=stats)
         if merged_schema != existing.schema:
             self._register(info)
         else:
@@ -385,18 +472,37 @@ class TableStore:
         source = self._conform(source, merged_schema)
         location = existing.location
 
-        src_keys = source.select(*keys).dropDuplicates(keys)
+        # The deduped key set is tiny (keys only) and consumed three
+        # times (batch bounds, affected semi-join, survivor anti-join)
+        # — persist it so the source plan runs once for all three.
+        src_keys = source.select(*keys).dropDuplicates(keys).persist()
 
-        affected = (
-            self.spark.read.schema(merged_schema)
-            .parquet(location)
-            .select(*keys, F.col("_metadata.file_path").alias("__file"))
-            .join(src_keys, on=keys, how="left_semi")
-            .select("__file")
-            .distinct()
-            .collect()
-        )
-        affected_files = [r["__file"] for r in affected]
+        # Zone-map pruning: only files whose lead-key range can
+        # overlap the batch participate in the affected-file scan.
+        stats = self._load_file_stats(location)
+        all_files = self._list_data_files(location)
+        candidates = all_files
+        if stats:
+            bounds = src_keys.agg(
+                F.min(keys[0]).alias("mn"), F.max(keys[0]).alias("mx")
+            ).first()
+            candidates = self._prune_by_stats(
+                all_files, stats, bounds["mn"], bounds["mx"]
+            )
+
+        if candidates:
+            affected = (
+                self.spark.read.schema(merged_schema)
+                .parquet(*candidates)
+                .select(*keys, F.col("_metadata.file_path").alias("__file"))
+                .join(src_keys, on=keys, how="left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            )
+            affected_files = [r["__file"] for r in affected]
+        else:
+            affected_files = []
 
         staging = f"{location}__stage_{uuid.uuid4().hex[:8]}"
         if affected_files:
@@ -410,11 +516,20 @@ class TableStore:
             out = source
         out.write.mode("overwrite").parquet(staging)
 
+        new_stats = self._collect_file_stats(
+            self._list_data_files(staging), keys[0], merged_schema
+        )
+        deleted = {f.rsplit("/", 1)[-1] for f in affected_files}
+        stats = {
+            b: v for b, v in stats.items() if b not in deleted
+        } | new_stats
+        src_keys.unpersist()
+
         self._write_pending(location, staging, affected_files)
         self._apply_pending(location)
 
         info = TableInfo(database, table, location, merged_schema, keys)
-        self._write_meta(info)
+        self._write_meta(info, file_stats=stats)
         if merged_schema != existing.schema:
             self._register(info)
         else:
@@ -480,8 +595,19 @@ class TableStore:
             .write.mode("overwrite")
             .parquet(staging)
         )
+        stats = self._load_file_stats(info.location)
+        if info.primary_keys:
+            removed = {f.rsplit("/", 1)[-1] for f in small}
+            stats = {
+                b: v for b, v in stats.items() if b not in removed
+            } | self._collect_file_stats(
+                self._list_data_files(staging),
+                info.primary_keys[0],
+                info.schema,
+            )
         self._write_pending(info.location, staging, small)
         self._apply_pending(info.location)
+        self._write_meta(info, file_stats=stats)
         self.spark.sql(f"REFRESH TABLE `{database}`.`{table}`")
         return len(small)
 

@@ -201,3 +201,88 @@ class TestCommitRecovery:
         )
         names = {i.name for i in store.register_all()}
         assert names == {"t"}
+
+
+class TestZoneMaps:
+    """Per-file lead-key min/max stats: maintained by every write,
+    consumed by merge to prune non-overlapping files before the
+    affected-file scan (data skipping a la Iceberg/Delta)."""
+
+    def _two_range_table(self, spark, store):
+        lo = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("lo").alias("v")
+        ).coalesce(1)
+        hi = spark.range(10_000, 10_100).select(
+            F.col("id").alias("k"), F.lit("hi").alias("v")
+        ).coalesce(1)
+        store.create_or_replace("db", "t", lo, ["k"])
+        store.append("db", "t", hi)
+        return store.info("db", "t")
+
+    def test_stats_written_and_updated(self, spark, store):
+        info = self._two_range_table(spark, store)
+        stats = store._load_file_stats(info.location)
+        files = store._list_data_files(info.location)
+        assert len(stats) == len(files) >= 2
+        ranges = sorted(tuple(v) for v in stats.values())
+        assert ranges[0] == (0, 99) and ranges[-1] == (10_000, 10_099)
+
+    def test_merge_prunes_disjoint_files(self, spark, store):
+        info = self._two_range_table(spark, store)
+        before = {
+            f.rsplit("/", 1)[-1] for f in store._list_data_files(info.location)
+        }
+        stats_before = store._load_file_stats(info.location)
+        # Batch touches only the hi range; the lo file's range [0,99]
+        # is disjoint -> pruned before the affected scan.
+        lo_file = next(b for b, v in stats_before.items() if v[1] == 99)
+        updates = spark.createDataFrame([(10_000, "HI")], ["k", "v"])
+        store.merge("db", "t", updates, ["k"])
+        after = {
+            f.rsplit("/", 1)[-1] for f in store._list_data_files(info.location)
+        }
+        assert lo_file in after  # untouched, not rewritten
+        rows = {r.k: r.v for r in store.read("db", "t").collect()}
+        assert rows[10_000] == "HI" and rows[0] == "lo" and len(rows) == 200
+        # stats follow the rewrite: deleted file's entry gone, new
+        # file's entry present, lo entry intact
+        stats_after = store._load_file_stats(info.location)
+        assert stats_after[lo_file] == [0, 99]
+        assert len(stats_after) == len(after)
+
+    def test_prune_by_stats_logic(self, store):
+        stats = {"a": [0, 99], "b": [100, 199], "c": [50, 150]}
+        files = ["/x/a", "/x/b", "/x/c", "/x/unknown"]
+        # batch [120, 130]: a disjoint; b, c overlap; unknown kept
+        kept = store._prune_by_stats(files, stats, 120, 130)
+        assert kept == ["/x/b", "/x/c", "/x/unknown"]
+        # non-numeric bounds -> no pruning
+        assert store._prune_by_stats(files, stats, "x", "y") == files
+
+    def test_merge_against_fully_disjoint_batch_inserts_only(self, spark, store):
+        self._two_range_table(spark, store)
+        batch = spark.createDataFrame([(500, "new")], ["k", "v"])
+        info = store.info("db", "t")
+        before = set(store._list_data_files(info.location))
+        store.merge("db", "t", batch, ["k"])
+        after = set(store._list_data_files(info.location))
+        assert before <= after  # nothing rewritten, pure insert
+        assert store.read("db", "t").count() == 201
+
+    def test_compact_refreshes_stats(self, spark, store):
+        store.create_or_replace(
+            "db", "t",
+            spark.range(5).select(F.col("id").alias("k")).coalesce(1), ["k"],
+        )
+        for i in range(4):
+            store.append(
+                "db", "t",
+                spark.range(100 + i, 101 + i).select(
+                    F.col("id").alias("k")
+                ).coalesce(1),
+            )
+        info = store.info("db", "t")
+        assert store.compact("db", "t") >= 2
+        stats = store._load_file_stats(info.location)
+        files = store._list_data_files(info.location)
+        assert set(stats) == {f.rsplit("/", 1)[-1] for f in files}
