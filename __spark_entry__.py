@@ -427,6 +427,15 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+_JSON_ARROW_SHIM = """
+SELECT event_type,
+       CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(DISTINCT props ->> '$.k') AS n_distinct_k
+FROM tpch.silver.events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 # Non-equi (theta) join beyond the pure cross join: equi key plus a
 # range residual condition.
 _NONEQUI = """
@@ -742,6 +751,51 @@ FROM q
 """
 
 
+def _q_merge_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE path as an oracle-checked entry: materialize a base
+    table, MERGE an overlapping batch (updates + inserts) through
+    TableStore's journalled file-level COW (zone-map pruning active —
+    o_orderkey is numeric), and return the end state. The oracle
+    reproduces the same end state declaratively, so the driver's hash
+    compare certifies upsert semantics, not just read queries
+    (r1 verdict: R13 had no CORRECTNESS entry)."""
+    import shutil
+
+    from serverless_data_lake_spark.catalog import TableStore
+    from serverless_data_lake_spark.config import LakeConfig
+
+    orders = _read(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    batch = orders.filter(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") <= 3000)
+    ).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") * 2).cast("double").alias("o_totalprice"),
+    )
+
+    safe = sf_dir.strip("/").replace("/", "_")
+    root = f"/tmp/sdls_entry_probe/{safe}"
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, LakeConfig(root=root))
+    store.create_or_replace("probe_db", "orders_merge", base, ["o_orderkey"])
+    store.merge("probe_db", "orders_merge", batch, ["o_orderkey"])
+    return store.read("probe_db", "orders_merge").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+_MERGE_ENDSTATE_ORACLE = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders WHERE o_orderkey < 1000
+UNION ALL
+SELECT o_orderkey, o_custkey, CAST(o_totalprice * 2 AS DOUBLE) AS o_totalprice
+FROM orders WHERE o_orderkey >= 1000 AND o_orderkey <= 3000
+"""
+
+
 def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only media profiling — the binary column must never
     be read (parquet column pruning; asserted by plan tests). The
@@ -844,9 +898,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "from_json_unnest": _engine_query(_FROM_JSON_UNNEST),
         "star_replace_orders": _engine_query(_STAR_REPLACE),
         "json_extract_string_shim": _engine_query(_JSON_EXTRACT_SHIM),
+        "json_arrow_shim": _engine_query(_JSON_ARROW_SHIM),
         "nonequi_price_pairs": _engine_query(_NONEQUI),
         "hourly_event_windows": _engine_query(_HOURLY_EVENTS),
         # Pipeline / training-data operators
+        "merge_upsert_endstate": _q_merge_endstate,
         "dedup_first_event_per_user": _q_dedup_events,
         "dedup_exact_documents": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_jaccard,
@@ -889,8 +945,10 @@ def oracle_sql() -> dict[str, str]:
         "from_json_unnest": _strip(_FROM_JSON_UNNEST),
         "star_replace_orders": _strip(_STAR_REPLACE),
         "json_extract_string_shim": _strip(_JSON_EXTRACT_SHIM),
+        "json_arrow_shim": _strip(_JSON_ARROW_SHIM),
         "nonequi_price_pairs": _strip(_NONEQUI),
         "hourly_event_windows": _strip(_HOURLY_EVENTS),
+        "merge_upsert_endstate": _MERGE_ENDSTATE_ORACLE,
         "dedup_first_event_per_user": _DEDUP_EVENTS_ORACLE,
         "dedup_exact_documents": _DEDUP_EXACT_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,

@@ -420,6 +420,63 @@ def _duck_type_to_ddl(node) -> str | None:
     return None
 
 
+_ARROW_RE = re.compile(r"->>\s*'\x00(\d+)\x00'")
+_ARROW_LHS_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*$")
+
+
+def _rewrite_json_arrows(sql: str, lits: list[str]) -> str:
+    """DuckDB ``expr ->> 'key'`` / ``expr ->> '$.path'`` →
+    ``get_json_object(expr, '$.key' / '$.path')``.
+
+    LHS support: a (possibly qualified) identifier or a parenthesized
+    expression — covering how generated SQL actually uses the
+    operator. Runs on MASKED text (the RHS is a literal placeholder;
+    the rewritten JSONPath is appended to ``lits`` as a new
+    placeholder), so arrows inside string literals are never touched.
+    The ``->`` operator (JSON-typed result, quoted strings) is
+    intentionally NOT shimmed: its output differs from any Spark
+    function, and silently changing quoting would be the corruption
+    this module promises never to produce."""
+    while True:
+        m = _ARROW_RE.search(sql)
+        if not m:
+            return sql
+        path = lits[int(m.group(1))][1:-1]  # strip surrounding quotes
+        if not path.startswith("$"):
+            path = "$." + path
+        lits.append(f"'{path}'")
+        rhs = f"'\x00{len(lits) - 1}\x00'"
+        # LHS: parenthesized group, string literal (placeholder), or
+        # qualified identifier
+        head = sql[: m.start()].rstrip()
+        pm = re.search(r"'\x00\d+\x00'$", head)
+        if pm:
+            lhs_start = pm.start()
+        elif head.endswith(")"):
+            depth = 0
+            k = len(head) - 1
+            while k >= 0:
+                if head[k] == ")":
+                    depth += 1
+                elif head[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            lhs_start = k
+        else:
+            lm = _ARROW_LHS_RE.search(head)
+            if not lm:
+                return sql  # unsupported shape; let Spark raise
+            lhs_start = lm.start()
+        lhs = head[lhs_start:]
+        sql = (
+            head[:lhs_start]
+            + f"get_json_object({lhs}, {rhs})"
+            + sql[m.end() :]
+        )
+
+
 def _rewrite_from_json(sql: str) -> str:
     """Convert ``from_json(expr, '<duckdb json type>')`` second
     arguments (e.g. ``'["VARCHAR"]'``, ``'{"k":"INTEGER"}'``) to
@@ -464,6 +521,7 @@ def transpile(sql: str) -> str:
     masked = _EXCLUDE_RE.sub(r"\1EXCEPT\2", masked)
     masked = _rewrite_star_replace(masked)
     masked = _rewrite_unnest(masked)
+    masked = _rewrite_json_arrows(masked, lits)
     if _QUALIFY_RE.search(masked):
         masked = _rewrite_qualify(masked)
     sql = unmask_literals(masked, lits)

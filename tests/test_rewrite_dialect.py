@@ -243,6 +243,30 @@ class TestDuckDBShims:
         sql = "SELECT replace(s, 'a', 'b') FROM t"
         assert transpile(sql) == sql
 
+    def test_arrow_key(self):
+        assert transpile("SELECT props ->> 'k' FROM t") == (
+            "SELECT get_json_object(props, '$.k') FROM t"
+        )
+
+    def test_arrow_jsonpath_and_qualified(self):
+        assert transpile("SELECT t.props->>'$.a.b' FROM e t") == (
+            "SELECT get_json_object(t.props, '$.a.b') FROM e t"
+        )
+
+    def test_arrow_paren_lhs(self):
+        out = transpile("SELECT (x) ->> 'k' FROM t")
+        assert out == "SELECT get_json_object((x), '$.k') FROM t"
+
+    def test_arrow_inside_literal_untouched(self):
+        sql = "SELECT 'a ->> ''k'' b' AS lit FROM t"
+        assert transpile(sql) == sql
+
+    def test_arrow_runs(self, spark):
+        rows = spark.sql(
+            transpile("""SELECT '{"k": 7}' ->> 'k' AS k""")
+        ).collect()
+        assert rows[0].k == "7"
+
 
 class TestQualifyNested:
     def test_qualify_inside_cte(self, spark):

@@ -68,6 +68,54 @@ def gen_query(rng: random.Random) -> str:
     )
 
 
+def gen_dialect_query(rng: random.Random) -> str:
+    """Queries written in the DuckDB spellings the transpiler shims
+    (UNNEST lateral, * REPLACE, json_extract_string, ->> arrows,
+    string_split/list_contains/array_length) — the engine transpiles,
+    DuckDB runs the text natively, results must agree."""
+    k = rng.randint(20, 400)
+    variant = rng.randrange(6)
+    if variant == 0:
+        return (
+            f"SELECT event_id, json_extract_string(props, '$.k') AS k "
+            f"FROM tpch.silver.events WHERE event_id < {k} ORDER BY event_id"
+        )
+    if variant == 1:
+        return (
+            f"SELECT event_id, props ->> 'k' AS k, props ->> '$.k' AS k2 "
+            f"FROM tpch.silver.events WHERE event_id < {k} ORDER BY event_id"
+        )
+    if variant == 2:
+        return (
+            "SELECT t.doc_id, COUNT(DISTINCT u.val) AS n "
+            "FROM tpch.silver.documents t, "
+            "UNNEST(string_split(lower(t.text), ' ')) AS u(val) "
+            f"WHERE u.val <> '' AND t.doc_id < {k} "
+            "GROUP BY t.doc_id ORDER BY t.doc_id"
+        )
+    if variant == 3:
+        mult = rng.randint(2, 9)
+        return (
+            "SELECT o_orderkey, o_totalprice, o_orderpriority FROM ("
+            f"SELECT * REPLACE (CAST(o_totalprice * {mult} AS DOUBLE) "
+            "AS o_totalprice, lower(o_orderpriority) AS o_orderpriority) "
+            f"FROM tpch.silver.orders) WHERE o_orderkey < {k * 10} "
+            "ORDER BY o_orderkey"
+        )
+    if variant == 4:
+        w = rng.choice(["data", "the", "spark", "query"])
+        return (
+            "SELECT doc_id, "
+            "CAST(array_length(string_split(lower(text), ' ')) AS BIGINT) AS n, "
+            f"list_contains(string_split(lower(text), ' '), '{w}') AS hit "
+            f"FROM tpch.silver.documents WHERE doc_id < {k} ORDER BY doc_id"
+        )
+    return (
+        f"SELECT event_id, epoch_ms(event_id * 86400000) AS day "
+        f"FROM tpch.silver.events WHERE event_id < {k} ORDER BY event_id"
+    )
+
+
 def canon(v):
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
@@ -85,13 +133,14 @@ def main() -> int:
     engine = entrymod._ensure_catalog(spark, sf_dir)
 
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
-    )
+    for t in ("lineitem", "orders", "events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
 
     failures = 0
     for i in range(n):
-        q = gen_query(rng)
+        q = gen_dialect_query(rng) if rng.random() < 0.35 else gen_query(rng)
         sdf = engine.dataframe(q)
         srows = [
             tuple(canon(r[c]) for c in sdf.columns) for r in sdf.collect()
