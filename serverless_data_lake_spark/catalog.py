@@ -51,6 +51,8 @@ from serverless_data_lake_spark.config import LakeConfig
 
 _META_FILE = "_sdls_meta.json"
 _PENDING_FILE = "_sdls_pending.json"
+_SNAPSHOTS_FILE = "_sdls_snapshots.json"
+_ARCHIVE_DIR = "_archive"
 
 
 @dataclass
@@ -67,11 +69,27 @@ class TableInfo:
 
 
 class TableStore:
-    """Catalog + storage manager for one lake."""
+    """Catalog + storage manager for one lake.
 
-    def __init__(self, spark: SparkSession, config: LakeConfig) -> None:
+    ``retain_history=True`` turns on time travel: every committed
+    write records a snapshot (version, data files, schema) in a
+    per-table manifest, and files replaced by later writes move to an
+    ``_archive/`` subdirectory instead of being deleted (leading
+    underscore → invisible to Spark's directory scans).
+    :meth:`read_version` reconstructs any recorded snapshot;
+    :meth:`vacuum` prunes history. This is the Iceberg/Delta snapshot
+    idea over plain parquet — storage grows with churn until
+    vacuumed, exactly like their retention model."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: LakeConfig,
+        retain_history: bool = False,
+    ) -> None:
         self.spark = spark
         self.config = config
+        self.retain_history = retain_history
         self._fs_cache: dict[str, object] = {}
 
     # ------------------------------------------------------------------
@@ -107,6 +125,38 @@ class TableStore:
 
     def _rename_dir(self, src: str, dst: str) -> None:
         self._fs(dst).rename(self._hpath(src), self._hpath(dst))
+
+    def _read_json(self, path: str) -> dict | list | None:
+        if not self._exists(path):
+            return None
+        fs = self._fs(path)
+        stream = fs.open(self._hpath(path))
+        try:
+            data = bytes(
+                self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(  # noqa: SLF001
+                    stream
+                )
+            )
+        finally:
+            stream.close()
+        return json.loads(data.decode())
+
+    def _write_json(self, path: str, obj) -> None:
+        fs = self._fs(path)
+        out = fs.create(self._hpath(path), True)
+        try:
+            out.write(bytearray(json.dumps(obj).encode()))
+        finally:
+            out.close()
+
+    def _archive_file(self, location: str, path: str) -> None:
+        """Move a data file into the table's ``_archive/`` dir
+        (preserving its unique basename) instead of deleting it."""
+        fs = self._fs(location)
+        arch = f"{location}/{_ARCHIVE_DIR}"
+        fs.mkdirs(self._hpath(arch))
+        name = path.rsplit("/", 1)[-1]
+        fs.rename(self._hpath(path), self._hpath(f"{arch}/{name}"))
 
     # ------------------------------------------------------------------
     # Commit protocol: journal the files a commit will delete BEFORE
@@ -154,7 +204,10 @@ class TableStore:
             self._delete(staging)
         for f in pending.get("delete", []):
             if self._exists(f):
-                self._delete(f)
+                if self.retain_history:
+                    self._archive_file(location, f)
+                else:
+                    self._delete(f)
         self._delete(path)
 
     # ------------------------------------------------------------------
@@ -176,20 +229,7 @@ class TableStore:
         out.close()
 
     def _read_meta(self, location: str) -> dict | None:
-        path = f"{location}/{_META_FILE}"
-        if not self._exists(path):
-            return None
-        fs = self._fs(path)
-        stream = fs.open(self._hpath(path))
-        try:
-            data = bytes(
-                self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(  # noqa: SLF001
-                    stream
-                )
-            )
-        finally:
-            stream.close()
-        return json.loads(data.decode())
+        return self._read_json(f"{location}/{_META_FILE}")
 
     # ------------------------------------------------------------------
     # Zone maps: per-data-file [min, max] of the lead primary key,
@@ -254,6 +294,103 @@ class TableStore:
             if s is None or not (s[1] < batch_min or s[0] > batch_max):
                 out.append(f)
         return out
+
+    # ------------------------------------------------------------------
+    # Snapshots / time travel (retain_history=True)
+    # ------------------------------------------------------------------
+    def _record_snapshot(self, info: TableInfo) -> None:
+        if not self.retain_history:
+            return
+        path = f"{info.location}/{_SNAPSHOTS_FILE}"
+        snaps = self._read_json(path) or []
+        files = sorted(
+            f.rsplit("/", 1)[-1] for f in self._list_data_files(info.location)
+        )
+        snaps.append(
+            {
+                "version": (snaps[-1]["version"] + 1) if snaps else 1,
+                "timestamp": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+                "files": files,
+                "schema": info.schema.json(),
+            }
+        )
+        self._write_json(path, snaps)
+
+    def snapshots(self, database: str, table: str) -> list[dict]:
+        """Recorded snapshots, oldest first: version, timestamp,
+        file count."""
+        info = self.info(database, table)
+        if info is None:
+            raise KeyError(f"no such table {database}.{table}")
+        snaps = self._read_json(f"{info.location}/{_SNAPSHOTS_FILE}") or []
+        return [
+            {
+                "version": s["version"],
+                "timestamp": s["timestamp"],
+                "n_files": len(s["files"]),
+            }
+            for s in snaps
+        ]
+
+    def read_version(self, database: str, table: str, version: int) -> DataFrame:
+        """The table exactly as of a recorded snapshot (time travel).
+        Files live either in the table dir (still current) or in
+        ``_archive/`` (replaced since); a vacuumed snapshot raises."""
+        info = self.info(database, table)
+        if info is None:
+            raise KeyError(f"no such table {database}.{table}")
+        snaps = self._read_json(f"{info.location}/{_SNAPSHOTS_FILE}") or []
+        snap = next((s for s in snaps if s["version"] == version), None)
+        if snap is None:
+            raise KeyError(
+                f"no snapshot version {version} for {database}.{table} "
+                f"(have: {[s['version'] for s in snaps]})"
+            )
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        paths = []
+        for name in snap["files"]:
+            cur = f"{info.location}/{name}"
+            arch = f"{info.location}/{_ARCHIVE_DIR}/{name}"
+            if self._exists(cur):
+                paths.append(cur)
+            elif self._exists(arch):
+                paths.append(arch)
+            else:
+                raise KeyError(
+                    f"snapshot {version} of {database}.{table} was "
+                    f"vacuumed (missing file {name})"
+                )
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def vacuum(self, database: str, table: str, keep_last: int = 1) -> int:
+        """Drop all but the last ``keep_last`` snapshots and delete
+        archived files no kept snapshot references. Returns the number
+        of files deleted."""
+        info = self.info(database, table)
+        if info is None:
+            raise KeyError(f"no such table {database}.{table}")
+        path = f"{info.location}/{_SNAPSHOTS_FILE}"
+        snaps = self._read_json(path) or []
+        kept = snaps[-keep_last:] if keep_last > 0 else []
+        referenced: set[str] = set()
+        for s in kept:
+            referenced.update(s["files"])
+        referenced.update(
+            f.rsplit("/", 1)[-1] for f in self._list_data_files(info.location)
+        )
+        removed = 0
+        arch = f"{info.location}/{_ARCHIVE_DIR}"
+        if self._exists(arch):
+            for f in self._list_data_files(arch):
+                if f.rsplit("/", 1)[-1] not in referenced:
+                    self._delete(f)
+                    removed += 1
+        self._write_json(path, kept)
+        return removed
 
     # ------------------------------------------------------------------
     # Catalog registration
@@ -385,8 +522,24 @@ class TableStore:
             self._rename_dir(location, old)
         self._rename_dir(staging, location)
         if self._exists(old):
+            if self.retain_history:
+                # Carry the previous snapshots manifest and archive
+                # every superseded data file (current + already
+                # archived) so earlier versions stay readable.
+                old_snaps = self._read_json(f"{old}/{_SNAPSHOTS_FILE}")
+                if old_snaps:
+                    self._write_json(
+                        f"{location}/{_SNAPSHOTS_FILE}", old_snaps
+                    )
+                for f in self._list_data_files(old):
+                    self._archive_file(location, f)
+                old_arch = f"{old}/{_ARCHIVE_DIR}"
+                if self._exists(old_arch):
+                    for f in self._list_data_files(old_arch):
+                        self._archive_file(location, f)
             self._delete(old)
         self._register(info)
+        self._record_snapshot(info)
         return info
 
     def append(
@@ -422,6 +575,7 @@ class TableStore:
                 new_files, info.primary_keys[0], merged_schema
             )
         self._write_meta(info, file_stats=stats)
+        self._record_snapshot(info)
         if merged_schema != existing.schema:
             self._register(info)
         else:
@@ -530,6 +684,7 @@ class TableStore:
 
         info = TableInfo(database, table, location, merged_schema, keys)
         self._write_meta(info, file_stats=stats)
+        self._record_snapshot(info)
         if merged_schema != existing.schema:
             self._register(info)
         else:
@@ -608,6 +763,7 @@ class TableStore:
         self._write_pending(info.location, staging, small)
         self._apply_pending(info.location)
         self._write_meta(info, file_stats=stats)
+        self._record_snapshot(info)
         self.spark.sql(f"REFRESH TABLE `{database}`.`{table}`")
         return len(small)
 

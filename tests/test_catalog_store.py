@@ -286,3 +286,85 @@ class TestZoneMaps:
         stats = store._load_file_stats(info.location)
         files = store._list_data_files(info.location)
         assert set(stats) == {f.rsplit("/", 1)[-1] for f in files}
+
+
+@pytest.fixture()
+def tt_store(spark, tmp_path):
+    return TableStore(
+        spark, LakeConfig(root=str(tmp_path / "ttlake")), retain_history=True
+    )
+
+
+class TestTimeTravel:
+    """retain_history: every committed write records a snapshot;
+    replaced files go to _archive/; read_version reconstructs any
+    snapshot; vacuum prunes."""
+
+    def test_merge_history(self, spark, tt_store):
+        tt_store.create_or_replace(
+            "db", "t",
+            spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), ["k"],
+        )
+        tt_store.merge(
+            "db", "t", spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]),
+            ["k"],
+        )
+        snaps = tt_store.snapshots("db", "t")
+        assert [s["version"] for s in snaps] == [1, 2]
+        v1 = {(r.k, r.v) for r in tt_store.read_version("db", "t", 1).collect()}
+        v2 = {(r.k, r.v) for r in tt_store.read_version("db", "t", 2).collect()}
+        assert v1 == {(1, "a"), (2, "b")}
+        assert v2 == {(1, "a"), (2, "B"), (3, "c")}
+        # current read matches latest snapshot
+        cur = {(r.k, r.v) for r in tt_store.read("db", "t").collect()}
+        assert cur == v2
+
+    def test_overwrite_preserves_history(self, spark, tt_store):
+        tt_store.create_or_replace(
+            "db", "t", spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"]
+        )
+        tt_store.create_or_replace(
+            "db", "t", spark.createDataFrame([(9, "z")], ["k", "v"]), ["k"]
+        )
+        v1 = {(r.k, r.v) for r in tt_store.read_version("db", "t", 1).collect()}
+        v2 = {(r.k, r.v) for r in tt_store.read_version("db", "t", 2).collect()}
+        assert v1 == {(1, "a")} and v2 == {(9, "z")}
+
+    def test_schema_evolution_snapshot_schemas(self, spark, tt_store):
+        tt_store.create_or_replace(
+            "db", "t", spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"]
+        )
+        tt_store.append(
+            "db", "t", spark.createDataFrame([(2, "b", 7.5)], ["k", "v", "w"])
+        )
+        v1 = tt_store.read_version("db", "t", 1)
+        v2 = tt_store.read_version("db", "t", 2)
+        assert v1.columns == ["k", "v"]
+        assert v2.columns == ["k", "v", "w"]
+        rows = {r.k: r.w for r in v2.collect()}
+        assert rows[1] is None and rows[2] == 7.5
+
+    def test_vacuum_prunes_old_versions(self, spark, tt_store):
+        tt_store.create_or_replace(
+            "db", "t", spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"]
+        )
+        tt_store.merge(
+            "db", "t", spark.createDataFrame([(1, "A")], ["k", "v"]), ["k"]
+        )
+        tt_store.merge(
+            "db", "t", spark.createDataFrame([(1, "AA")], ["k", "v"]), ["k"]
+        )
+        assert len(tt_store.snapshots("db", "t")) == 3
+        removed = tt_store.vacuum("db", "t", keep_last=1)
+        assert removed >= 1
+        assert [s["version"] for s in tt_store.snapshots("db", "t")] == [3]
+        with pytest.raises(KeyError):
+            tt_store.read_version("db", "t", 1)
+        # latest still reads fine
+        assert tt_store.read_version("db", "t", 3).collect()[0].v == "AA"
+
+    def test_no_history_mode_records_nothing(self, spark, store):
+        store.create_or_replace(
+            "db", "t", spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"]
+        )
+        assert store.snapshots("db", "t") == []
