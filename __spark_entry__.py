@@ -751,6 +751,37 @@ FROM q
 """
 
 
+def _q_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming windowed aggregation (one
+    declaration, two runtimes — streaming/windowed.py); the oracle
+    reproduces Spark's epoch-aligned tumbling windows with floor
+    arithmetic."""
+    from serverless_data_lake_spark.streaming.windowed import (
+        windowed_event_counts,
+    )
+
+    events = _read(spark, sf_dir, "events")
+    out = windowed_event_counts(events, "15 minutes")
+    return out.select(
+        F.col("win_start").cast("timestamp").alias("win_start"),
+        F.col("win_end").cast("timestamp").alias("win_end"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "total_value",
+    )
+
+
+_TUMBLING_ORACLE = """
+SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900) AS TIMESTAMP) AS win_start,
+       CAST(to_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) + 1) * 900) AS TIMESTAMP) AS win_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 def _q_merge_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WRITE path as an oracle-checked entry: materialize a base
     table, MERGE an overlapping batch (updates + inserts) through
@@ -902,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nonequi_price_pairs": _engine_query(_NONEQUI),
         "hourly_event_windows": _engine_query(_HOURLY_EVENTS),
         # Pipeline / training-data operators
+        "tumbling_window_counts": _q_tumbling_windows,
         "merge_upsert_endstate": _q_merge_endstate,
         "dedup_first_event_per_user": _q_dedup_events,
         "dedup_exact_documents": _q_dedup_exact,
@@ -948,6 +980,7 @@ def oracle_sql() -> dict[str, str]:
         "json_arrow_shim": _strip(_JSON_ARROW_SHIM),
         "nonequi_price_pairs": _strip(_NONEQUI),
         "hourly_event_windows": _strip(_HOURLY_EVENTS),
+        "tumbling_window_counts": _TUMBLING_ORACLE,
         "merge_upsert_endstate": _MERGE_ENDSTATE_ORACLE,
         "dedup_first_event_per_user": _DEDUP_EVENTS_ORACLE,
         "dedup_exact_documents": _DEDUP_EXACT_ORACLE,

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "top_tokens",
     "epoch_ms_shim",
     "text_stats",
+    "tumbling_window_counts",
     "merge_upsert_endstate",
     "dedup_first_event_per_user",
     "dedup_exact_documents",

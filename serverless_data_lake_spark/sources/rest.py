@@ -162,11 +162,15 @@ def detect_data_path(body: Any) -> str | None:
     best: tuple[int, str | None] = (-1, None)
     if isinstance(body, dict):
         for key, val in body.items():
+            if "." in key:
+                continue  # unrepresentable as a dot-path
             if isinstance(val, list) and (not val or isinstance(val[0], dict)):
                 if len(val) > best[0]:
                     best = (len(val), key)
             elif isinstance(val, dict):
                 for k2, v2 in val.items():
+                    if "." in k2:
+                        continue
                     if isinstance(v2, list) and (not v2 or isinstance(v2[0], dict)):
                         if len(v2) > best[0]:
                             best = (len(v2), f"{key}.{k2}")
