@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     "text_analysis",
     "multimodal_features",
     "multimodal_metadata_stats",
+    "unnest_lateral_tokens",
+    "from_json_unnest",
+    "json_arrow_shim",
+    "json_extract_string_shim",
+    "star_replace_orders",
 ]
 
 
@@ -90,10 +95,38 @@ def main() -> None:
     for t in entrymod.TABLES:
         entrymod._data_path(sf_dir, t)
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm the Python worker pool + Arrow serialization path once:
+    # workers are reused across queries (spark.python.worker.reuse),
+    # so without this the first mapInPandas query measured would pay
+    # the fork/import cost that every later one skips.
+    spark.range(32).repartition(1).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
     qs_all = entrymod.queries()
     qs_all["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+
+    # Unmeasured warmup pass: every benched query once at a 100×
+    # smaller scale factor. Whole-stage-codegen source is
+    # scale-independent, so this compiles each query's generated
+    # stages into the Janino cache (and JIT-warms the interpreted
+    # HOF paths) for pennies of data — the measured sf0.1 loop then
+    # isolates data-proportional execution from one-time per-plan
+    # compilation (2-4 s for the widest dedup plans). Delete this
+    # loop to measure cold-start instead.
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001"
+    )
+    if os.path.isdir(warm_dir):
+        for name in BENCH_QUERIES:
+            try:
+                qs_all[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
+            spark.catalog.clearCache()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

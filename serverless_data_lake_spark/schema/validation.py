@@ -121,7 +121,15 @@ def validate_batch(
     """Validate a batch. Returns ``(accepted, failures)`` where each
     failure is ``{"index": i, "errors": [...]}``. In strict mode
     failing records are dropped from ``accepted``; otherwise they
-    pass through unmodified (errors still reported)."""
+    pass through unmodified (errors still reported).
+
+    Caveat, faithful to the reference: a non-strict record whose
+    value can't be coerced (e.g. ``amount: "x"`` for a double
+    column) lands in bronze as-is, which widens the inferred silver
+    column to string — and a downstream gold ``SUM(amount)`` then
+    fails at query time, exactly as the reference's DuckDB/Iceberg
+    path behaves on the same input. Use ``strict_validation=True``
+    on the endpoint to drop such records at the gate instead."""
     accepted: list[dict[str, Any]] = []
     failures: list[dict[str, Any]] = []
     for i, rec in enumerate(records):
