@@ -827,6 +827,59 @@ FROM orders WHERE o_orderkey >= 1000 AND o_orderkey <= 3000
 """
 
 
+def _q_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-table twin of ``merge_upsert_endstate``: the table
+    is hive-partitioned by ``o_orderpriority``, so the MERGE's
+    affected-file scan prunes whole partition directories by the
+    batch's partition values before any file is opened, and only
+    files inside touched partitions are rewritten (catalog.py
+    partitioned COW). The returned end state must be byte-identical
+    to the declarative oracle — certifying that partition-local COW
+    neither loses survivors nor duplicates matches."""
+    import shutil
+
+    from serverless_data_lake_spark.catalog import TableStore
+    from serverless_data_lake_spark.config import LakeConfig
+
+    orders = _read(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    # The batch touches ONE priority class: every other partition's
+    # files must survive the merge by identity.
+    batch = orders.filter(
+        (F.col("o_orderkey") <= 3000)
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") * 2).cast("double").alias("o_totalprice"),
+    )
+
+    safe = sf_dir.strip("/").replace("/", "_")
+    root = f"/tmp/sdls_entry_probe_part/{safe}"
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, LakeConfig(root=root))
+    store.create_or_replace(
+        "probe_db", "orders_part", base, ["o_orderkey"], ["o_orderpriority"]
+    )
+    store.merge("probe_db", "orders_part", batch, ["o_orderkey"])
+    return store.read("probe_db", "orders_part").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+_PARTITIONED_MERGE_ORACLE = """
+SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders WHERE o_orderkey <= 2000 AND o_orderpriority <> '1-URGENT'
+UNION ALL
+SELECT o_orderkey, o_orderpriority, CAST(o_totalprice * 2 AS DOUBLE) AS o_totalprice
+FROM orders WHERE o_orderkey <= 3000 AND o_orderpriority = '1-URGENT'
+"""
+
+
 def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only media profiling — the binary column must never
     be read (parquet column pruning; asserted by plan tests). The
@@ -935,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Pipeline / training-data operators
         "tumbling_window_counts": _q_tumbling_windows,
         "merge_upsert_endstate": _q_merge_endstate,
+        "partitioned_merge_endstate": _q_partitioned_merge,
         "dedup_first_event_per_user": _q_dedup_events,
         "dedup_exact_documents": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_jaccard,
@@ -982,6 +1036,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_event_windows": _strip(_HOURLY_EVENTS),
         "tumbling_window_counts": _TUMBLING_ORACLE,
         "merge_upsert_endstate": _MERGE_ENDSTATE_ORACLE,
+        "partitioned_merge_endstate": _PARTITIONED_MERGE_ORACLE,
         "dedup_first_event_per_user": _DEDUP_EVENTS_ORACLE,
         "dedup_exact_documents": _DEDUP_EXACT_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,

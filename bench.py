@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "text_stats",
     "tumbling_window_counts",
     "merge_upsert_endstate",
+    "partitioned_merge_endstate",
     "dedup_first_event_per_user",
     "dedup_exact_documents",
     "ngram_jaccard_pairs",

@@ -38,6 +38,7 @@ unchanged.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
 import uuid
@@ -62,10 +63,21 @@ class TableInfo:
     location: str
     schema: StructType
     primary_keys: list[str]
+    partition_by: list[str] = dataclasses.field(default_factory=list)
 
     @property
     def qualified(self) -> str:
         return f"{self.database}.{self.name}"
+
+    @property
+    def data_schema(self) -> StructType:
+        """Schema of the parquet *files*: partition column values live
+        in directory names (hive layout), not in the data files."""
+        if not self.partition_by:
+            return self.schema
+        return StructType(
+            [f for f in self.schema.fields if f.name not in self.partition_by]
+        )
 
 
 class TableStore:
@@ -108,20 +120,44 @@ class TableStore:
     def _delete(self, path: str) -> None:
         self._fs(path).delete(self._hpath(path), True)
 
-    def _list_data_files(self, directory: str) -> list[str]:
+    def _walk_data_files(self, directory: str) -> list[tuple[str, str, int]]:
+        """All data files under ``directory`` recursively as
+        ``(abs_path, rel_path, size_bytes)``. ``_``/``.``-prefixed
+        files AND directories are skipped at every level (metadata,
+        ``_archive``), so hive partition subdirs (``col=value/...``)
+        are walked and flat tables behave exactly as before
+        (rel == basename)."""
         fs = self._fs(directory)
-        out = []
-        for st in fs.listStatus(self._hpath(directory)):
-            name = st.getPath().getName()
-            if st.isFile() and not name.startswith(("_", ".")):
-                out.append(st.getPath().toString())
+        out: list[tuple[str, str, int]] = []
+
+        def rec(jpath, rel: str) -> None:
+            for st in fs.listStatus(jpath):
+                name = st.getPath().getName()
+                if name.startswith(("_", ".")):
+                    continue
+                if st.isFile():
+                    out.append(
+                        (st.getPath().toString(), f"{rel}{name}", st.getLen())
+                    )
+                elif st.isDirectory():
+                    rec(st.getPath(), f"{rel}{name}/")
+
+        rec(self._hpath(directory), "")
         return out
 
+    def _list_data_files(self, directory: str) -> list[str]:
+        return [a for a, _, _ in self._walk_data_files(directory)]
+
     def _move_files_into(self, src_dir: str, dst_dir: str) -> None:
+        """Move every data file of ``src_dir`` into ``dst_dir``
+        preserving relative paths (partition subdirectories are
+        recreated at the destination)."""
         fs = self._fs(dst_dir)
-        for f in self._list_data_files(src_dir):
-            name = f.rsplit("/", 1)[1]
-            fs.rename(self._hpath(f), self._hpath(f"{dst_dir}/{name}"))
+        for _, rel, _ in self._walk_data_files(src_dir):
+            dst = f"{dst_dir}/{rel}"
+            if "/" in rel:
+                fs.mkdirs(self._hpath(dst.rsplit("/", 1)[0]))
+            fs.rename(self._hpath(f"{src_dir}/{rel}"), self._hpath(dst))
 
     def _rename_dir(self, src: str, dst: str) -> None:
         self._fs(dst).rename(self._hpath(src), self._hpath(dst))
@@ -149,14 +185,26 @@ class TableStore:
         finally:
             out.close()
 
-    def _archive_file(self, location: str, path: str) -> None:
-        """Move a data file into the table's ``_archive/`` dir
-        (preserving its unique basename) instead of deleting it."""
+    def _norm(self, path: str) -> str:
+        """Scheme-less absolute path (``file:/x`` and ``/x`` compare
+        equal)."""
+        return self._hpath(path).toUri().getPath()
+
+    def _rel(self, root: str, path: str) -> str:
+        """Path relative to ``root`` (falls back to the basename when
+        ``path`` is not under ``root``)."""
+        r = self._norm(root).rstrip("/") + "/"
+        p = self._norm(path)
+        return p[len(r):] if p.startswith(r) else p.rsplit("/", 1)[-1]
+
+    def _archive_file(self, location: str, path: str, rel: str) -> None:
+        """Move a data file into the table's ``_archive/`` dir,
+        preserving its path relative to the table root (partition
+        subdirs included) instead of deleting it."""
         fs = self._fs(location)
-        arch = f"{location}/{_ARCHIVE_DIR}"
-        fs.mkdirs(self._hpath(arch))
-        name = path.rsplit("/", 1)[-1]
-        fs.rename(self._hpath(path), self._hpath(f"{arch}/{name}"))
+        dst = f"{location}/{_ARCHIVE_DIR}/{rel}"
+        fs.mkdirs(self._hpath(dst.rsplit("/", 1)[0]))
+        fs.rename(self._hpath(path), self._hpath(dst))
 
     # ------------------------------------------------------------------
     # Commit protocol: journal the files a commit will delete BEFORE
@@ -205,7 +253,7 @@ class TableStore:
         for f in pending.get("delete", []):
             if self._exists(f):
                 if self.retain_history:
-                    self._archive_file(location, f)
+                    self._archive_file(location, f, self._rel(location, f))
                 else:
                     self._delete(f)
         self._delete(path)
@@ -219,6 +267,7 @@ class TableStore:
         meta = {
             "schema": info.schema.json(),
             "primary_keys": info.primary_keys,
+            "partition_by": info.partition_by,
             "updated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         if file_stats is not None:
@@ -304,7 +353,7 @@ class TableStore:
         path = f"{info.location}/{_SNAPSHOTS_FILE}"
         snaps = self._read_json(path) or []
         files = sorted(
-            f.rsplit("/", 1)[-1] for f in self._list_data_files(info.location)
+            rel for _, rel, _ in self._walk_data_files(info.location)
         )
         snaps.append(
             {
@@ -314,6 +363,7 @@ class TableStore:
                 ),
                 "files": files,
                 "schema": info.schema.json(),
+                "partition_by": info.partition_by,
             }
         )
         self._write_json(path, snaps)
@@ -349,22 +399,41 @@ class TableStore:
                 f"(have: {[s['version'] for s in snaps]})"
             )
         schema = StructType.fromJson(json.loads(snap["schema"]))
-        paths = []
+        pby = snap.get("partition_by") or []
+        current: list[str] = []
+        archived: list[str] = []
         for name in snap["files"]:
             cur = f"{info.location}/{name}"
             arch = f"{info.location}/{_ARCHIVE_DIR}/{name}"
             if self._exists(cur):
-                paths.append(cur)
+                current.append(cur)
             elif self._exists(arch):
-                paths.append(arch)
+                archived.append(arch)
             else:
                 raise KeyError(
                     f"snapshot {version} of {database}.{table} was "
                     f"vacuumed (missing file {name})"
                 )
-        if not paths:
+        if not current and not archived:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        # Partitioned snapshots: partition values live in the relative
+        # directory names, so each group reads with its own basePath
+        # (the archive mirrors the table's partition layout).
+        parts = []
+        for base, paths in (
+            (info.location, current),
+            (f"{info.location}/{_ARCHIVE_DIR}", archived),
+        ):
+            if not paths:
+                continue
+            reader = self.spark.read.schema(schema)
+            if pby:
+                reader = reader.option("basePath", base)
+            parts.append(reader.parquet(*paths))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def vacuum(self, database: str, table: str, keep_last: int = 1) -> int:
         """Drop all but the last ``keep_last`` snapshots and delete
@@ -380,13 +449,13 @@ class TableStore:
         for s in kept:
             referenced.update(s["files"])
         referenced.update(
-            f.rsplit("/", 1)[-1] for f in self._list_data_files(info.location)
+            rel for _, rel, _ in self._walk_data_files(info.location)
         )
         removed = 0
         arch = f"{info.location}/{_ARCHIVE_DIR}"
         if self._exists(arch):
-            for f in self._list_data_files(arch):
-                if f.rsplit("/", 1)[-1] not in referenced:
+            for f, rel, _ in self._walk_data_files(arch):
+                if rel not in referenced:
                     self._delete(f)
                     removed += 1
         self._write_json(path, kept)
@@ -399,16 +468,51 @@ class TableStore:
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{database}`")
 
     def _register(self, info: TableInfo) -> None:
-        """(Re-)declare the external table with the current schema."""
+        """(Re-)declare the external table with the current schema.
+        Partitioned tables register with ``PARTITIONED BY`` so
+        Catalyst prunes partition directories on partition-column
+        filters, then recover their partition list from the
+        directory layout."""
         self.ensure_database(info.database)
         self.spark.sql(f"DROP TABLE IF EXISTS `{info.database}`.`{info.name}`")
+        fields = info.schema.fields
+        if info.partition_by:
+            # Catalog schema lists partition columns last, matching
+            # what a partitioned scan produces.
+            fields = [
+                f for f in fields if f.name not in info.partition_by
+            ] + [f for f in fields if f.name in info.partition_by]
         ddl = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in info.schema.fields
+            f"`{f.name}` {f.dataType.simpleString()}" for f in fields
+        )
+        part = (
+            " PARTITIONED BY ("
+            + ", ".join(f"`{c}`" for c in info.partition_by)
+            + ")"
+            if info.partition_by
+            else ""
         )
         self.spark.sql(
             f"CREATE TABLE `{info.database}`.`{info.name}` ({ddl}) "
-            f"USING parquet LOCATION '{info.location}'"
+            f"USING parquet{part} LOCATION '{info.location}'"
         )
+        if info.partition_by:
+            self.spark.sql(
+                f"ALTER TABLE `{info.database}`.`{info.name}` "
+                f"RECOVER PARTITIONS"
+            )
+
+    def _refresh(self, info: TableInfo) -> None:
+        """Post-write catalog sync: new partition directories must be
+        added to the catalog's partition list (at scale, ALTER TABLE
+        ADD PARTITION per new directory is the surgical variant;
+        RECOVER rescans the layout, which is fine at these sizes)."""
+        if info.partition_by:
+            self.spark.sql(
+                f"ALTER TABLE `{info.database}`.`{info.name}` "
+                f"RECOVER PARTITIONS"
+            )
+        self.spark.sql(f"REFRESH TABLE `{info.database}`.`{info.name}`")
 
     def register_all(self) -> list[TableInfo]:
         """Scan the warehouse and register every persisted table in
@@ -439,6 +543,7 @@ class TableStore:
                     location=location,
                     schema=StructType.fromJson(json.loads(meta["schema"])),
                     primary_keys=meta.get("primary_keys", []),
+                    partition_by=meta.get("partition_by", []),
                 )
                 self._register(info)
                 infos.append(info)
@@ -484,6 +589,7 @@ class TableStore:
             location=location,
             schema=StructType.fromJson(json.loads(meta["schema"])),
             primary_keys=meta.get("primary_keys", []),
+            partition_by=meta.get("partition_by", []),
         )
 
     # ------------------------------------------------------------------
@@ -495,26 +601,51 @@ class TableStore:
         table: str,
         df: DataFrame,
         primary_keys: list[str] | None = None,
+        partition_by: list[str] | None = None,
     ) -> TableInfo:
         """Full overwrite (gold ``write_mode=overwrite`` — reference
         S6). The new snapshot is fully staged (data + metadata), then
         swapped in with two directory renames; the previous snapshot
         is deleted only after the new one is in place, so a failed job
         never destroys it (a crash between the renames leaves the old
-        snapshot recoverable under ``<location>__old_*``)."""
+        snapshot recoverable under ``<location>__old_*``).
+
+        ``partition_by`` lays the table out hive-style
+        (``col=value/`` directories): scans filtered on partition
+        columns prune whole directories, and upserts/appends touch
+        only the partitions their batch lands in — the primary
+        file-organization lever at 100 TB."""
+        partition_by = list(partition_by or [])
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition columns not in data: {missing}")
         location = self.config.table_path(database, table)
         staging = f"{location}__stage_{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(staging)
-        info = TableInfo(database, table, location, df.schema, primary_keys or [])
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        schema = StructType(
+            [f for f in df.schema.fields if f.name not in partition_by]
+            + [f for f in df.schema.fields if f.name in partition_by]
+        )
+        info = TableInfo(
+            database, table, location, schema, primary_keys or [], partition_by
+        )
         stats = (
             self._collect_file_stats(
-                self._list_data_files(staging), primary_keys[0], df.schema
+                self._list_data_files(staging),
+                primary_keys[0],
+                info.data_schema,
             )
-            if primary_keys
+            if primary_keys and not partition_by
             else {}
         )
         self._write_meta(
-            TableInfo(database, table, staging, df.schema, primary_keys or []),
+            TableInfo(
+                database, table, staging, schema, primary_keys or [],
+                partition_by,
+            ),
             file_stats=stats,
         )
         old = f"{location}__old_{uuid.uuid4().hex[:8]}"
@@ -531,12 +662,12 @@ class TableStore:
                     self._write_json(
                         f"{location}/{_SNAPSHOTS_FILE}", old_snaps
                     )
-                for f in self._list_data_files(old):
-                    self._archive_file(location, f)
+                for f, rel, _ in self._walk_data_files(old):
+                    self._archive_file(location, f, rel)
                 old_arch = f"{old}/{_ARCHIVE_DIR}"
                 if self._exists(old_arch):
-                    for f in self._list_data_files(old_arch):
-                        self._archive_file(location, f)
+                    for f, rel, _ in self._walk_data_files(old_arch):
+                        self._archive_file(location, f, rel)
             self._delete(old)
         self._register(info)
         self._record_snapshot(info)
@@ -548,24 +679,33 @@ class TableStore:
         table: str,
         df: DataFrame,
         primary_keys: list[str] | None = None,
+        partition_by: list[str] | None = None,
     ) -> TableInfo:
         """Append with union-by-name schema evolution (reference S5 +
         V6: new columns widen the table schema; old files read as
-        null for them)."""
+        null for them). On a partitioned table the batch's files land
+        only in the partitions it carries (``partition_by`` applies
+        on first create; thereafter the table's layout wins)."""
         self._apply_pending(self.config.table_path(database, table))
         existing = self.info(database, table)
         if existing is None:
-            return self.create_or_replace(database, table, df, primary_keys)
+            return self.create_or_replace(
+                database, table, df, primary_keys, partition_by
+            )
         merged_schema = self._merge_schemas(existing.schema, df.schema)
         df = self._conform(df, merged_schema)
         before = set(self._list_data_files(existing.location))
-        df.write.mode("append").parquet(existing.location)
+        writer = df.write.mode("append")
+        if existing.partition_by:
+            writer = writer.partitionBy(*existing.partition_by)
+        writer.parquet(existing.location)
         info = TableInfo(
             database, table, existing.location, merged_schema,
             primary_keys if primary_keys is not None else existing.primary_keys,
+            existing.partition_by,
         )
         stats = self._load_file_stats(existing.location)
-        if info.primary_keys:
+        if info.primary_keys and not info.partition_by:
             new_files = [
                 f
                 for f in self._list_data_files(existing.location)
@@ -579,7 +719,7 @@ class TableStore:
         if merged_schema != existing.schema:
             self._register(info)
         else:
-            self.spark.sql(f"REFRESH TABLE `{database}`.`{table}`")
+            self._refresh(info)
         return info
 
     def merge(
@@ -588,6 +728,7 @@ class TableStore:
         table: str,
         source: DataFrame,
         keys: list[str],
+        partition_by: list[str] | None = None,
     ) -> TableInfo:
         """Upsert: MERGE-matched-update-all / not-matched-insert-all
         semantics (reference S7/S8) via file-level copy-on-write.
@@ -609,6 +750,13 @@ class TableStore:
         proportional to the matched files + the batch. The
         incoming-keys side of both joins is typically small and
         broadcast by AQE; skewed PKs are handled by AQE skew-join.
+
+        File pruning before the affected-file scan: a partitioned
+        table prunes whole partition directories by the batch's
+        partition values (Catalyst partition pruning); a flat table
+        prunes by the per-file zone maps on the lead key. Either way
+        the scan touches only files that *could* match.
+        ``partition_by`` applies when this merge creates the table.
         """
         if isinstance(keys, str):
             # dbt-style configs allow a scalar unique_key; a bare
@@ -620,75 +768,128 @@ class TableStore:
         self._apply_pending(self.config.table_path(database, table))
         existing = self.info(database, table)
         if existing is None:
-            return self.create_or_replace(database, table, source, keys)
+            return self.create_or_replace(
+                database, table, source, keys, partition_by
+            )
 
         merged_schema = self._merge_schemas(existing.schema, source.schema)
         source = self._conform(source, merged_schema)
         location = existing.location
+        pby = existing.partition_by
 
         # The deduped key set is tiny (keys only) and consumed three
         # times (batch bounds, affected semi-join, survivor anti-join)
         # — persist it so the source plan runs once for all three.
         src_keys = source.select(*keys).dropDuplicates(keys).persist()
 
-        # Zone-map pruning: only files whose lead-key range can
-        # overlap the batch participate in the affected-file scan.
-        stats = self._load_file_stats(location)
-        all_files = self._list_data_files(location)
-        candidates = all_files
-        if stats:
-            bounds = src_keys.agg(
-                F.min(keys[0]).alias("mn"), F.max(keys[0]).alias("mx")
-            ).first()
-            candidates = self._prune_by_stats(
-                all_files, stats, bounds["mn"], bounds["mx"]
-            )
-
-        if candidates:
-            affected = (
+        if pby:
+            # Partition-pruned affected-file scan: read through the
+            # partitioned layout and filter to the batch's partition
+            # values — Catalyst prunes every other directory before
+            # any file is opened. (The value list is partition
+            # *tuples*, bounded by the number of partitions a batch
+            # touches — collected to the driver like Iceberg's
+            # partition summaries.)
+            scan = (
                 self.spark.read.schema(merged_schema)
-                .parquet(*candidates)
-                .select(*keys, F.col("_metadata.file_path").alias("__file"))
+                .option("basePath", location)
+                .parquet(location)
+            )
+            if all(c in source.columns for c in pby):
+                pvals = (
+                    source.select(*pby).dropDuplicates(pby).limit(10001).collect()
+                )
+                if len(pvals) <= 10000:
+                    cond = None
+                    for r in pvals:
+                        t = None
+                        for c in pby:
+                            e = (
+                                F.col(c).isNull()
+                                if r[c] is None
+                                else (F.col(c) == F.lit(r[c]))
+                            )
+                            t = e if t is None else (t & e)
+                        cond = t if cond is None else (cond | t)
+                    if cond is not None:
+                        scan = scan.where(cond)
+            affected = (
+                scan.select(*keys, F.col("_metadata.file_path").alias("__file"))
                 .join(src_keys, on=keys, how="left_semi")
                 .select("__file")
                 .distinct()
                 .collect()
             )
             affected_files = [r["__file"] for r in affected]
+            stats: dict[str, list] = {}
         else:
-            affected_files = []
+            # Zone-map pruning: only files whose lead-key range can
+            # overlap the batch participate in the affected-file scan.
+            stats = self._load_file_stats(location)
+            all_files = self._list_data_files(location)
+            candidates = all_files
+            if stats:
+                bounds = src_keys.agg(
+                    F.min(keys[0]).alias("mn"), F.max(keys[0]).alias("mx")
+                ).first()
+                candidates = self._prune_by_stats(
+                    all_files, stats, bounds["mn"], bounds["mx"]
+                )
+
+            if candidates:
+                affected = (
+                    self.spark.read.schema(merged_schema)
+                    .parquet(*candidates)
+                    .select(
+                        *keys, F.col("_metadata.file_path").alias("__file")
+                    )
+                    .join(src_keys, on=keys, how="left_semi")
+                    .select("__file")
+                    .distinct()
+                    .collect()
+                )
+                affected_files = [r["__file"] for r in affected]
+            else:
+                affected_files = []
 
         staging = f"{location}__stage_{uuid.uuid4().hex[:8]}"
         if affected_files:
-            survivors = (
-                self.spark.read.schema(merged_schema)
-                .parquet(*affected_files)
-                .join(src_keys, on=keys, how="left_anti")
+            reader = self.spark.read.schema(merged_schema)
+            if pby:
+                # basePath keeps the partition-column values that live
+                # in the directory names of the affected files.
+                reader = reader.option("basePath", location)
+            survivors = reader.parquet(*affected_files).join(
+                src_keys, on=keys, how="left_anti"
             )
             out = survivors.unionByName(source)
         else:
             out = source
-        out.write.mode("overwrite").parquet(staging)
+        writer = out.write.mode("overwrite")
+        if pby:
+            writer = writer.partitionBy(*pby)
+        writer.parquet(staging)
 
-        new_stats = self._collect_file_stats(
-            self._list_data_files(staging), keys[0], merged_schema
-        )
-        deleted = {f.rsplit("/", 1)[-1] for f in affected_files}
-        stats = {
-            b: v for b, v in stats.items() if b not in deleted
-        } | new_stats
+        if not pby:
+            new_stats = self._collect_file_stats(
+                self._list_data_files(staging), keys[0], merged_schema
+            )
+            deleted = {f.rsplit("/", 1)[-1] for f in affected_files}
+            stats = {
+                b: v for b, v in stats.items() if b not in deleted
+            } | new_stats
         src_keys.unpersist()
 
         self._write_pending(location, staging, affected_files)
         self._apply_pending(location)
 
-        info = TableInfo(database, table, location, merged_schema, keys)
+        info = TableInfo(database, table, location, merged_schema, keys, pby)
         self._write_meta(info, file_stats=stats)
         self._record_snapshot(info)
         if merged_schema != existing.schema:
             self._register(info)
         else:
-            self.spark.sql(f"REFRESH TABLE `{database}`.`{table}`")
+            self._refresh(info)
         return info
 
     def delete_insert(
@@ -697,6 +898,7 @@ class TableStore:
         table: str,
         source: DataFrame,
         keys: list[str],
+        partition_by: list[str] | None = None,
     ) -> TableInfo:
         """Gold ``append`` + ``unique_key``: delete target rows whose
         key appears in the source, then insert all source rows — the
@@ -704,7 +906,7 @@ class TableStore:
         ``macros/materializations/iceberg_incremental.sql:85-113``).
         Identical mechanics to :meth:`merge` (source may legitimately
         carry several rows per key, all of which are inserted)."""
-        return self.merge(database, table, source, keys)
+        return self.merge(database, table, source, keys, partition_by)
 
     def compact(
         self,
@@ -730,28 +932,35 @@ class TableStore:
             raise KeyError(f"no such table {database}.{table}")
         self._apply_pending(info.location)
         threshold = small_file_bytes or target_file_bytes // 2
-        fs = self._fs(info.location)
-        small: list[str] = []
-        total = 0
-        for st in fs.listStatus(self._hpath(info.location)):
-            name = st.getPath().getName()
-            if st.isFile() and not name.startswith(("_", ".")):
-                if st.getLen() < threshold:
-                    small.append(st.getPath().toString())
-                    total += st.getLen()
-        if len(small) < 2:
+        # Group small files by their partition directory ("" for a
+        # flat table): compaction is partition-local, so each
+        # rewritten file stays inside its partition and the rest of
+        # the table is untouched.
+        groups: dict[str, list[tuple[str, int]]] = {}
+        for f, rel, size in self._walk_data_files(info.location):
+            if size < threshold:
+                d = rel.rsplit("/", 1)[0] if "/" in rel else ""
+                groups.setdefault(d, []).append((f, size))
+        groups = {d: fs_ for d, fs_ in groups.items() if len(fs_) >= 2}
+        if not groups:
             return 0
-        n_out = max(1, -(-total // target_file_bytes))
         staging = f"{info.location}__stage_{uuid.uuid4().hex[:8]}"
-        (
-            self.spark.read.schema(info.schema)
-            .parquet(*small)
-            .repartition(int(n_out))
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
+        small: list[str] = []
+        for d, members in groups.items():
+            paths = [f for f, _ in members]
+            total = sum(s for _, s in members)
+            n_out = max(1, -(-total // target_file_bytes))
+            dst = f"{staging}/{d}" if d else staging
+            (
+                self.spark.read.schema(info.data_schema)
+                .parquet(*paths)
+                .repartition(int(n_out))
+                .write.mode("overwrite")
+                .parquet(dst)
+            )
+            small.extend(paths)
         stats = self._load_file_stats(info.location)
-        if info.primary_keys:
+        if info.primary_keys and not info.partition_by:
             removed = {f.rsplit("/", 1)[-1] for f in small}
             stats = {
                 b: v for b, v in stats.items() if b not in removed
@@ -764,7 +973,7 @@ class TableStore:
         self._apply_pending(info.location)
         self._write_meta(info, file_stats=stats)
         self._record_snapshot(info)
-        self.spark.sql(f"REFRESH TABLE `{database}`.`{table}`")
+        self._refresh(info)
         return len(small)
 
     # ------------------------------------------------------------------

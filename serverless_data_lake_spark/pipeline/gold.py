@@ -173,13 +173,19 @@ class GoldRunner:
         if job.write_mode == "overwrite" or not self.store.table_exists(
             database, job.name
         ):
-            self.store.create_or_replace(database, job.name, df, job.unique_key)
+            self.store.create_or_replace(
+                database, job.name, df, job.unique_key, job.partition_by
+            )
             mode = "overwrite"
         elif job.write_mode == "append" and job.unique_key:
-            self.store.delete_insert(database, job.name, df, job.unique_key)
+            self.store.delete_insert(
+                database, job.name, df, job.unique_key, job.partition_by
+            )
             mode = "upsert"
         elif job.write_mode == "append":
-            self.store.append(database, job.name, df)
+            self.store.append(
+                database, job.name, df, partition_by=job.partition_by
+            )
             mode = "append"
         else:
             raise ValueError(f"unknown write_mode: {job.write_mode}")

@@ -173,6 +173,10 @@ class GoldJobConfig:
     cron_schedule: str = "day"  # hour | day | month
     dependencies: list[str] = field(default_factory=list)
     description: str = ""
+    # Scale extension beyond the reference's job config: hive
+    # partition columns for the materialized table (partition
+    # pruning on reads, partition-local upserts).
+    partition_by: list[str] = field(default_factory=list)
 
     def __post_init__(self) -> None:
         # dbt-style configs allow a scalar unique_key; left as a bare
@@ -180,6 +184,8 @@ class GoldJobConfig:
         # per-character key columns.
         if isinstance(self.unique_key, str):
             self.unique_key = [self.unique_key]
+        if isinstance(self.partition_by, str):
+            self.partition_by = [self.partition_by]
 
     def to_dict(self) -> dict:
         return {
@@ -192,6 +198,7 @@ class GoldJobConfig:
             "cron_schedule": self.cron_schedule,
             "dependencies": list(self.dependencies),
             "description": self.description,
+            "partition_by": list(self.partition_by),
         }
 
     @classmethod
@@ -209,4 +216,5 @@ class GoldJobConfig:
             cron_schedule=d.get("cron_schedule", "day"),
             dependencies=list(d.get("dependencies") or []),
             description=d.get("description", ""),
+            partition_by=list(d.get("partition_by") or []),
         )
