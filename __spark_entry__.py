@@ -880,6 +880,55 @@ FROM orders WHERE o_orderkey <= 3000 AND o_orderpriority = '1-URGENT'
 """
 
 
+def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join demo with a correctness oracle: orders and
+    customer are materialized bucketed by custkey
+    (``TableStore.create_bucketed``), then joined and aggregated per
+    market segment. The join and the custkey-side of the plan run
+    with no shuffle exchange (asserted in tests/test_bucketed.py);
+    the oracle only certifies the *values* — identical to a plain
+    join — proving co-location is a physical layout choice, not a
+    semantic one."""
+    import shutil
+
+    from serverless_data_lake_spark.catalog import TableStore
+    from serverless_data_lake_spark.config import LakeConfig
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    safe = sf_dir.strip("/").replace("/", "_")
+    root = f"/tmp/sdls_entry_probe_bucket/{safe}"
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, LakeConfig(root=root))
+    store.create_bucketed("probe_db", "orders_b", orders, ["o_custkey"], 8)
+    store.create_bucketed("probe_db", "cust_b", cust, ["o_custkey"], 8)
+    j = store.read("probe_db", "orders_b").join(
+        store.read("probe_db", "cust_b"), "o_custkey"
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("price").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only media profiling — the binary column must never
     be read (parquet column pruning; asserted by plan tests). The
@@ -989,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_counts": _q_tumbling_windows,
         "merge_upsert_endstate": _q_merge_endstate,
         "partitioned_merge_endstate": _q_partitioned_merge,
+        "bucketed_join_revenue": _q_bucketed_join,
         "dedup_first_event_per_user": _q_dedup_events,
         "dedup_exact_documents": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_jaccard,
@@ -1037,6 +1087,7 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window_counts": _TUMBLING_ORACLE,
         "merge_upsert_endstate": _MERGE_ENDSTATE_ORACLE,
         "partitioned_merge_endstate": _PARTITIONED_MERGE_ORACLE,
+        "bucketed_join_revenue": _BUCKETED_JOIN_ORACLE,
         "dedup_first_event_per_user": _DEDUP_EVENTS_ORACLE,
         "dedup_exact_documents": _DEDUP_EXACT_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,

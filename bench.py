@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "tumbling_window_counts",
     "merge_upsert_endstate",
     "partitioned_merge_endstate",
+    "bucketed_join_revenue",
     "dedup_first_event_per_user",
     "dedup_exact_documents",
     "ngram_jaccard_pairs",

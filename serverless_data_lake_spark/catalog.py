@@ -64,6 +64,8 @@ class TableInfo:
     schema: StructType
     primary_keys: list[str]
     partition_by: list[str] = dataclasses.field(default_factory=list)
+    bucket_by: list[str] = dataclasses.field(default_factory=list)
+    n_buckets: int = 0
 
     @property
     def qualified(self) -> str:
@@ -268,6 +270,8 @@ class TableStore:
             "schema": info.schema.json(),
             "primary_keys": info.primary_keys,
             "partition_by": info.partition_by,
+            "bucket_by": info.bucket_by,
+            "n_buckets": info.n_buckets,
             "updated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         if file_stats is not None:
@@ -492,9 +496,16 @@ class TableStore:
             if info.partition_by
             else ""
         )
+        bucket = ""
+        if info.bucket_by:
+            cols = ", ".join(f"`{c}`" for c in info.bucket_by)
+            bucket = (
+                f" CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+                f"INTO {info.n_buckets} BUCKETS"
+            )
         self.spark.sql(
             f"CREATE TABLE `{info.database}`.`{info.name}` ({ddl}) "
-            f"USING parquet{part} LOCATION '{info.location}'"
+            f"USING parquet{part}{bucket} LOCATION '{info.location}'"
         )
         if info.partition_by:
             self.spark.sql(
@@ -544,6 +555,8 @@ class TableStore:
                     schema=StructType.fromJson(json.loads(meta["schema"])),
                     primary_keys=meta.get("primary_keys", []),
                     partition_by=meta.get("partition_by", []),
+                    bucket_by=meta.get("bucket_by", []),
+                    n_buckets=meta.get("n_buckets", 0),
                 )
                 self._register(info)
                 infos.append(info)
@@ -590,6 +603,8 @@ class TableStore:
             schema=StructType.fromJson(json.loads(meta["schema"])),
             primary_keys=meta.get("primary_keys", []),
             partition_by=meta.get("partition_by", []),
+            bucket_by=meta.get("bucket_by", []),
+            n_buckets=meta.get("n_buckets", 0),
         )
 
     # ------------------------------------------------------------------
@@ -642,12 +657,18 @@ class TableStore:
             else {}
         )
         self._write_meta(
-            TableInfo(
-                database, table, staging, schema, primary_keys or [],
-                partition_by,
-            ),
-            file_stats=stats,
+            dataclasses.replace(info, location=staging), file_stats=stats
         )
+        self._swap_in(info, staging)
+        return info
+
+    def _swap_in(self, info: TableInfo, staging: str) -> TableInfo:
+        """Directory-swap commit for full-replace writes: the staged
+        snapshot (data + metadata, already written under ``staging``)
+        becomes the table; the previous snapshot is deleted (or
+        archived under ``retain_history``) only after the new one is
+        in place."""
+        location = info.location
         old = f"{location}__old_{uuid.uuid4().hex[:8]}"
         if self._exists(location):
             self._rename_dir(location, old)
@@ -673,6 +694,69 @@ class TableStore:
         self._record_snapshot(info)
         return info
 
+    def create_bucketed(
+        self,
+        database: str,
+        table: str,
+        df: DataFrame,
+        bucket_by: list[str] | str,
+        n_buckets: int,
+        sort_by: list[str] | None = None,
+        primary_keys: list[str] | None = None,
+    ) -> TableInfo:
+        """Materialize a hash-bucketed (and per-bucket sorted) table.
+
+        Two tables bucketed the same way join on the bucket columns
+        with NO shuffle exchange on either side, and aggregations
+        keyed by the bucket columns skip their shuffle too — the
+        output files ARE the co-located layout. This is the
+        co-location lever for join-heavy gold marts: bucket the fact
+        and its dimensions by the join key once at write time, and
+        every downstream join is exchange-free. (Iceberg expresses
+        the same thing as a ``bucket(n, col)`` partition transform.)
+
+        Bucketed tables are overwrite-only materializations: bucket
+        membership is baked into file names at write time, so
+        incremental file surgery (merge/append) would corrupt the
+        bucket→file contract. Re-run the producing job to refresh —
+        exactly how dbt treats a ``table`` materialization.
+        """
+        if isinstance(bucket_by, str):
+            bucket_by = [bucket_by]
+        if not bucket_by or n_buckets <= 0:
+            raise ValueError("bucket_by and n_buckets>0 required")
+        missing = [c for c in bucket_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"bucket columns not in data: {missing}")
+        sort_by = list(sort_by or bucket_by)
+        location = self.config.table_path(database, table)
+        staging = f"{location}__stage_{uuid.uuid4().hex[:8]}"
+        # saveAsTable is the only writer that emits bucket metadata;
+        # stage under a throwaway catalog name, then drop the name
+        # (files stay) and swap the directory in like any replace.
+        tmp = f"sdls_bucket_stage_{uuid.uuid4().hex[:8]}"
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, *bucket_by)
+            .sortBy(*sort_by)
+            .option("path", staging)
+            .saveAsTable(tmp)
+        )
+        self.spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
+        info = TableInfo(
+            database,
+            table,
+            location,
+            df.schema,
+            primary_keys or [],
+            [],
+            bucket_by,
+            int(n_buckets),
+        )
+        self._write_meta(dataclasses.replace(info, location=staging))
+        self._swap_in(info, staging)
+        return info
+
     def append(
         self,
         database: str,
@@ -691,6 +775,12 @@ class TableStore:
         if existing is None:
             return self.create_or_replace(
                 database, table, df, primary_keys, partition_by
+            )
+        if existing.bucket_by:
+            raise ValueError(
+                f"{database}.{table} is a bucketed materialization "
+                f"(overwrite-only); re-run its producing job instead "
+                f"of appending"
             )
         merged_schema = self._merge_schemas(existing.schema, df.schema)
         df = self._conform(df, merged_schema)
@@ -770,6 +860,12 @@ class TableStore:
         if existing is None:
             return self.create_or_replace(
                 database, table, source, keys, partition_by
+            )
+        if existing.bucket_by:
+            raise ValueError(
+                f"{database}.{table} is a bucketed materialization "
+                f"(overwrite-only); re-run its producing job instead "
+                f"of merging"
             )
 
         merged_schema = self._merge_schemas(existing.schema, source.schema)
@@ -930,6 +1026,12 @@ class TableStore:
         info = self.info(database, table)
         if info is None:
             raise KeyError(f"no such table {database}.{table}")
+        if info.bucket_by:
+            # Bucket membership is baked into file names; rewriting
+            # them would break the bucket→file contract. Bucketed
+            # tables are written in one pass and never accrete small
+            # files, so there is nothing to compact.
+            return 0
         self._apply_pending(info.location)
         threshold = small_file_bytes or target_file_bytes // 2
         # Group small files by their partition directory ("" for a

@@ -170,7 +170,22 @@ class GoldRunner:
             obs, F.count(F.lit(1)).alias("rows")
         )
 
-        if job.write_mode == "overwrite" or not self.store.table_exists(
+        if job.bucket_by and job.write_mode != "overwrite":
+            raise ValueError(
+                "bucket_by requires write_mode=overwrite (bucketed "
+                "tables are full materializations)"
+            )
+        if job.bucket_by:
+            self.store.create_bucketed(
+                database,
+                job.name,
+                df,
+                job.bucket_by,
+                job.n_buckets,
+                primary_keys=job.unique_key,
+            )
+            mode = "overwrite"
+        elif job.write_mode == "overwrite" or not self.store.table_exists(
             database, job.name
         ):
             self.store.create_or_replace(

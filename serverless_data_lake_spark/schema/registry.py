@@ -173,10 +173,13 @@ class GoldJobConfig:
     cron_schedule: str = "day"  # hour | day | month
     dependencies: list[str] = field(default_factory=list)
     description: str = ""
-    # Scale extension beyond the reference's job config: hive
+    # Scale extensions beyond the reference's job config: hive
     # partition columns for the materialized table (partition
-    # pruning on reads, partition-local upserts).
+    # pruning on reads, partition-local upserts), or hash bucketing
+    # (shuffle-free joins/aggs on the bucket key; overwrite-only).
     partition_by: list[str] = field(default_factory=list)
+    bucket_by: list[str] = field(default_factory=list)
+    n_buckets: int = 8
 
     def __post_init__(self) -> None:
         # dbt-style configs allow a scalar unique_key; left as a bare
@@ -186,6 +189,8 @@ class GoldJobConfig:
             self.unique_key = [self.unique_key]
         if isinstance(self.partition_by, str):
             self.partition_by = [self.partition_by]
+        if isinstance(self.bucket_by, str):
+            self.bucket_by = [self.bucket_by]
 
     def to_dict(self) -> dict:
         return {
@@ -199,6 +204,8 @@ class GoldJobConfig:
             "dependencies": list(self.dependencies),
             "description": self.description,
             "partition_by": list(self.partition_by),
+            "bucket_by": list(self.bucket_by),
+            "n_buckets": self.n_buckets,
         }
 
     @classmethod
@@ -217,4 +224,6 @@ class GoldJobConfig:
             dependencies=list(d.get("dependencies") or []),
             description=d.get("description", ""),
             partition_by=list(d.get("partition_by") or []),
+            bucket_by=list(d.get("bucket_by") or []),
+            n_buckets=int(d.get("n_buckets") or 8),
         )
