@@ -9,6 +9,8 @@
   token counting, document fingerprinting.
 - ``multimodal`` — binary-column plumbing for image/audio/video
   payloads (decode stubbed; Spark-side schema/batching real).
+- ``skew``       — salted joins and two-phase salted aggregation for
+  hot-key shuffles AQE can't fix.
 
 All operators are Column-expression / DataFrame compositions (JVM
 whole-stage-codegen path); Python appears only inside Arrow-batched
@@ -30,6 +32,10 @@ from serverless_data_lake_spark.operators.similarity import (
     embedding_near_duplicates,
     ivf_topk,
     lsh_bucketed_topk,
+)
+from serverless_data_lake_spark.operators.skew import (
+    salted_aggregate,
+    salted_join,
 )
 from serverless_data_lake_spark.operators.text import (
     detect_language,
@@ -53,6 +59,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "quality_score",
+    "salted_aggregate",
+    "salted_join",
     "simhash_near_duplicates",
     "simhash_signatures",
     "token_count",
