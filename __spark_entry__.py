@@ -928,6 +928,67 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
 
+_PROFILE_COLS = ["o_custkey", "o_orderstatus", "o_orderdate"]
+
+
+def _q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (operators/profile.py): count /
+    nulls / exact distinct / min / max for three orders columns in
+    ONE aggregation job. Columns chosen for cross-engine stable
+    string rendering (bigint, varchar, date — doubles format
+    differently in JVM vs DuckDB)."""
+    from serverless_data_lake_spark.operators.profile import profile_table
+
+    orders = _read(spark, sf_dir, "orders")
+    return profile_table(orders, _PROFILE_COLS)
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+        COUNT(*) - COUNT({c}) AS n_nulls,
+        COUNT(DISTINCT {c}) AS n_distinct,
+        CAST(MIN({c}) AS VARCHAR) AS min_value,
+        CAST(MAX({c}) AS VARCHAR) AS max_value FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count quality gate: profile the same
+    columns exactly and approximately (``approx_count_distinct``,
+    the only viable distinct counter at 100 TB), emit the exact
+    count plus a boolean asserting the sketch landed within 10% —
+    the ANN-entry gate pattern, making an approximate operator
+    deterministically oracle-checkable."""
+    from serverless_data_lake_spark.operators.profile import profile_table
+
+    orders = _read(spark, sf_dir, "orders")
+    exact = profile_table(orders, _PROFILE_COLS).select(
+        "column", F.col("n_distinct").alias("__e")
+    )
+    approx = profile_table(orders, _PROFILE_COLS, approx=True).select(
+        "column", F.col("n_distinct").alias("__a")
+    )
+    return exact.join(approx, "column").select(
+        "column",
+        F.col("__e").alias("n_distinct"),
+        (
+            F.abs(F.col("__a") - F.col("__e"))
+            <= F.lit(0.1) * F.col("__e")
+        ).alias("approx_ok"),
+    )
+
+
+def _approx_distinct_oracle() -> str:
+    parts = [
+        f"""SELECT '{c}' AS "column", COUNT(DISTINCT {c}) AS n_distinct,
+        true AS approx_ok FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
 
 def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only media profiling — the binary column must never
@@ -1039,6 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_endstate": _q_merge_endstate,
         "partitioned_merge_endstate": _q_partitioned_merge,
         "bucketed_join_revenue": _q_bucketed_join,
+        "profile_orders": _q_profile,
+        "approx_distinct_gate": _q_approx_distinct,
         "dedup_first_event_per_user": _q_dedup_events,
         "dedup_exact_documents": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_jaccard,
@@ -1088,6 +1151,8 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert_endstate": _MERGE_ENDSTATE_ORACLE,
         "partitioned_merge_endstate": _PARTITIONED_MERGE_ORACLE,
         "bucketed_join_revenue": _BUCKETED_JOIN_ORACLE,
+        "profile_orders": _profile_oracle(),
+        "approx_distinct_gate": _approx_distinct_oracle(),
         "dedup_first_event_per_user": _DEDUP_EVENTS_ORACLE,
         "dedup_exact_documents": _DEDUP_EXACT_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,

@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "merge_upsert_endstate",
     "partitioned_merge_endstate",
     "bucketed_join_revenue",
+    "profile_orders",
+    "approx_distinct_gate",
     "dedup_first_event_per_user",
     "dedup_exact_documents",
     "ngram_jaccard_pairs",

@@ -11,6 +11,8 @@
   payloads (decode stubbed; Spark-side schema/batching real).
 - ``skew``       — salted joins and two-phase salted aggregation for
   hot-key shuffles AQE can't fix.
+- ``profile``    — single-pass per-column table profiling (count,
+  nulls, exact or HLL distinct, min/max).
 
 All operators are Column-expression / DataFrame compositions (JVM
 whole-stage-codegen path); Python appears only inside Arrow-batched
@@ -33,6 +35,7 @@ from serverless_data_lake_spark.operators.similarity import (
     ivf_topk,
     lsh_bucketed_topk,
 )
+from serverless_data_lake_spark.operators.profile import profile_table
 from serverless_data_lake_spark.operators.skew import (
     salted_aggregate,
     salted_join,
@@ -58,6 +61,7 @@ __all__ = [
     "lsh_bucketed_topk",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "profile_table",
     "quality_score",
     "salted_aggregate",
     "salted_join",

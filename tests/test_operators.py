@@ -554,3 +554,60 @@ class TestSkewOperators:
             salted_aggregate(
                 self._skewed(spark), ["k"], {"a": ("avg", "v")}
             )
+
+
+class TestProfile:
+    """Single-pass table profiling."""
+
+    def test_profile_values(self, spark):
+        from serverless_data_lake_spark.operators.profile import (
+            profile_table,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", None), (2, "b", 5.0), (2, None, 7.0)],
+            "k long, s string, v double",
+        )
+        prof = {r.column: r for r in profile_table(df).collect()}
+        assert prof["k"].n_rows == 3
+        assert prof["k"].n_nulls == 0
+        assert prof["k"].n_distinct == 2
+        assert prof["k"].min_value == "1" and prof["k"].max_value == "2"
+        assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+        assert prof["v"].n_nulls == 1
+
+    def test_profile_is_one_job(self, spark):
+        from serverless_data_lake_spark.operators.profile import (
+            profile_table,
+        )
+
+        df = spark.range(100).selectExpr(
+            "id", "id % 7 AS a", "CAST(id AS STRING) AS b"
+        )
+        plan = (
+            profile_table(df)
+            ._jdf.queryExecution()  # noqa: SLF001
+            .executedPlan()
+            .toString()
+        )
+        # One scan of the input regardless of column count.
+        assert plan.count("Scan ") <= 1
+
+    def test_unorderable_types_null_minmax(self, spark):
+        from serverless_data_lake_spark.operators.profile import (
+            profile_table,
+        )
+
+        df = spark.createDataFrame([([1, 2],), ([3],)], "arr array<long>")
+        r = profile_table(df).first()
+        assert r.min_value is None and r.max_value is None
+        assert r.n_distinct == 2
+
+    def test_approx_mode_close(self, spark):
+        from serverless_data_lake_spark.operators.profile import (
+            profile_table,
+        )
+
+        df = spark.range(5000).selectExpr("id % 1000 AS k")
+        r = profile_table(df, ["k"], approx=True).first()
+        assert abs(r.n_distinct - 1000) <= 100
