@@ -165,10 +165,31 @@ class GoldRunner:
         # i.e. a second job at 100 TB.
         from pyspark.sql import Observation
 
+        df = self.spark.sql(sql)
+        if (
+            job.incremental_column
+            and job.write_mode == "append"
+            and self.store.table_exists(database, job.name)
+        ):
+            # dbt-style incremental run: only rows past the target's
+            # high-water mark are processed. The filter wraps the
+            # whole query result, so Catalyst pushes it through
+            # projections/joins into the source scans where legal —
+            # at 100 TB this is the difference between reprocessing
+            # the world and reading one day's partitions. Rows at or
+            # below the mark (late data) are skipped, exactly like
+            # dbt's is_incremental() pattern; use unique_key upserts
+            # when late corrections matter.
+            hi = (
+                self.store.read(database, job.name)
+                .agg(F.max(job.incremental_column).alias("hi"))
+                .first()["hi"]
+            )
+            if hi is not None:
+                df = df.filter(F.col(job.incremental_column) > F.lit(hi))
+
         obs = Observation()
-        df = self.spark.sql(sql).observe(
-            obs, F.count(F.lit(1)).alias("rows")
-        )
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
 
         if job.bucket_by and job.write_mode != "overwrite":
             raise ValueError(

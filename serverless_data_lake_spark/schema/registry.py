@@ -180,6 +180,11 @@ class GoldJobConfig:
     partition_by: list[str] = field(default_factory=list)
     bucket_by: list[str] = field(default_factory=list)
     n_buckets: int = 8
+    # dbt-style incremental filter: on append runs against an
+    # existing table, only query rows with incremental_column >
+    # max(existing) are processed (late rows below the high-water
+    # mark are skipped, the standard dbt incremental caveat).
+    incremental_column: str = ""
 
     def __post_init__(self) -> None:
         # dbt-style configs allow a scalar unique_key; left as a bare
@@ -206,6 +211,7 @@ class GoldJobConfig:
             "partition_by": list(self.partition_by),
             "bucket_by": list(self.bucket_by),
             "n_buckets": self.n_buckets,
+            "incremental_column": self.incremental_column,
         }
 
     @classmethod
@@ -226,4 +232,5 @@ class GoldJobConfig:
             partition_by=list(d.get("partition_by") or []),
             bucket_by=list(d.get("bucket_by") or []),
             n_buckets=int(d.get("n_buckets") or 8),
+            incremental_column=d.get("incremental_column", ""),
         )

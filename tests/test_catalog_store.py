@@ -368,3 +368,31 @@ class TestTimeTravel:
             "db", "t", spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"]
         )
         assert store.snapshots("db", "t") == []
+
+
+class TestCompactSortBy:
+    def test_sorted_compaction_tightens_zone_maps(self, spark, store):
+        from pyspark.sql import functions as F
+
+        # Interleaved appends: every file spans nearly the full key
+        # range, so zone maps prune nothing.
+        for i in range(4):
+            df = spark.range(1000).select(
+                (F.col("id") * 4 + i).alias("k"),
+                F.lit(f"b{i}").alias("v"),
+            ).coalesce(1)
+            store.append("db", "t", df, ["k"])
+        n = store.compact(
+            "db", "t", target_file_bytes=16 * 1024, sort_by=["k"]
+        )
+        assert n == 4
+        info = store.info("db", "t")
+        stats = store._load_file_stats(info.location)  # noqa: SLF001
+        files = store._list_data_files(info.location)  # noqa: SLF001
+        assert len(files) >= 2
+        # Post-sort, file key ranges are disjoint (tight clustering).
+        ranges = sorted(stats.values())
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2
+        # Rows intact.
+        assert store.read("db", "t").count() == 4000

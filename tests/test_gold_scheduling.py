@@ -72,3 +72,90 @@ class TestTopoSort:
         # plain silver table name).
         jobs = [job("a", deps=["not_a_job"])]
         assert [j.name for j in topo_sort(jobs)] == ["a"]
+
+
+class TestIncrementalGold:
+    """dbt-style incremental materialization: append runs only
+    process rows past the target's high-water mark."""
+
+    def _setup(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from serverless_data_lake_spark.catalog import TableStore
+        from serverless_data_lake_spark.config import LakeConfig
+        from serverless_data_lake_spark.pipeline.gold import GoldRunner
+
+        cfg = LakeConfig(root=str(tmp_path / "lake"))
+        store = TableStore(spark, cfg)
+        base = spark.range(10).select(
+            F.col("id"), (F.col("id") * 10).alias("amount")
+        )
+        store.create_or_replace("sales_silver", "orders", base, ["id"])
+        return store, GoldRunner(spark, cfg, store=store)
+
+    def test_incremental_appends_only_new_rows(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from serverless_data_lake_spark.schema.registry import GoldJobConfig
+
+        store, runner = self._setup(spark, tmp_path)
+        job = GoldJobConfig(
+            domain="sales",
+            name="inc",
+            query="SELECT id, amount FROM sales.silver.orders",
+            write_mode="append",
+            incremental_column="id",
+        )
+        r1 = runner.run_job(job)
+        assert r1.rows == 10
+        # New silver rows beyond the high-water mark.
+        more = spark.range(10, 15).select(
+            F.col("id"), (F.col("id") * 10).alias("amount")
+        )
+        store.append("sales_silver", "orders", more)
+        r2 = runner.run_job(job)
+        assert r2.rows == 5  # only the delta, not 15
+        out = store.read("sales_gold", "inc")
+        assert out.count() == 15
+        assert out.select("id").distinct().count() == 15
+
+    def test_incremental_noop_when_no_new_rows(self, spark, tmp_path):
+        from serverless_data_lake_spark.schema.registry import GoldJobConfig
+
+        store, runner = self._setup(spark, tmp_path)
+        job = GoldJobConfig(
+            domain="sales",
+            name="inc",
+            query="SELECT id, amount FROM sales.silver.orders",
+            write_mode="append",
+            incremental_column="id",
+        )
+        runner.run_job(job)
+        r2 = runner.run_job(job)
+        assert r2.rows == 0
+        assert store.read("sales_gold", "inc").count() == 10
+
+    def test_incremental_with_unique_key_upserts_delta(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from serverless_data_lake_spark.schema.registry import GoldJobConfig
+
+        store, runner = self._setup(spark, tmp_path)
+        job = GoldJobConfig(
+            domain="sales",
+            name="inc",
+            query="SELECT id, amount FROM sales.silver.orders",
+            write_mode="append",
+            unique_key=["id"],
+            incremental_column="id",
+        )
+        runner.run_job(job)
+        more = spark.range(10, 12).select(
+            F.col("id"), (F.col("id") * 10).alias("amount")
+        )
+        store.append("sales_silver", "orders", more)
+        r2 = runner.run_job(job)
+        assert r2.rows == 2 and r2.mode == "upsert"
+        assert store.read("sales_gold", "inc").count() == 12
