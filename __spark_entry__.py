@@ -981,6 +981,36 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/text.py
+    ``chunk_documents``): the LLM-training context-window prep step,
+    computed fully in-row (zero shuffle). 64-token chunks with
+    16-token overlap; every document yields ≥1 chunk. The DuckDB
+    oracle reproduces the same windows with list slicing."""
+    from serverless_data_lake_spark.operators.text import chunk_documents
+
+    docs = _read_parallel(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", 64, 16)
+
+
+_CHUNK_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, GREATEST(1, CAST(ceil((len(toks) - 16) / 48.0) AS BIGINT)))) AS chunk_id
+  FROM t
+)
+SELECT doc_id,
+       chunk_id,
+       array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text,
+       len(toks[chunk_id*48+1 : chunk_id*48+64]) AS n_tokens
+FROM c
+"""
+
+
 def _approx_distinct_oracle() -> str:
     parts = [
         f"""SELECT '{c}' AS "column", COUNT(DISTINCT {c}) AS n_distinct,
@@ -1102,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_revenue": _q_bucketed_join,
         "profile_orders": _q_profile,
         "approx_distinct_gate": _q_approx_distinct,
+        "chunk_documents": _q_chunk_documents,
         "dedup_first_event_per_user": _q_dedup_events,
         "dedup_exact_documents": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_jaccard,
@@ -1153,6 +1184,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join_revenue": _BUCKETED_JOIN_ORACLE,
         "profile_orders": _profile_oracle(),
         "approx_distinct_gate": _approx_distinct_oracle(),
+        "chunk_documents": _CHUNK_ORACLE,
         "dedup_first_event_per_user": _DEDUP_EVENTS_ORACLE,
         "dedup_exact_documents": _DEDUP_EXACT_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "bucketed_join_revenue",
     "profile_orders",
     "approx_distinct_gate",
+    "chunk_documents",
     "dedup_first_event_per_user",
     "dedup_exact_documents",
     "ngram_jaccard_pairs",

@@ -117,3 +117,49 @@ def document_fingerprint(text: Column) -> Column:
     purposes at trillions of docs ≈ birthday bound √2⁶⁴ ≈ 4·10⁹)."""
     normalized = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
     return F.xxhash64(normalized)
+
+
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """Split documents into overlapping token-window chunks — the
+    standard context-window prep for LLM training/embedding: chunk i
+    covers tokens ``[i·step, i·step + chunk_tokens)`` with
+    ``step = chunk_tokens − overlap``.
+
+    Everything is in-row (token split → ``transform`` over chunk
+    starts → ``posexplode``): zero shuffles, output row count =
+    Σ ceil(max(len−overlap, 1)/step) — embarrassingly parallel at
+    corpus scale. An empty/short document yields exactly one
+    (possibly short) chunk, so no document silently disappears.
+
+    Returns ``<id_col>, chunk_id, chunk_text, n_tokens``.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.col(text_col), "\\s+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    k = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("__toks") - F.lit(overlap)) / F.lit(float(step))),
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.slice(F.col("__toks"), i * step + 1, chunk_tokens),
+    )
+    return base.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "__chunk"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
+        F.size("__chunk").cast("bigint").alias("n_tokens"),
+    )

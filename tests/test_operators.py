@@ -611,3 +611,64 @@ class TestProfile:
         df = spark.range(5000).selectExpr("id % 1000 AS k")
         r = profile_table(df, ["k"], approx=True).first()
         assert abs(r.n_distinct - 1000) <= 100
+
+
+class TestChunkDocuments:
+    def test_chunk_windows(self, spark):
+        from serverless_data_lake_spark.operators.text import (
+            chunk_documents,
+        )
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(100)))],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            chunk_documents(df, "doc_id", "text", 64, 16).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        assert [r.n_tokens for r in rows] == [64, 52]
+        assert rows[0].chunk_text.startswith("w0 ")
+        # Overlap: chunk 1 starts at token 48.
+        assert rows[1].chunk_text.startswith("w48 ")
+        # Full coverage: last token appears in the final chunk.
+        assert rows[1].chunk_text.endswith("w99")
+
+    def test_short_and_empty_docs_yield_one_chunk(self, spark):
+        from serverless_data_lake_spark.operators.text import (
+            chunk_documents,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "")], "doc_id long, text string"
+        )
+        rows = chunk_documents(df, "doc_id", "text", 64, 16).collect()
+        got = {(r.doc_id, r.chunk_id, r.n_tokens) for r in rows}
+        assert got == {(1, 0, 2), (2, 0, 0)}
+
+    def test_overlap_bound(self, spark):
+        import pytest
+
+        from serverless_data_lake_spark.operators.text import (
+            chunk_documents,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, "doc_id", "text", 16, 16)
+
+    def test_no_shuffle(self, spark):
+        from serverless_data_lake_spark.operators.text import (
+            chunk_documents,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        plan = (
+            chunk_documents(df, "doc_id", "text")
+            ._jdf.queryExecution()  # noqa: SLF001
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
