@@ -1011,6 +1011,44 @@ FROM c
 """
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (operators/text.py
+    ``repetition_stats``): duplicate-2-gram fraction and top-2-gram
+    fraction per document, in-row, zero shuffle. The DuckDB oracle
+    recomputes both with list comprehensions over the same grams."""
+    from serverless_data_lake_spark.operators.text import repetition_stats
+
+    docs = _read_parallel(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text", n=2)
+
+
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_filter(
+           [array_to_string(toks[i : i+1], ' ') FOR i IN range(1, len(toks))],
+           x -> x <> ''
+         ) AS grams
+  FROM t
+)
+SELECT doc_id,
+       len(grams) AS n_grams,
+       CASE WHEN len(grams) = 0 THEN 0.0
+            ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+       END AS dup_gram_frac,
+       CASE WHEN len(grams) = 0 THEN 0.0
+            ELSE CAST(list_max(list_transform(list_distinct(grams),
+                     u -> len(list_filter(grams, x -> x = u)))) AS DOUBLE)
+                 / len(grams)
+       END AS top_gram_frac
+FROM g
+"""
+
+
 def _approx_distinct_oracle() -> str:
     parts = [
         f"""SELECT '{c}' AS "column", COUNT(DISTINCT {c}) AS n_distinct,
@@ -1133,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": _q_profile,
         "approx_distinct_gate": _q_approx_distinct,
         "chunk_documents": _q_chunk_documents,
+        "repetition_stats": _q_repetition,
         "dedup_first_event_per_user": _q_dedup_events,
         "dedup_exact_documents": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_jaccard,
@@ -1185,6 +1224,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_orders": _profile_oracle(),
         "approx_distinct_gate": _approx_distinct_oracle(),
         "chunk_documents": _CHUNK_ORACLE,
+        "repetition_stats": _REPETITION_ORACLE,
         "dedup_first_event_per_user": _DEDUP_EVENTS_ORACLE,
         "dedup_exact_documents": _DEDUP_EXACT_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,

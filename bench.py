@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "profile_orders",
     "approx_distinct_gate",
     "chunk_documents",
+    "repetition_stats",
     "dedup_first_event_per_user",
     "dedup_exact_documents",
     "ngram_jaccard_pairs",

@@ -120,10 +120,17 @@ def _gram_array(text_col: str, n: int):
     if n <= 1:
         grams = toks
     else:
-        # transform over indices 0..len-n producing space-joined grams
-        grams = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        # transform over indices 0..len-n producing space-joined
+        # grams; documents shorter than n yield no grams (guarded —
+        # sequence(0, -1) would DESCEND and slice would reject the
+        # start index 0).
+        grams = F.when(
+            F.size(toks) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
         )
     return F.array_distinct(F.filter(grams, lambda g: g != ""))
 

@@ -163,3 +163,62 @@ def chunk_documents(
         F.array_join("__chunk", " ").alias("chunk_text"),
         F.size("__chunk").cast("bigint").alias("n_tokens"),
     )
+
+
+def repetition_stats(
+    df,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+):
+    """Gopher-style repetition quality signals, per document:
+
+    - ``n_grams``        — total word n-grams (with repeats);
+    - ``dup_gram_frac``  — 1 − distinct/total: the fraction of
+      n-gram slots occupied by repeats (high → boilerplate, keyword
+      stuffing, generation loops);
+    - ``top_gram_frac``  — occurrences of the most frequent n-gram
+      over total (high → a single repeated phrase dominates).
+
+    Both signals are standard pre-training filters (Gopher §A1.1
+    repetition heuristics, C4's repeated-phrase cleanup). Computed
+    fully in-row: the top-gram count is a fold over distinct grams ×
+    grams (O(d·t) per document — quadratic in *document* length,
+    constant per corpus row, embarrassingly parallel; for very long
+    documents chunk first with :func:`chunk_documents`).
+    Zero-gram documents report 0 for both fractions.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+    if n <= 1:
+        grams = toks
+    else:
+        # Documents shorter than n yield no grams (guarded:
+        # sequence(0, -1) would descend and slice rejects start 0).
+        grams = F.when(
+            F.size(toks) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        )
+    grams = F.filter(grams, lambda g: g != "")
+    base = df.select(F.col(id_col), grams.alias("__g"))
+    total = F.size("__g")
+    distinct = F.size(F.array_distinct("__g"))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct("__g"),
+            lambda g: F.size(F.filter(F.col("__g"), lambda x: x == g)),
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        total.cast("bigint").alias("n_grams"),
+        F.when(total == 0, F.lit(0.0))
+        .otherwise(F.lit(1.0) - distinct / total)
+        .alias("dup_gram_frac"),
+        F.when(total == 0, F.lit(0.0))
+        .otherwise(top / total)
+        .alias("top_gram_frac"),
+    )

@@ -672,3 +672,79 @@ class TestChunkDocuments:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestRepetitionStats:
+    def test_signals(self, spark):
+        from serverless_data_lake_spark.operators.text import (
+            repetition_stats,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b a b a b"),      # heavy repetition
+                (2, "one two three four"),  # all distinct
+                (3, ""),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+        # doc 1: grams = [a b, b a, a b, b a, a b] → 5 total, 2 distinct
+        assert rows[1].n_grams == 5
+        assert abs(rows[1].dup_gram_frac - 0.6) < 1e-9
+        assert abs(rows[1].top_gram_frac - 0.6) < 1e-9
+        # doc 2: 3 distinct grams out of 3.
+        assert rows[2].n_grams == 3
+        assert rows[2].dup_gram_frac == 0.0
+        assert abs(rows[2].top_gram_frac - 1 / 3) < 1e-9
+        # empty doc: zeros, not nulls/NaN.
+        assert rows[3].n_grams == 0
+        assert rows[3].dup_gram_frac == 0.0 and rows[3].top_gram_frac == 0.0
+
+    def test_unigram_mode(self, spark):
+        from serverless_data_lake_spark.operators.text import (
+            repetition_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x x y")], "doc_id long, text string"
+        )
+        r = repetition_stats(df, "doc_id", "text", n=1).first()
+        assert r.n_grams == 3
+        assert abs(r.dup_gram_frac - 1 / 3) < 1e-9
+
+
+class TestShortDocGrams:
+    """Documents shorter than the shingle size must yield empty gram
+    sets, not a slice() runtime error (regression: sequence(0,-1)
+    descends)."""
+
+    def test_jaccard_with_short_docs(self, spark):
+        from serverless_data_lake_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "one two"), (2, "a"), (3, ""), (4, "x y z w"), (5, "x y z w")],
+            "doc_id long, text string",
+        )
+        pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert got == {(4, 5)}
+
+    def test_minhash_with_short_docs(self, spark):
+        from serverless_data_lake_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, ""), (3, "p q r s t"), (4, "p q r s t")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                df, "doc_id", "text", num_hashes=16, bands=8
+            ).collect()
+        }
+        assert got == {(3, 4)}
