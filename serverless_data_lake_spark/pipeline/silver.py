@@ -139,6 +139,15 @@ class SilverProcessor:
     ) -> SilverResult:
         schema = self.registry.get(domain, endpoint)
         primary_keys = schema.primary_keys if schema else []
+        # Endpoint-declared silver partitioning (scale extension):
+        # applied on first table create; thereafter the existing
+        # layout wins (catalog.py). Columns absent from the batch are
+        # ignored rather than failing ingestion.
+        partition_by = [
+            c
+            for c in (schema.partition_by if schema else [])
+            if c in df.columns
+        ]
 
         # The batch is materialized ONCE (persist + the rows_in count
         # action); the dedup window, the merge's two scans of the
@@ -158,12 +167,16 @@ class SilverProcessor:
             deduped = keep_one_ordered(df, primary_keys, order)
             cleaned = deduped.drop(*METADATA_COLUMNS, "__arrival").persist()
             rows_written = cleaned.count()
-            self.store.merge(database, endpoint, cleaned, primary_keys)
+            self.store.merge(
+                database, endpoint, cleaned, primary_keys, partition_by
+            )
             mode = "merge"
         else:
             cleaned = df.drop(*METADATA_COLUMNS, "__arrival")
             rows_written = rows_in
-            self.store.append(database, endpoint, cleaned)
+            self.store.append(
+                database, endpoint, cleaned, partition_by=partition_by
+            )
             mode = "append"
 
         self._register_silver(domain, endpoint, cleaned, primary_keys)

@@ -109,6 +109,10 @@ class EndpointSchema:
     schema_mode: SchemaMode = SchemaMode.MANUAL
     strict_validation: bool = False
     description: str = ""
+    # Scale extension: hive partition columns for this endpoint's
+    # SILVER table (e.g. an event-date column). Partition pruning on
+    # silver reads + partition-local merges; see catalog.py.
+    partition_by: list[str] = field(default_factory=list)
 
     @property
     def primary_keys(self) -> list[str]:
@@ -121,6 +125,7 @@ class EndpointSchema:
             "schema_mode": self.schema_mode.value,
             "strict_validation": self.strict_validation,
             "description": self.description,
+            "partition_by": list(self.partition_by),
             "columns": [c.to_dict() for c in self.columns],
         }
 
@@ -133,6 +138,7 @@ class EndpointSchema:
             schema_mode=SchemaMode(d.get("schema_mode", "manual")),
             strict_validation=bool(d.get("strict_validation", False)),
             description=d.get("description", ""),
+            partition_by=list(d.get("partition_by") or []),
         )
 
 

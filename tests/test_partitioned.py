@@ -205,3 +205,53 @@ class TestGoldJobPartitionBy:
         t = store.read("sales_gold", "by_bucket")
         assert t.count() == 100
         assert t.filter(F.col("bucket") == 0).count() == 25
+
+
+class TestSilverPartitioning:
+    """Endpoint-declared silver partitioning flows bronze → silver."""
+
+    def test_silver_table_partitioned_by_endpoint_config(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from serverless_data_lake_spark.engine import Lake
+        from serverless_data_lake_spark.schema.types import (
+            ColumnDef,
+            DataType,
+            EndpointSchema,
+        )
+
+        lake = Lake.local(str(tmp_path / "lake"), spark)
+        schema = EndpointSchema(
+            domain="iot",
+            name="readings",
+            columns=[
+                ColumnDef("id", DataType.BIGINT, primary_key=True),
+                ColumnDef("region", DataType.STRING),
+                ColumnDef("v", DataType.DOUBLE),
+            ],
+            partition_by=["region"],
+        )
+        lake.create_endpoint(schema)
+        lake.ingest_batch(
+            "iot",
+            "readings",
+            [
+                {"id": 1, "region": "eu", "v": 1.0},
+                {"id": 2, "region": "us", "v": 2.0},
+                {"id": 3, "region": "eu", "v": 3.0},
+            ],
+        )
+        lake.process_silver("iot", "readings")
+        info = lake.store.info("iot_silver", "readings")
+        assert info.partition_by == ["region"]
+        t = lake.store.read("iot_silver", "readings")
+        assert t.count() == 3
+        q = t.filter(F.col("region") == "eu")
+        files = q.inputFiles()
+        assert files and all("/region=eu/" in f for f in files)
+        # Round-trips through the registry YAML.
+        assert lake.registry.get("iot", "readings").partition_by == [
+            "region"
+        ]
