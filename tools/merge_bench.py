@@ -74,6 +74,32 @@ def main() -> None:
         }
     )
 
+    # Partitioned twin: same table hive-partitioned by event_type; a
+    # batch touching ONE type must leave every other partition's
+    # files untouched (partition-pruned COW).
+    store.create_or_replace(
+        "bench_silver", "events_part", events, ["event_id"], ["event_type"]
+    )
+    pinfo = store.info("bench_silver", "events_part")
+    one_type = events.select("event_type").first()["event_type"]
+    pbatch = events.filter(
+        (F.col("event_type") == one_type) & (F.col("event_id") < batch_rows)
+    ).withColumn("value", F.col("value") + 1000.0)
+    pbefore = set(store._list_data_files(pinfo.location))  # noqa: SLF001
+    t0 = time.time()
+    store.merge("bench_silver", "events_part", pbatch, ["event_id"])
+    pmerge_s = time.time() - t0
+    pafter = set(store._list_data_files(pinfo.location))  # noqa: SLF001
+    outside = {f for f in pbefore if f"/event_type={one_type}/" not in f}
+    print(
+        {
+            "partitioned_total_files": len(pbefore),
+            "partitioned_files_rewritten": len(pbefore - pafter),
+            "partitioned_outside_partition_untouched": outside <= pafter,
+            "partitioned_merge_seconds": round(pmerge_s, 2),
+        }
+    )
+
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
