@@ -1011,6 +1011,53 @@ FROM c
 """
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/join_stream.py): view→click attribution — clicks
+    within 5 minutes after a view by the same user. The streaming
+    variant runs the IDENTICAL plan with watermarks
+    (tests/test_join_stream.py asserts stream==batch); this entry
+    oracle-checks the join semantics themselves."""
+    from serverless_data_lake_spark.streaming.join_stream import (
+        interval_join,
+    )
+
+    events = _read(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = interval_join(
+        views, clicks, ["user_id"], "view_ts", "click_ts",
+        lower="0 seconds", upper="5 minutes",
+    )
+    return out.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (
+            F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")
+        ).cast("bigint").alias("gap_seconds"),
+    )
+
+
+_INTERVAL_JOIN_ORACLE = """
+SELECT l.user_id,
+       l.event_id AS view_id,
+       r.event_id AS click_id,
+       CAST(floor(epoch(r.ts)) - floor(epoch(l.ts)) AS BIGINT) AS gap_seconds
+FROM events l JOIN events r USING (user_id)
+WHERE l.event_type = 'view' AND r.event_type = 'click'
+  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTE
+"""
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (operators/text.py
     ``repetition_stats``): duplicate-2-gram fraction and top-2-gram
@@ -1172,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_gate": _q_approx_distinct,
         "chunk_documents": _q_chunk_documents,
         "repetition_stats": _q_repetition,
+        "interval_join_attribution": _q_interval_join,
         "dedup_first_event_per_user": _q_dedup_events,
         "dedup_exact_documents": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_jaccard,
@@ -1225,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_gate": _approx_distinct_oracle(),
         "chunk_documents": _CHUNK_ORACLE,
         "repetition_stats": _REPETITION_ORACLE,
+        "interval_join_attribution": _INTERVAL_JOIN_ORACLE,
         "dedup_first_event_per_user": _DEDUP_EVENTS_ORACLE,
         "dedup_exact_documents": _DEDUP_EXACT_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "approx_distinct_gate",
     "chunk_documents",
     "repetition_stats",
+    "interval_join_attribution",
     "dedup_first_event_per_user",
     "dedup_exact_documents",
     "ngram_jaccard_pairs",
