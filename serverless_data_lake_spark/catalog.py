@@ -513,17 +513,41 @@ class TableStore:
                 f"RECOVER PARTITIONS"
             )
 
-    def _refresh(self, info: TableInfo) -> None:
+    def _refresh(self, info: TableInfo, new_partitions=None) -> None:
         """Post-write catalog sync: new partition directories must be
-        added to the catalog's partition list (at scale, ALTER TABLE
-        ADD PARTITION per new directory is the surgical variant;
-        RECOVER rescans the layout, which is fine at these sizes)."""
+        added to the catalog's partition list. When the write knows
+        exactly which partition values its batch touched
+        (``new_partitions``: rows keyed by partition column), each is
+        added surgically with ADD IF NOT EXISTS PARTITION — O(batch
+        partitions). Otherwise RECOVER rescans the whole layout —
+        O(table partitions), the fallback a 10k-partition table
+        should avoid on the hot path."""
+        q = f"`{info.database}`.`{info.name}`"
         if info.partition_by:
-            self.spark.sql(
-                f"ALTER TABLE `{info.database}`.`{info.name}` "
-                f"RECOVER PARTITIONS"
-            )
-        self.spark.sql(f"REFRESH TABLE `{info.database}`.`{info.name}`")
+            specs = None
+            if new_partitions is not None and all(
+                r[c] is not None
+                for r in new_partitions
+                for c in info.partition_by
+            ):
+                specs = [
+                    ", ".join(
+                        "`{}`='{}'".format(
+                            c, str(r[c]).replace("'", "''")
+                        )
+                        for c in info.partition_by
+                    )
+                    for r in new_partitions
+                ]
+            if specs is not None:
+                for spec in specs:
+                    self.spark.sql(
+                        f"ALTER TABLE {q} "
+                        f"ADD IF NOT EXISTS PARTITION ({spec})"
+                    )
+            else:
+                self.spark.sql(f"ALTER TABLE {q} RECOVER PARTITIONS")
+        self.spark.sql(f"REFRESH TABLE {q}")
 
     def register_all(self) -> list[TableInfo]:
         """Scan the warehouse and register every persisted table in
@@ -878,6 +902,7 @@ class TableStore:
         # — persist it so the source plan runs once for all three.
         src_keys = source.select(*keys).dropDuplicates(keys).persist()
 
+        batch_parts = None
         if pby:
             # Partition-pruned affected-file scan: read through the
             # partitioned layout and filter to the batch's partition
@@ -896,6 +921,7 @@ class TableStore:
                     source.select(*pby).dropDuplicates(pby).limit(10001).collect()
                 )
                 if len(pvals) <= 10000:
+                    batch_parts = pvals
                     cond = None
                     for r in pvals:
                         t = None
@@ -985,7 +1011,10 @@ class TableStore:
         if merged_schema != existing.schema:
             self._register(info)
         else:
-            self._refresh(info)
+            # The batch's collected partition tuples make the catalog
+            # sync surgical (ADD PARTITION per touched value) instead
+            # of a full layout rescan.
+            self._refresh(info, batch_parts)
         return info
 
     def delete_insert(
