@@ -161,3 +161,16 @@ class Lake:
 
     def list_tables(self) -> list[dict]:
         return self.store.list_tables(registry=self.registry)
+
+    def profile(
+        self, domain: str, layer: str, table: str, approx: bool = False
+    ) -> list[dict]:
+        """Per-column profile of any three-part table (single-pass;
+        see operators/profile.py). ``approx=True`` uses HLL distinct
+        counts — the 100 TB mode."""
+        from serverless_data_lake_spark.operators.profile import (
+            profile_table,
+        )
+
+        df = self.sql(f"SELECT * FROM {domain}.{layer}.{table}")
+        return [r.asDict() for r in profile_table(df, approx=approx).collect()]

@@ -43,6 +43,9 @@ _INGEST_RE = re.compile(r"^/ingest/([\w-]+)/([\w-]+)(/batch)?$")
 _PROCESS_RE = re.compile(r"^/process/([\w-]+)/([\w-]+)$")
 _JOB_RUN_RE = re.compile(r"^/transform/jobs/([\w-]+)/([\w-]+)/run$")
 _JOB_STATUS_RE = re.compile(r"^/transform/jobs/([\w-]+)/([\w-]+)/status$")
+_PROFILE_RE = re.compile(
+    r"^/consumption/profile/([\w-]+)/([\w-]+)/([\w-]+)$"
+)
 
 
 class LakeServer:
@@ -124,6 +127,23 @@ class LakeServer:
                         })
                     elif url.path == "/consumption/tables":
                         self._send(200, {"tables": lake.list_tables()})
+                    elif _PROFILE_RE.match(url.path):
+                        m = _PROFILE_RE.match(url.path)
+                        approx = (
+                            parse_qs(url.query).get("approx", ["false"])[0]
+                            == "true"
+                        )
+                        self._send(
+                            200,
+                            {
+                                "profile": lake.profile(
+                                    m.group(1),
+                                    m.group(2),
+                                    m.group(3),
+                                    approx=approx,
+                                )
+                            },
+                        )
                     else:
                         m = _JOB_STATUS_RE.match(url.path)
                         if m:

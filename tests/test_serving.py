@@ -228,3 +228,25 @@ class TestAuth:
         except urllib.error.HTTPError as exc:
             status = exc.code
         assert status == 401
+
+
+class TestProfileEndpoint:
+    def test_profile_route(self, server):
+        status, body = _get(
+            f"{server}/consumption/profile/sales/silver/orders"
+        )
+        assert status == 200
+        prof = {p["column"]: p for p in body["profile"]}
+        assert prof["order_id"]["n_rows"] == 2
+        assert prof["order_id"]["n_distinct"] == 2
+        assert prof["order_id"]["n_nulls"] == 0
+        assert prof["order_id"]["min_value"] == "1"
+
+    def test_profile_approx_mode(self, server):
+        status, body = _get(
+            f"{server}/consumption/profile/sales/silver/orders?approx=true"
+        )
+        assert status == 200
+        prof = {p["column"]: p for p in body["profile"]}
+        # HLL on 2 rows is exact.
+        assert prof["order_id"]["n_distinct"] == 2
