@@ -1011,6 +1011,54 @@ FROM c
 """
 
 
+def _q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (operators/sampling.py): keep
+    ~10% of documents by md5(doc_id) — reproducible on any run,
+    partitioning, or engine; the oracle reproduces the exact same
+    selection in DuckDB (md5 is md5 everywhere)."""
+    from serverless_data_lake_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return deterministic_sample(docs, "doc_id", 0.1)
+
+
+_DET_SAMPLE_ORACLE = """
+SELECT doc_id, n_chars FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      / 4294967296.0 < 0.1
+"""
+
+
+def _q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment keyed on doc_id
+    (operators/sampling.py ``assign_splits``), aggregated to per-split
+    counts. The oracle reproduces the cumulative hash-bound
+    assignment exactly."""
+    from serverless_data_lake_spark.operators.sampling import assign_splits
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    out = assign_splits(docs, "doc_id")
+    return out.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+
+
+_SPLIT_ORACLE = """
+WITH u AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         / 4294967296.0 AS unit
+  FROM documents
+)
+SELECT CASE WHEN unit < 0.8 THEN 'train'
+            WHEN unit < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM u GROUP BY 1
+"""
+
+
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream-stream interval join
     (streaming/join_stream.py): view→click attribution — clicks
@@ -1220,6 +1268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "repetition_stats": _q_repetition,
         "interval_join_attribution": _q_interval_join,
+        "deterministic_sample": _q_det_sample,
+        "split_assignment": _q_split_assignment,
         "dedup_first_event_per_user": _q_dedup_events,
         "dedup_exact_documents": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_jaccard,
@@ -1274,6 +1324,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _CHUNK_ORACLE,
         "repetition_stats": _REPETITION_ORACLE,
         "interval_join_attribution": _INTERVAL_JOIN_ORACLE,
+        "deterministic_sample": _DET_SAMPLE_ORACLE,
+        "split_assignment": _SPLIT_ORACLE,
         "dedup_first_event_per_user": _DEDUP_EVENTS_ORACLE,
         "dedup_exact_documents": _DEDUP_EXACT_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,

@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "chunk_documents",
     "repetition_stats",
     "interval_join_attribution",
+    "deterministic_sample",
+    "split_assignment",
     "dedup_first_event_per_user",
     "dedup_exact_documents",
     "ngram_jaccard_pairs",

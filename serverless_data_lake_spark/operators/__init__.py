@@ -13,6 +13,8 @@
   hot-key shuffles AQE can't fix.
 - ``profile``    — single-pass per-column table profiling (count,
   nulls, exact or HLL distinct, min/max).
+- ``sampling``   — deterministic hash sampling and leakage-safe
+  train/val/test splits.
 
 All operators are Column-expression / DataFrame compositions (JVM
 whole-stage-codegen path); Python appears only inside Arrow-batched
@@ -36,6 +38,11 @@ from serverless_data_lake_spark.operators.similarity import (
     lsh_bucketed_topk,
 )
 from serverless_data_lake_spark.operators.profile import profile_table
+from serverless_data_lake_spark.operators.sampling import (
+    assign_splits,
+    deterministic_sample,
+    hash_unit,
+)
 from serverless_data_lake_spark.operators.skew import (
     salted_aggregate,
     salted_join,
@@ -49,13 +56,16 @@ from serverless_data_lake_spark.operators.text import (
 )
 
 __all__ = [
+    "assign_splits",
     "cosine_similarity_col",
     "cosine_topk",
     "dedup_exact",
+    "deterministic_sample",
     "embedding_all_pairs_numpy",
     "detect_language",
     "document_fingerprint",
     "embedding_near_duplicates",
+    "hash_unit",
     "ivf_topk",
     "keep_one_per_key",
     "lsh_bucketed_topk",

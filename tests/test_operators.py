@@ -748,3 +748,76 @@ class TestShortDocGrams:
             ).collect()
         }
         assert got == {(3, 4)}
+
+
+class TestSampling:
+    def test_sample_is_deterministic_across_layouts(self, spark):
+        from serverless_data_lake_spark.operators.sampling import (
+            deterministic_sample,
+        )
+
+        df = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+        a = {r.k for r in deterministic_sample(df, "k", 0.2).collect()}
+        b = {
+            r.k
+            for r in deterministic_sample(
+                df.repartition(13), "k", 0.2
+            ).collect()
+        }
+        assert a == b
+        assert 100 < len(a) < 300  # ~20%
+
+    def test_salt_decorrelates(self, spark):
+        from serverless_data_lake_spark.operators.sampling import (
+            deterministic_sample,
+        )
+
+        df = spark.range(1000).selectExpr("id AS k")
+        a = {r.k for r in deterministic_sample(df, "k", 0.2).collect()}
+        b = {
+            r.k
+            for r in deterministic_sample(df, "k", 0.2, salt="x").collect()
+        }
+        assert a != b
+
+    def test_splits_partition_rows(self, spark):
+        from serverless_data_lake_spark.operators.sampling import (
+            assign_splits,
+        )
+
+        df = spark.range(1000).selectExpr("id AS k")
+        out = assign_splits(df, "k")
+        counts = {r.split: r.n for r in out.groupBy("split").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        ).collect()}
+        assert sum(counts.values()) == 1000
+        assert counts["train"] > counts["val"]
+        assert set(counts) == {"train", "val", "test"}
+
+    def test_group_stability(self, spark):
+        from pyspark.sql import functions as F
+
+        from serverless_data_lake_spark.operators.sampling import (
+            assign_splits,
+        )
+
+        # Many rows per user; all rows of a user share the split.
+        df = spark.range(1000).select(
+            (F.col("id") % 50).alias("user_id"), F.col("id")
+        )
+        out = assign_splits(df, "user_id")
+        per_user = out.groupBy("user_id").agg(
+            F.count_distinct("split").alias("n_splits")
+        )
+        assert per_user.filter(F.col("n_splits") > 1).count() == 0
+
+    def test_weight_validation(self, spark):
+        import pytest
+
+        from serverless_data_lake_spark.operators.sampling import (
+            assign_splits,
+        )
+
+        df = spark.range(10).selectExpr("id AS k")
+        with pytest.raises(ValueError, match="sum to 1"):
+            assign_splits(df, "k", {"a": 0.5, "b": 0.2})
