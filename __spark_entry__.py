@@ -1011,6 +1011,49 @@ FROM c
 """
 
 
+def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.py ``redact_pii``): emails, IPv4
+    addresses, and phone runs replaced with typed tokens. The corpus
+    has no real PII, so the entry plants deterministic synthetic PII
+    derived from each doc_id and redacts it; the oracle replays the
+    identical construction + RE2-compatible regex chain in DuckDB
+    (global flag), proving the redaction is engine-portable."""
+    from serverless_data_lake_spark.operators.text import redact_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256),
+        F.lit(".7 call +1 415 555 01"),
+        F.lpad(F.col("doc_id") % 100, 2, "0"),
+    )
+    return docs.select(
+        "doc_id", redact_pii(planted).alias("redacted")
+    )
+
+
+_REDACT_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com ip 10.0.'
+              || (doc_id % 256) || '.7 call +1 415 555 01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS planted
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(planted,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         '\\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+FROM p
+"""
+
+
 def _q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling (operators/sampling.py): keep
     ~10% of documents by md5(doc_id) — reproducible on any run,
@@ -1270,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_attribution": _q_interval_join,
         "deterministic_sample": _q_det_sample,
         "split_assignment": _q_split_assignment,
+        "redact_pii": _q_redact_pii,
         "dedup_first_event_per_user": _q_dedup_events,
         "dedup_exact_documents": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_jaccard,
@@ -1326,6 +1370,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_attribution": _INTERVAL_JOIN_ORACLE,
         "deterministic_sample": _DET_SAMPLE_ORACLE,
         "split_assignment": _SPLIT_ORACLE,
+        "redact_pii": _REDACT_ORACLE,
         "dedup_first_event_per_user": _DEDUP_EVENTS_ORACLE,
         "dedup_exact_documents": _DEDUP_EXACT_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "interval_join_attribution",
     "deterministic_sample",
     "split_assignment",
+    "redact_pii",
     "dedup_first_event_per_user",
     "dedup_exact_documents",
     "ngram_jaccard_pairs",

@@ -222,3 +222,35 @@ def repetition_stats(
         .otherwise(top / total)
         .alias("top_gram_frac"),
     )
+
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookaround — so the redaction is
+# engine-portable and oracle-checkable.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+}
+_PII_ORDER = ["email", "ip", "phone"]  # email first: '@' guards it;
+# ip before phone: digits+dots would otherwise match the phone run.
+
+
+def redact_pii(text: Column, kinds: list[str] | None = None) -> Column:
+    """Replace emails / IPv4 addresses / phone-number runs with
+    typed placeholder tokens — the scrubbing pass applied to corpus
+    text before training or inspection. Pure ``regexp_replace``
+    chain (JVM-side, order fixed and documented); patterns are
+    deliberately conservative: false negatives over false positives,
+    and portable across regex engines so the operation itself is
+    oracle-checkable."""
+    kinds = kinds or _PII_ORDER
+    unknown = [k for k in kinds if k not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {unknown}")
+    out = text
+    for k in _PII_ORDER:
+        if k in kinds:
+            pat, token = PII_PATTERNS[k]
+            out = F.regexp_replace(out, pat, token)
+    return out

@@ -821,3 +821,51 @@ class TestSampling:
         df = spark.range(10).selectExpr("id AS k")
         with pytest.raises(ValueError, match="sum to 1"):
             assign_splits(df, "k", {"a": 0.5, "b": 0.2})
+
+
+class TestRedactPii:
+    def test_all_kinds(self, spark):
+        from pyspark.sql import functions as F
+
+        from serverless_data_lake_spark.operators.text import redact_pii
+
+        df = spark.createDataFrame(
+            [(
+                "mail a.b+c@ex.org then 10.20.30.40 then "
+                "+1 (415) 555-0133 done",
+            )],
+            "t string",
+        )
+        r = df.select(redact_pii(F.col("t")).alias("r")).first().r
+        assert r == "mail <EMAIL> then <IP> then <PHONE> done"
+
+    def test_kind_selection(self, spark):
+        from pyspark.sql import functions as F
+
+        from serverless_data_lake_spark.operators.text import redact_pii
+
+        df = spark.createDataFrame([("x@y.io 1.2.3.4",)], "t string")
+        r = df.select(
+            redact_pii(F.col("t"), kinds=["email"]).alias("r")
+        ).first().r
+        assert r == "<EMAIL> 1.2.3.4"
+
+    def test_clean_text_untouched(self, spark):
+        from pyspark.sql import functions as F
+
+        from serverless_data_lake_spark.operators.text import redact_pii
+
+        df = spark.createDataFrame(
+            [("plain prose with no identifiers at all",)], "t string"
+        )
+        r = df.select(redact_pii(F.col("t")).alias("r")).first().r
+        assert r == "plain prose with no identifiers at all"
+
+    def test_unknown_kind_raises(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from serverless_data_lake_spark.operators.text import redact_pii
+
+        with pytest.raises(ValueError, match="unknown PII"):
+            redact_pii(F.lit("x"), kinds=["ssn"])
