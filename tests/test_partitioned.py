@@ -255,3 +255,47 @@ class TestSilverPartitioning:
         assert lake.registry.get("iot", "readings").partition_by == [
             "region"
         ]
+
+
+class TestPartitionedCommitRecovery:
+    """The journalled commit must roll forward through partition
+    subdirectories: staged files move into their partition dirs, and
+    journalled deletes inside partitions are applied."""
+
+    def test_crash_after_marker_before_movein(self, spark, store):
+        store.create_or_replace("d_gold", "t", _base(spark), ["id"], ["p"])
+        info = store.info("d_gold", "t")
+        # Crashed partitioned merge: staging holds a rewritten p=1
+        # (values negated), marker lists the current p=1 files.
+        matched = [
+            f
+            for f in store._list_data_files(info.location)
+            if "/p=1/" in f
+        ]
+        assert matched
+        staging = f"{info.location}__stage_crash"
+        (
+            spark.read.option("basePath", info.location)
+            .parquet(*matched)
+            .withColumn("v", F.lit(-1).cast("long"))
+            .write.partitionBy("p")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        store._write_pending(info.location, staging, matched)
+
+        store._apply_pending(info.location)  # next write's first act
+        spark.sql("REFRESH TABLE `d_gold`.`t`")
+        t = store.read("d_gold", "t")
+        assert t.count() == 100
+        # p=1 rows carry the staged update; everything else intact.
+        assert t.filter(F.col("p") == 1).agg(
+            F.sum("v")
+        ).first()[0] == -25
+        assert not store._exists(staging)
+        assert not store._exists(f"{info.location}/_sdls_pending.json")
+        # Every data file still lives inside a partition directory —
+        # the roll-forward preserved relative paths rather than
+        # flattening staged files into the table root.
+        files = store._list_data_files(info.location)
+        assert files and all("/p=" in f for f in files)
