@@ -1011,6 +1011,49 @@ FROM c
 """
 
 
+def _q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile aggregates, gate-checked: ``percentile_approx``
+    (t-digest-style mergeable sketch — the only viable quantile at
+    100 TB) against the exact ``percentile`` on the same column, in
+    one aggregation. Emits one row per requested quantile with a
+    boolean asserting the sketch landed within 1% of the exact
+    spread — deterministic, so oracle-checkable like the ANN recall
+    and HLL gates."""
+    orders = _read(spark, sf_dir, "orders")
+    qs = [0.25, 0.5, 0.75, 0.9]
+    arr = "array(" + ",".join(str(q) for q in qs) + ")"
+    agg = orders.agg(
+        F.expr(
+            f"percentile_approx(o_totalprice, {arr}, 10000)"
+        ).alias("__a"),
+        F.expr(f"percentile(o_totalprice, {arr})").alias("__e"),
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("__range"),
+    )
+    pairs = agg.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in qs]).alias("quantile"),
+                F.col("__a").alias("a"),
+                F.col("__e").alias("e"),
+            )
+        ).alias("z"),
+        "__range",
+    )
+    return pairs.select(
+        F.col("z.quantile").alias("quantile"),
+        (
+            F.abs(F.col("z.a") - F.col("z.e"))
+            <= F.lit(0.01) * F.col("__range")
+        ).alias("approx_ok"),
+    )
+
+
+_QUANTILE_GATE_ORACLE = """
+SELECT CAST(q AS DOUBLE) AS quantile, true AS approx_ok
+FROM (VALUES (0.25), (0.5), (0.75), (0.9)) AS t(q)
+"""
+
+
 def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (operators/text.py ``redact_pii``): emails, IPv4
     addresses, and phone runs replaced with typed tokens. The corpus
@@ -1314,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": _q_det_sample,
         "split_assignment": _q_split_assignment,
         "redact_pii": _q_redact_pii,
+        "approx_quantile_gate": _q_quantile_gate,
         "dedup_first_event_per_user": _q_dedup_events,
         "dedup_exact_documents": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_jaccard,
@@ -1371,6 +1415,7 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample": _DET_SAMPLE_ORACLE,
         "split_assignment": _SPLIT_ORACLE,
         "redact_pii": _REDACT_ORACLE,
+        "approx_quantile_gate": _QUANTILE_GATE_ORACLE,
         "dedup_first_event_per_user": _DEDUP_EVENTS_ORACLE,
         "dedup_exact_documents": _DEDUP_EXACT_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "deterministic_sample",
     "split_assignment",
     "redact_pii",
+    "approx_quantile_gate",
     "dedup_first_event_per_user",
     "dedup_exact_documents",
     "ngram_jaccard_pairs",
