@@ -149,3 +149,71 @@ class TestDifferentialFuzz:
             cur = con.execute(q.replace("tpch.silver.", ""))
             drows = [tuple(canon(v) for v in row) for row in cur.fetchall()]
             assert srows == drows, q
+
+
+class TestSamplingProperties:
+    """Pure-Python invariants of the hash-unit sampling math (no
+    Spark session needed — the column expression mirrors this
+    arithmetic; cross-engine equality is covered by the driver
+    oracles)."""
+
+    @given(st.integers(min_value=0, max_value=2**62), st.text(max_size=8))
+    @settings(max_examples=300, deadline=None)
+    def test_hash_unit_range_and_determinism(self, key, salt):
+        import hashlib
+
+        h = hashlib.md5(f"{salt}{key}".encode()).hexdigest()
+        unit = int(h[:8], 16) / float(1 << 32)
+        assert 0.0 <= unit < 1.0
+        h2 = hashlib.md5(f"{salt}{key}".encode()).hexdigest()
+        assert int(h2[:8], 16) / float(1 << 32) == unit
+
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=10**9),
+            min_size=50,
+            max_size=200,
+            unique=True,
+        )
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_split_bounds_partition_every_key(self, keys):
+        import hashlib
+
+        bounds = [("train", 0.8), ("val", 0.9), ("test", 1.0)]
+        seen = set()
+        for k in keys:
+            u = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) / float(
+                1 << 32
+            )
+            name = next(n for n, b in bounds if u < b or b == 1.0)
+            seen.add(name)
+            assert name in {"train", "val", "test"}
+        # Every key lands somewhere; with ≥50 keys train is hit.
+        assert "train" in seen
+
+
+class TestChunkMath:
+    """Chunk-window arithmetic invariants (mirrors chunk_documents)."""
+
+    @given(
+        st.integers(min_value=0, max_value=500),
+        st.integers(min_value=2, max_value=64),
+        st.integers(min_value=0, max_value=32),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_chunks_cover_every_token(self, n_tokens, chunk, overlap):
+        import math
+
+        if overlap >= chunk:
+            return
+        step = chunk - overlap
+        k = max(1, math.ceil((n_tokens - overlap) / step))
+        covered = set()
+        for i in range(k):
+            covered.update(range(i * step, min(i * step + chunk, n_tokens)))
+        assert covered == set(range(n_tokens))
+        # No chunk starts beyond the data (except the single chunk of
+        # an empty doc).
+        if n_tokens:
+            assert (k - 1) * step < n_tokens
