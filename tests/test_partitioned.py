@@ -299,3 +299,55 @@ class TestPartitionedCommitRecovery:
         # flattening staged files into the table root.
         files = store._list_data_files(info.location)
         assert files and all("/p=" in f for f in files)
+
+
+class TestIvfCellPartitionedStorage:
+    """The IVF scale path end-to-end: assign corpus vectors to coarse
+    cells, STORE the corpus hive-partitioned by cell id, and verify a
+    probe's scan is pruned to its cell directories — file-level I/O
+    proportional to nprobe/nlist of the corpus, which is what makes
+    IVF sub-linear on disk and not just in compute."""
+
+    def test_probe_scan_prunes_cells(self, spark, store):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        vecs = rng.normal(size=(400, 8)).astype(float)
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(400)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        # Coarse assignment: reuse the IVF quantizer machinery by
+        # picking the argmax-dot cell against 4 fixed centroids.
+        from pyspark.sql import functions as F
+
+        cents = [vecs[i] / np.linalg.norm(vecs[i]) for i in range(4)]
+        def dot(c):
+            return F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        scores = F.array(*[dot(c) for c in cents])
+        assigned = df.withColumn(
+            "cell",
+            (F.array_position(scores, F.array_max(scores)) - 1).cast("int"),
+        )
+        store.create_or_replace(
+            "ann_gold", "corpus", assigned, ["vec_id"], ["cell"]
+        )
+        t = store.read("ann_gold", "corpus")
+        n_cells = t.select("cell").distinct().count()
+        assert n_cells >= 2
+
+        probe = t.filter(F.col("cell") == 0)
+        files = probe.inputFiles()
+        assert files and all("/cell=0/" in f for f in files)
+        # Pruned I/O: strictly fewer files than the whole table.
+        assert len(files) < len(t.inputFiles())
+        # And the probe still finds its vectors.
+        assert probe.count() > 0
+        assert probe.count() + t.filter(F.col("cell") != 0).count() == 400
