@@ -26,6 +26,7 @@ from serverless_data_lake_spark.operators.dedup import (
     keep_one_per_key,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_prefix,
     simhash_near_duplicates,
     simhash_signatures,
 )
@@ -71,6 +72,7 @@ __all__ = [
     "lsh_bucketed_topk",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_prefix",
     "profile_table",
     "quality_score",
     "salted_aggregate",

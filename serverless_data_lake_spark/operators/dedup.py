@@ -12,6 +12,10 @@ compositions so Catalyst plans the shuffles:
 - ``ngram_jaccard_pairs`` — exact n-gram Jaccard similarity pairs via
   token-inverted-index self-join (no O(n²) cross join: the join is on
   shared tokens, so disjoint documents never meet).
+- ``ngram_jaccard_prefix`` — the same exact pairs via AllPairs/PPJoin
+  prefix filtering (rarest-gram prefixes + size-ratio filter):
+  candidate volume shrinks ~(1−t)² and stop-phrase grams never
+  enter the join — the exact-result scale path.
 - ``minhash_lsh_pairs``   — MinHash signatures + banded LSH candidate
   pairs, the sub-quadratic scale path: shingle → H minhashes →
   b bands → bucket join; optional exact-Jaccard verification of
@@ -485,3 +489,97 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def ngram_jaccard_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via AllPairs/PPJoin **prefix
+    filtering** — the candidate-pruned scale path for exact near-dup.
+
+    Order every document's grams by ascending global document
+    frequency (rarest first); with threshold t, any pair with
+    J ≥ t must share a gram within each side's first
+    ``|d| − ceil(t·|d|) + 1`` grams (the prefix) — so the
+    inverted-index self-join runs over PREFIXES only, shrinking
+    candidate volume by ~(1−t)² versus the full-token join, and the
+    frequency ordering puts the *rarest* grams in the prefix, which
+    starves stop-phrase skew instead of capping it. Candidates then
+    pass a size-ratio filter (min/max ≥ t, implied by J ≥ t) and
+    exact verification over the full gram arrays.
+
+    Same output contract as :func:`ngram_jaccard_pairs`
+    (``id_a, id_b, jaccard``, exact); choose this shape when the
+    corpus is too hot-grammed for the full inverted index and
+    MinHash's approximation is unwanted. Cost: one extra groupBy for
+    document frequencies and a per-doc sort of the gram array.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_gram_hash_array(text_col, n)).alias("__tok"),
+    )
+    freq = toks.groupBy("__tok").agg(F.count("*").alias("__df"))
+    ranked = toks.join(freq, "__tok")
+    arrs = (
+        ranked.groupBy("__id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("__df", "__tok"))
+                ),
+                lambda s: s["__tok"],
+            ).alias("__grams")
+        )
+        .withColumn("__sz", F.size("__grams"))
+        .persist()
+    )
+    prefix_len = (
+        F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    ).cast("int")
+    prefixes = arrs.select(
+        "__id",
+        "__sz",
+        F.explode(F.slice("__grams", 1, prefix_len)).alias("__tok"),
+    )
+    left = prefixes.alias("l")
+    right = prefixes.alias("r")
+    candidates = (
+        left.join(right, on="__tok")
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        # Size-ratio filter: J ≥ t forces min(|a|,|b|) ≥ t·max(|a|,|b|).
+        .filter(
+            F.least(F.col("l.__sz"), F.col("r.__sz"))
+            >= F.lit(threshold) * F.greatest(F.col("l.__sz"), F.col("r.__sz"))
+        )
+        .select(
+            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    verified = (
+        candidates.join(
+            arrs.select(
+                F.col("__id").alias("id_a"), F.col("__grams").alias("__ga")
+            ),
+            "id_a",
+        )
+        .join(
+            arrs.select(
+                F.col("__id").alias("id_b"), F.col("__grams").alias("__gb")
+            ),
+            "id_b",
+        )
+        .withColumn("__inter", F.size(F.array_intersect("__ga", "__gb")))
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / (F.size("__ga") + F.size("__gb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified

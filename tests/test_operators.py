@@ -869,3 +869,65 @@ class TestRedactPii:
 
         with pytest.raises(ValueError, match="unknown PII"):
             redact_pii(F.lit("x"), kinds=["ssn"])
+
+
+class TestPrefixFilteredJaccard:
+    """PPJoin prefix filtering must return EXACTLY the same pairs as
+    the full inverted-index path — it prunes candidates, never
+    results."""
+
+    def _corpus(self, spark):
+        import random
+
+        rng = random.Random(11)
+        vocab = [f"w{i}" for i in range(300)]
+        docs = []
+        for i in range(60):
+            words = rng.choices(vocab, k=rng.randint(8, 30))
+            docs.append((i, " ".join(words)))
+            if i % 4 == 0:
+                # Plant a near-duplicate: same text, one word changed.
+                dup = list(words)
+                dup[rng.randrange(len(dup))] = rng.choice(vocab)
+                docs.append((1000 + i, " ".join(dup)))
+        # Stop-phrase skew: one shared phrase in every doc.
+        docs = [(i, t + " the common tail phrase") for i, t in docs]
+        return spark.createDataFrame(docs, "doc_id long, text string")
+
+    def test_equals_exact_path(self, spark):
+        from serverless_data_lake_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            ngram_jaccard_prefix,
+        )
+
+        df = self._corpus(spark)
+        for t in (0.5, 0.8):
+            exact = {
+                (r.id_a, r.id_b, round(r.jaccard, 9))
+                for r in ngram_jaccard_pairs(
+                    df, "doc_id", "text", n=3, threshold=t
+                ).collect()
+            }
+            pref = {
+                (r.id_a, r.id_b, round(r.jaccard, 9))
+                for r in ngram_jaccard_prefix(
+                    df, "doc_id", "text", n=3, threshold=t
+                ).collect()
+            }
+            assert pref == exact
+            assert exact  # the planted near-dups are found
+
+    def test_short_and_empty_docs(self, spark):
+        from serverless_data_lake_spark.operators.dedup import (
+            ngram_jaccard_prefix,
+        )
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "a"), (3, "x y z w v"), (4, "x y z w v")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_prefix(df, "doc_id", "text").collect()
+        }
+        assert got == {(3, 4)}
