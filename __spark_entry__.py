@@ -1363,14 +1363,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_jaccard,
         "ngram_jaccard_capped": _q_jaccard_capped,
         "minhash_lsh_pairs": _q_minhash,
-        "simhash_near_duplicates": _q_simhash,
         "embedding_similarity_pairs": _q_cosine_pairs,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "text_analysis": _q_text_analysis,
-        "multimodal_features": _q_multimodal,
         "multimodal_metadata_stats": _q_multimodal_metadata,
+        # Rows-only entries (no oracle_sql) must come LAST: the
+        # driver's correctness gate records rows for the first 50
+        # registry entries only, and a rows-only entry inside that
+        # window would waste a slot an oracle-checked entry needs.
+        "simhash_near_duplicates": _q_simhash,
+        "multimodal_features": _q_multimodal,
     }
     return q
 
