@@ -671,13 +671,19 @@ class TableStore:
         info = TableInfo(
             database, table, location, schema, primary_keys or [], partition_by
         )
+        # Zone maps are collected for partitioned tables too: the
+        # partitioned merge's affected-file scan is table-wide when
+        # partition pruning isn't key-safe (see merge), and lead-key
+        # file ranges are what bound that scan. _collect_file_stats
+        # degrades to {} when the lead key IS a partition column
+        # (its values live in directory names, not the files).
         stats = (
             self._collect_file_stats(
                 self._list_data_files(staging),
                 primary_keys[0],
                 info.data_schema,
             )
-            if primary_keys and not partition_by
+            if primary_keys
             else {}
         )
         self._write_meta(
@@ -819,14 +825,14 @@ class TableStore:
             existing.partition_by,
         )
         stats = self._load_file_stats(existing.location)
-        if info.primary_keys and not info.partition_by:
+        if info.primary_keys:
             new_files = [
                 f
                 for f in self._list_data_files(existing.location)
                 if f not in before
             ]
             stats = stats | self._collect_file_stats(
-                new_files, info.primary_keys[0], merged_schema
+                new_files, info.primary_keys[0], info.data_schema
             )
         self._write_meta(info, file_stats=stats)
         self._record_snapshot(info)
@@ -865,12 +871,18 @@ class TableStore:
         incoming-keys side of both joins is typically small and
         broadcast by AQE; skewed PKs are handled by AQE skew-join.
 
-        File pruning before the affected-file scan: a partitioned
-        table prunes whole partition directories by the batch's
-        partition values (Catalyst partition pruning); a flat table
-        prunes by the per-file zone maps on the lead key. Either way
-        the scan touches only files that *could* match.
-        ``partition_by`` applies when this merge creates the table.
+        File pruning before the affected-file scan: keys are matched
+        TABLE-WIDE (Iceberg MERGE semantics — a late correction whose
+        partition value moved still replaces the old row instead of
+        duplicating the key). Partition-directory pruning by the
+        batch's partition values is applied only when it is provably
+        safe: ``partition_by ⊆ keys``, in which case equal keys imply
+        equal partition tuples and no match can hide in another
+        partition. Otherwise the scan falls back to per-file zone
+        maps on the lead key (maintained for partitioned and flat
+        tables alike), so it still opens only files whose key range
+        can overlap the batch. ``partition_by`` applies when this
+        merge creates the table.
         """
         if isinstance(keys, str):
             # dbt-style configs allow a scalar unique_key; a bare
@@ -893,6 +905,11 @@ class TableStore:
             )
 
         merged_schema = self._merge_schemas(existing.schema, source.schema)
+        # Captured before _conform: a batch that never carried a
+        # partition column gets it null-filled by _conform, and a
+        # null partition value must not be mistaken for a real batch
+        # partition tuple when deciding whether pruning is safe.
+        source_cols = set(source.columns)
         source = self._conform(source, merged_schema)
         location = existing.location
         pby = existing.partition_by
@@ -904,46 +921,81 @@ class TableStore:
 
         batch_parts = None
         if pby:
-            # Partition-pruned affected-file scan: read through the
-            # partitioned layout and filter to the batch's partition
-            # values — Catalyst prunes every other directory before
-            # any file is opened. (The value list is partition
-            # *tuples*, bounded by the number of partitions a batch
-            # touches — collected to the driver like Iceberg's
-            # partition summaries.)
-            scan = (
-                self.spark.read.schema(merged_schema)
-                .option("basePath", location)
-                .parquet(location)
-            )
-            if all(c in source.columns for c in pby):
+            stats = self._load_file_stats(location)
+            if all(c in source_cols for c in pby):
+                # The batch's partition tuples — bounded by the number
+                # of partitions a batch touches, collected like
+                # Iceberg's partition summaries. Used for the
+                # surgical ADD PARTITION catalog sync, and for
+                # directory pruning when that is key-safe.
                 pvals = (
                     source.select(*pby).dropDuplicates(pby).limit(10001).collect()
                 )
                 if len(pvals) <= 10000:
                     batch_parts = pvals
-                    cond = None
-                    for r in pvals:
-                        t = None
-                        for c in pby:
-                            e = (
-                                F.col(c).isNull()
-                                if r[c] is None
-                                else (F.col(c) == F.lit(r[c]))
-                            )
-                            t = e if t is None else (t & e)
-                        cond = t if cond is None else (cond | t)
-                    if cond is not None:
-                        scan = scan.where(cond)
-            affected = (
-                scan.select(*keys, F.col("_metadata.file_path").alias("__file"))
-                .join(src_keys, on=keys, how="left_semi")
-                .select("__file")
-                .distinct()
-                .collect()
-            )
-            affected_files = [r["__file"] for r in affected]
-            stats: dict[str, list] = {}
+            # Directory pruning is only sound when the partition
+            # tuple is part of the key: then equal keys imply equal
+            # partition values and a matched row cannot live outside
+            # the batch's partitions. Pruning on a non-key partition
+            # column would miss a stored row whose partition value
+            # differs from the incoming one (late correction) and
+            # silently duplicate its key.
+            prune_safe = set(pby) <= set(keys)
+            if prune_safe and batch_parts is not None:
+                scan = (
+                    self.spark.read.schema(merged_schema)
+                    .option("basePath", location)
+                    .parquet(location)
+                )
+                cond = None
+                for r in batch_parts:
+                    t = None
+                    for c in pby:
+                        e = (
+                            F.col(c).isNull()
+                            if r[c] is None
+                            else (F.col(c) == F.lit(r[c]))
+                        )
+                        t = e if t is None else (t & e)
+                    cond = t if cond is None else (cond | t)
+                if cond is not None:
+                    scan = scan.where(cond)
+            else:
+                # Table-wide key scan, bounded by lead-key zone maps:
+                # only files whose [min, max] range can overlap the
+                # batch's key range are opened (stat-less legacy
+                # files always qualify). Column-pruned to the key
+                # columns either way.
+                all_files = self._list_data_files(location)
+                candidates = all_files
+                if stats:
+                    bounds = src_keys.agg(
+                        F.min(keys[0]).alias("mn"), F.max(keys[0]).alias("mx")
+                    ).first()
+                    candidates = self._prune_by_stats(
+                        all_files, stats, bounds["mn"], bounds["mx"]
+                    )
+                if not candidates:
+                    scan = None
+                else:
+                    scan = (
+                        self.spark.read.schema(merged_schema)
+                        .option("basePath", location)
+                        .parquet(*candidates)
+                    )
+            if scan is None:
+                affected_files = []
+            else:
+                affected = (
+                    scan.select(
+                        *keys, F.col("_metadata.file_path").alias("__file")
+                    )
+                    .join(src_keys, on=keys, how="left_semi")
+                    .select("__file")
+                    .distinct()
+                    .collect()
+                )
+                affected_files = [r["__file"] for r in affected]
         else:
             # Zone-map pruning: only files whose lead-key range can
             # overlap the batch participate in the affected-file scan.
@@ -992,20 +1044,20 @@ class TableStore:
             writer = writer.partitionBy(*pby)
         writer.parquet(staging)
 
-        if not pby:
-            new_stats = self._collect_file_stats(
-                self._list_data_files(staging), keys[0], merged_schema
-            )
-            deleted = {f.rsplit("/", 1)[-1] for f in affected_files}
-            stats = {
-                b: v for b, v in stats.items() if b not in deleted
-            } | new_stats
+        new_info = TableInfo(database, table, location, merged_schema, keys, pby)
+        new_stats = self._collect_file_stats(
+            self._list_data_files(staging), keys[0], new_info.data_schema
+        )
+        deleted = {f.rsplit("/", 1)[-1] for f in affected_files}
+        stats = {
+            b: v for b, v in stats.items() if b not in deleted
+        } | new_stats
         src_keys.unpersist()
 
         self._write_pending(location, staging, affected_files)
         self._apply_pending(location)
 
-        info = TableInfo(database, table, location, merged_schema, keys, pby)
+        info = new_info
         self._write_meta(info, file_stats=stats)
         self._record_snapshot(info)
         if merged_schema != existing.schema:
@@ -1101,14 +1153,14 @@ class TableStore:
             out.write.mode("overwrite").parquet(dst)
             small.extend(paths)
         stats = self._load_file_stats(info.location)
-        if info.primary_keys and not info.partition_by:
+        if info.primary_keys:
             removed = {f.rsplit("/", 1)[-1] for f in small}
             stats = {
                 b: v for b, v in stats.items() if b not in removed
             } | self._collect_file_stats(
                 self._list_data_files(staging),
                 info.primary_keys[0],
-                info.schema,
+                info.data_schema,
             )
         self._write_pending(info.location, staging, small)
         self._apply_pending(info.location)

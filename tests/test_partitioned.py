@@ -106,6 +106,45 @@ class TestPartitionedMerge:
         assert t.filter(F.col("p") == 9).count() == 1
         assert t.count() == 101
 
+    def test_merge_key_moved_partition_no_duplicate(self, spark, store):
+        # A late correction that changes a row's partition value must
+        # replace the stored row table-wide (Iceberg MERGE semantics),
+        # not leave the old row behind in its old partition.
+        store.create_or_replace("d_gold", "t", _base(spark), ["id"], ["p"])
+        src = spark.createDataFrame([(1, 3, -5)], "id long, p long, v long")
+        store.merge("d_gold", "t", src, ["id"])
+        t = store.read("d_gold", "t")
+        assert t.count() == 100  # updated, not duplicated
+        got = t.filter(F.col("id") == 1).collect()
+        assert len(got) == 1 and got[0].p == 3 and got[0].v == -5
+
+    def test_merge_null_filled_partition_column_no_duplicate(self, spark, store):
+        # A batch missing the partition column entirely: _conform
+        # null-fills it, and the matched row must still be found in
+        # its real partition (the null tuple must not be trusted as a
+        # pruning filter).
+        store.create_or_replace("d_gold", "t", _base(spark), ["id"], ["p"])
+        src = spark.createDataFrame([(1, -5)], "id long, v long")
+        store.merge("d_gold", "t", src, ["id"])
+        t = store.read("d_gold", "t")
+        assert t.count() == 100
+        got = t.filter(F.col("id") == 1).collect()
+        assert len(got) == 1 and got[0].v == -5 and got[0].p is None
+
+    def test_merge_prune_safe_when_partition_in_keys(self, spark, store):
+        # partition_by ⊆ keys: equal keys imply equal partition
+        # tuples, directory pruning stays on and results are exact.
+        store.create_or_replace("d_gold", "t", _base(spark), ["id", "p"], ["p"])
+        src = spark.createDataFrame(
+            [(1, 1, -1), (5, 1, -5)], "id long, p long, v long"
+        )
+        before = set(_files(store, "d_gold", "t"))
+        store.merge("d_gold", "t", src, ["id", "p"])
+        after = set(_files(store, "d_gold", "t"))
+        assert {f for f in before if "/p=1/" not in f} <= after
+        rows = {r.id: r.v for r in store.read("d_gold", "t").collect()}
+        assert rows[1] == -1 and rows[5] == -5 and len(rows) == 100
+
     def test_merge_schema_evolution(self, spark, store):
         store.create_or_replace("d_gold", "t", _base(spark), ["id"], ["p"])
         src = spark.createDataFrame(
