@@ -228,15 +228,19 @@ def ann_recall_at_k(
     per_query = hits.groupBy(query_id_col).agg(
         F.count("*").alias("__n_hit")
     )
+    # Denominator = the number of exact rows the query actually has
+    # (min(k, corpus size)): dividing by a fixed k would understate
+    # recall and fail a perfect ANN result whenever the corpus is
+    # smaller than k.
     return (
-        exact.select(query_id_col)
-        .distinct()
+        exact.groupBy(query_id_col)
+        .agg(F.count("*").alias("__n_exact"))
         .join(per_query, on=query_id_col, how="left")
         .select(
             F.col(query_id_col),
             (
                 F.coalesce(F.col("__n_hit"), F.lit(0)).cast("double")
-                / F.lit(float(k))
+                / F.least(F.col("__n_exact"), F.lit(k)).cast("double")
             ).alias("recall_at_k"),
         )
     )

@@ -39,7 +39,22 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join resilient to left-side key skew. ``right`` is
     replicated ``salt`` times (pick the smaller input), the join runs
-    on ``keys + salt``, and the salt column never escapes."""
+    on ``keys + salt``, and the salt column never escapes.
+
+    Only join types where unmatched *right* rows never surface are
+    allowed (inner / left / left_semi / left_anti — for anti, a right
+    key is replicated across every salt value, so membership per
+    ``(key, salt)`` equals membership per ``key`` and the result is
+    unchanged): right/full outer would emit each unmatched right row
+    ``salt`` times, diverging from the plain join. For a skewed right
+    side, swap the operands.
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, got {how!r}: "
+            "replicating the right side would duplicate unmatched "
+            "right rows under right/full outer joins"
+        )
     if salt < 2:
         return left.join(right, on=keys, how=how)
     salted_left = left.withColumn(

@@ -317,6 +317,15 @@ def _rewrite_unnest(sql: str) -> str:
     (projection position) is renamed to ``explode`` — Spark accepts
     generators in the SELECT list with the same row-multiplying
     semantics, subject to its one-generator-per-SELECT rule.
+
+    Limitation: the UNNEST must be the LAST table reference in its
+    FROM clause. The rewrite consumes the comma/CROSS JOIN joiner, so
+    ``FROM t, UNNEST(a) AS u(v), other`` would produce
+    ``LATERAL VIEW ... , other``, which Spark rejects at parse time
+    (LATERAL VIEW must follow all table refs) — fail-loud, never
+    wrong results. Reorder the query so plain table refs precede the
+    UNNEST; multiple trailing UNNESTs chain fine (each becomes its
+    own LATERAL VIEW).
     """
     while True:
         m = _UNNEST_LATERAL_RE.search(sql)

@@ -341,6 +341,18 @@ class TestAnnRecallGate:
         assert len(rows) == 5
         assert all(r.recall_at_k == 1.0 for r in rows)
 
+    def test_recall_denominator_is_exact_count_not_k(self, spark):
+        # Corpus smaller than k: a perfect ANN result must score 1.0,
+        # not n_exact/k (ADVICE r2).
+        from serverless_data_lake_spark.operators.similarity import (
+            ann_recall_at_k,
+        )
+        exact = spark.createDataFrame(
+            [(0, 10), (0, 11), (0, 12)], "query_id long, vec_id long"
+        )
+        rows = ann_recall_at_k(exact, exact, k=10).collect()
+        assert len(rows) == 1 and rows[0].recall_at_k == 1.0
+
     def test_lsh_multiprobe2_recall_above_gate(self, spark):
         from serverless_data_lake_spark.operators.similarity import (
             ann_recall_at_k, lsh_bucketed_topk,
@@ -491,6 +503,33 @@ class TestSkewOperators:
         ).first()
         assert (plain.n, plain.s) == (salted.n, salted.s)
         assert plain.n > 0
+
+    def test_salted_join_rejects_right_outer(self, spark):
+        # Replicating the right side would emit unmatched right rows
+        # `salt` times under right/full outer (ADVICE r2) — raise.
+        from pyspark.sql import functions as F
+
+        from serverless_data_lake_spark.operators.skew import salted_join
+
+        left = self._skewed(spark)
+        right = spark.range(5).select(F.col("id").alias("k"))
+        for how in ("right", "right_outer", "full", "full_outer", "outer"):
+            with pytest.raises(ValueError, match="salted_join supports"):
+                salted_join(left, right, ["k"], salt=8, how=how)
+
+    def test_salted_join_left_anti_matches_plain(self, spark):
+        # left_anti is safe: every right key carries every salt value,
+        # so per-(key, salt) membership equals per-key membership.
+        from pyspark.sql import functions as F
+
+        from serverless_data_lake_spark.operators.skew import salted_join
+
+        left = self._skewed(spark)
+        right = spark.range(5).select(F.col("id").alias("k"))
+        plain = left.join(right, on=["k"], how="left_anti")
+        salted = salted_join(left, right, ["k"], salt=8, how="left_anti")
+        assert plain.count() == salted.count()
+        assert salted.exceptAll(plain).count() == 0
 
     def test_salted_join_left_outer(self, spark):
         from pyspark.sql import functions as F
