@@ -42,12 +42,10 @@ BENCH_QUERIES = [
     "hourly_event_windows",
     "list_agg_segments",
     "cube_order_counts",
-    "dialect_array_funcs",
-    "from_json_struct",
+    "dialect_text_funcs",
     "json_extract_sum",
     "top_tokens",
-    "epoch_ms_shim",
-    "text_stats",
+    "json_dialect_shims",
     "tumbling_window_counts",
     "merge_upsert_endstate",
     "partitioned_merge_endstate",
@@ -75,8 +73,6 @@ BENCH_QUERIES = [
     "multimodal_metadata_stats",
     "unnest_lateral_tokens",
     "from_json_unnest",
-    "json_arrow_shim",
-    "json_extract_string_shim",
     "star_replace_orders",
 ]
 

@@ -1,0 +1,154 @@
+"""Connected components over near-duplicate pair edges, and the
+corpus-level dedup filter built on top of it.
+
+Every similarity operator in :mod:`operators.dedup` /
+:mod:`operators.similarity` emits **pairs** (``id_a, id_b``).  To
+actually deduplicate a corpus those pairs must become **clusters**
+(duplicate groups) with one kept representative each — transitively:
+if A~B and B~C then A, B, C are one group even when A~C was never
+emitted.  The reference's own dedup is the degenerate exact-key case
+(rank-over-PK, ``serverless_processing_iceberg/main.py:64-74``);
+similarity dedup at corpus scale needs the general graph version.
+
+``connected_components`` runs the alternating **large-star /
+small-star** algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC 2014) expressed as DataFrame joins and
+``groupBy``-min aggregations:
+
+- a round is two shuffles (one per star step), each keyed on an
+  8-byte node id;
+- edges strictly decrease toward min-id stars, converging in
+  O(log n) rounds on pathological chains and 1-2 rounds on the
+  star/clique shapes near-dup clusters actually have;
+- there is NO driver-side graph: the edge set never leaves the
+  cluster, so the operator scales to corpora whose pair set exceeds
+  any single machine.
+- every round ends in ``localCheckpoint`` — without it the iterated
+  plan nests one join deeper per round and Catalyst re-analysis goes
+  quadratic (and lineage re-execution exponential).
+
+Fixpoint detection compares a (count, hash-sum) checksum of the edge
+set between rounds — two cheap scalar aggregates, no driver
+materialization of edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.select(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64(F.col("src"), F.col("dst"))), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Label every node of the undirected pair graph with the MINIMUM
+    node id of its connected component.
+
+    Parameters
+    ----------
+    pairs : DataFrame with two id columns (any orderable type —
+        longs, strings); extra columns (similarity scores) ignored.
+    max_rounds : safety bound; the algorithm converges in
+        O(log n) rounds, so 25 covers any physically storable graph.
+        Raises ``RuntimeError`` if somehow still moving (defensive —
+        a silent wrong answer would poison a dedup downstream).
+
+    Returns ``(id, component)`` with one row per distinct node id in
+    ``pairs``; ``component`` is the min id of the node's component
+    (representatives therefore label themselves).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if edges.isEmpty():
+        schema = pairs.select(
+            F.col(src).alias("id"), F.col(src).alias("component")
+        ).schema
+        return pairs.sparkSession.createDataFrame([], schema)
+
+    prev = _edge_checksum(edges)
+    for _ in range(max_rounds):
+        # --- large-star: for every node u, connect each STRICTLY
+        # LARGER neighbour to m = min(N(u) ∪ {u}).  Neighbourhoods
+        # are over the symmetrized edge set.
+        sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        edges = (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # --- small-star: operate on edges pointed large→small
+        # (large-star output already is); for every node u connect
+        # each smaller-or-equal neighbour AND u itself to the min.
+        mins = edges.groupBy("src").agg(F.min("dst").alias("m"))
+        with_min = edges.join(mins, "src")
+        edges = (
+            with_min.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(with_min.select("src", F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _edge_checksum(edges)
+        if cur == prev:
+            # Converged: edges are (node → component-min) stars.
+            roots = edges.select(F.col("dst").alias("src"),
+                                 F.col("dst").alias("dst"))
+            return (
+                edges.union(roots)
+                .distinct()
+                .select(F.col("src").alias("id"),
+                        F.col("dst").alias("component"))
+            )
+        prev = cur
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Filter a corpus to one representative per duplicate group.
+
+    ``pairs`` is any near-dup pair set (exact Jaccard, MinHash-LSH,
+    SimHash, embedding cosine).  Pairs are closed transitively via
+    :func:`connected_components`; the kept representative of each
+    group is the MINIMUM id (deterministic across runs and engines).
+    Rows never mentioned in ``pairs`` are kept untouched.
+
+    One broadcast-or-shuffle ``left_anti`` join against the (small)
+    set of non-representative ids — the corpus itself is scanned
+    once and never shuffled.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    losers = comp.filter(F.col("id") != F.col("component")).select("id")
+    return df.join(
+        losers, df[id_col] == losers["id"], "left_anti"
+    )

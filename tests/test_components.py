@@ -1,0 +1,126 @@
+"""Connected-components grouping and corpus dedup
+(operators/components.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_data_lake_spark.operators.components import (
+    connected_components,
+    dedup_corpus,
+)
+
+
+def _labels(spark, pairs):
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    rows = connected_components(df).collect()
+    return {r["id"]: r["component"] for r in rows}
+
+
+class TestConnectedComponents:
+    def test_chain_collapses_to_min(self, spark):
+        # 1-2-3-4-5 single path: worst diameter per node count.
+        got = _labels(spark, [(i, i + 1) for i in range(1, 5)])
+        assert got == {i: 1 for i in range(1, 6)}
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        got = _labels(spark, [(i, i + 1) for i in range(1, 64)])
+        assert got == {i: 1 for i in range(1, 65)}
+
+    def test_star_graph(self, spark):
+        got = _labels(spark, [(10, k) for k in (11, 12, 13, 14)])
+        assert got == {k: 10 for k in (10, 11, 12, 13, 14)}
+
+    def test_disjoint_clusters_stay_disjoint(self, spark):
+        got = _labels(spark, [(1, 2), (2, 3), (7, 8), (20, 21), (21, 22)])
+        assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 20: 20, 21: 20, 22: 20}
+
+    def test_reversed_and_duplicate_edges(self, spark):
+        # Edges arrive in both orientations and repeated — the
+        # symmetrize+distinct normalization must absorb both.
+        got = _labels(spark, [(3, 1), (1, 3), (3, 1), (2, 3)])
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_self_loops_ignored(self, spark):
+        got = _labels(spark, [(5, 5), (1, 2)])
+        assert got == {1: 1, 2: 1}
+
+    def test_empty_pairs(self, spark):
+        df = spark.createDataFrame([], "id_a long, id_b long")
+        assert connected_components(df).count() == 0
+
+    def test_string_ids(self, spark):
+        df = spark.createDataFrame(
+            [("b", "c"), ("a", "b"), ("x", "y")], ["id_a", "id_b"]
+        )
+        got = {r["id"]: r["component"]
+               for r in connected_components(df).collect()}
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    def test_two_cliques_bridged(self, spark):
+        clique1 = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+        clique2 = [(a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a < b]
+        got = _labels(spark, clique1 + clique2 + [(3, 10)])
+        assert set(got.values()) == {1}
+
+    def test_extra_columns_ignored(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2, 0.9), (2, 3, 0.85)], ["id_a", "id_b", "jaccard"]
+        )
+        got = {r["id"]: r["component"]
+               for r in connected_components(df).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+
+
+class TestDedupCorpus:
+    def test_keeps_min_representative_and_untouched_rows(self, spark):
+        corpus = spark.createDataFrame(
+            [(i, f"doc{i}") for i in range(1, 8)], ["doc_id", "text"]
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_corpus(corpus, pairs, "doc_id").collect()
+        )
+        # {1,2,3} -> keep 1; {5,6} -> keep 5; 4 and 7 untouched.
+        assert kept == [1, 4, 5, 7]
+
+    def test_no_pairs_keeps_everything(self, spark):
+        corpus = spark.createDataFrame([(1, "a"), (2, "b")],
+                                       ["doc_id", "text"])
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert dedup_corpus(corpus, pairs, "doc_id").count() == 2
+
+    def test_transitive_closure_applies(self, spark):
+        # A~B, B~C but never A~C: all three are one group.
+        corpus = spark.createDataFrame(
+            [(i, "t") for i in (1, 2, 3)], ["doc_id", "text"]
+        )
+        pairs = spark.createDataFrame([(2, 3), (1, 2)], ["id_a", "id_b"])
+        kept = [r["doc_id"]
+                for r in dedup_corpus(corpus, pairs, "doc_id").collect()]
+        assert kept == [1]
+
+
+def test_components_on_real_near_dup_pairs(spark, sf_dir):
+    """End-to-end: exact-Jaccard pairs over the documents table →
+    components; every component labels itself by its min member and
+    every paired doc is labeled."""
+    from serverless_data_lake_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comp = connected_components(pairs).cache()
+    paired = {r[0] for r in pairs.select("id_a").collect()} | {
+        r[0] for r in pairs.select("id_b").collect()
+    }
+    labeled = {r["id"] for r in comp.collect()}
+    assert labeled == paired
+    mins = (
+        comp.groupBy("component").agg(F.min("id").alias("m"))
+        .filter(F.col("component") != F.col("m"))
+    )
+    assert mins.count() == 0

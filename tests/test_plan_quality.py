@@ -73,7 +73,7 @@ def test_no_python_udfs_in_relational_plans(plans):
         "q5_nation_revenue",
         "window_top3_orders",
         "top_tokens",
-        "text_stats",
+        "dialect_text_funcs",
     ):
         plan = plans(name)
         assert "BatchEvalPython" not in plan
