@@ -39,10 +39,13 @@ from pyspark.sql import functions as F
 
 
 def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor is order-independent and cannot overflow — SUM of
+    # full-range xxhash64 values overflows a long and raises
+    # ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode.
     row = edges.select(
         F.count("*").alias("n"),
         F.coalesce(
-            F.sum(F.xxhash64(F.col("src"), F.col("dst"))), F.lit(0)
+            F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)
         ).alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"])
