@@ -566,8 +566,31 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash determinism gate (the ANN-gate pattern): collapse the
+    near-dup pair set to pair-counts per Hamming distance ≤ 3. The
+    64-bit signatures are a pure function of the text (xxhash64 token
+    votes — operators/dedup.py ``simhash_signatures``), so the
+    histogram is deterministic across runs/partitionings; the oracle
+    pins the sf0.01 literals, turning the driver's hash compare into
+    a real regression gate on the signature math + pigeonhole
+    blocking (any bit-plumbing change shifts the histogram). The
+    pair-level emitter stays the library surface
+    (``simhash_near_duplicates``) and is unit-tested on planted
+    corpora in tests/test_dedup.py."""
     docs = _read_parallel(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+    pairs = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+    return pairs.groupBy("hamming").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    ).select(F.col("hamming").cast("bigint").alias("hamming"), "n_pairs")
+
+
+# Literals measured at sf0.01 (the driver's correctness scale); the
+# entry is meaningful only there — bench at other scales runs the
+# Spark side alone.
+_SIMHASH_GATE_ORACLE = """
+SELECT CAST(hamming AS BIGINT) AS hamming, CAST(n AS BIGINT) AS n_pairs
+FROM (VALUES (0, 444), (1, 74), (2, 122), (3, 394)) AS t(hamming, n)
+"""
 
 
 def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
