@@ -1374,11 +1374,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "text_analysis": _q_text_analysis,
         "multimodal_metadata_stats": _q_multimodal_metadata,
+        "simhash_near_duplicates": _q_simhash,
         # Rows-only entries (no oracle_sql) must come LAST: the
         # driver's correctness gate records rows for the first 50
         # registry entries only, and a rows-only entry inside that
         # window would waste a slot an oracle-checked entry needs.
-        "simhash_near_duplicates": _q_simhash,
         "multimodal_features": _q_multimodal,
     }
     return q
@@ -1432,6 +1432,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ANN_GATE_ORACLE,
         "text_analysis": _text_analysis_oracle(),
         "multimodal_metadata_stats": _MULTIMODAL_META_ORACLE,
-        # rows-only (no SQL-expressible oracle): simhash_near_duplicates,
-        # multimodal_features — justifications in docs/oracles.md
+        "simhash_near_duplicates": _SIMHASH_GATE_ORACLE,
+        # rows-only (no SQL-expressible oracle): multimodal_features —
+        # justification in docs/oracles.md
     }
