@@ -36,6 +36,7 @@ from serverless_data_lake_spark.operators.dedup import (
     keep_one_per_key,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_prefix,
     simhash_near_duplicates,
 )
 from serverless_data_lake_spark.operators.similarity import (
@@ -277,23 +278,6 @@ ORDER BY 1
 
 # JSON extraction differs by name: get_json_object (Spark) vs
 # json_extract_string (DuckDB) — separate texts, same output names.
-_JSON_SPARK = """
-SELECT event_type,
-       CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       COUNT(*) AS n
-FROM tpch.silver.events
-GROUP BY event_type
-ORDER BY event_type
-"""
-_JSON_ORACLE = """
-SELECT event_type,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       COUNT(*) AS n
-FROM events
-GROUP BY event_type
-ORDER BY event_type
-"""
-
 _TOKENS_SPARK = """
 SELECT token, COUNT(*) AS n
 FROM (SELECT explode(split(lower(text), ' ')) AS token FROM tpch.silver.documents)
@@ -314,16 +298,21 @@ LIMIT 20
 # One per-row query pinning the whole JSON-shim surface at once
 # (reference transform-agent prompt, analyzer.py:50-74):
 # json_extract_string, the ->> arrow operator, from_json with a type
-# descriptor, and epoch_ms. Consolidated from four r2 entries so the
-# driver's 50-row correctness window has room for the r3 additions
-# (connected components, bronze scan, PPJoin, simhash gate) — the
-# feature coverage is identical, one green row instead of four.
+# descriptor, epoch_ms, and aggregation over extracted values (the
+# windowed k_type_sum — folded in from the former json_extract_sum
+# entry, r5, to free a registry slot for ngram_jaccard_prefix).
+# Consolidated from four r2 entries so the driver's 50-row
+# correctness window has room for the r3-r5 additions (connected
+# components, bronze scan, PPJoin, simhash gate) — the feature
+# coverage is identical, one green row instead of five.
 _JSON_SHIMS_SPARK = """
 SELECT event_id,
        json_extract_string(props, '$.k') AS k_str,
        CAST(props ->> 'k' AS BIGINT) AS k_arrow,
        from_json(props, 'k INT').k AS k_struct,
-       epoch_ms(CAST(get_json_object(props, '$.k') AS BIGINT) * 86400000) AS k_day
+       epoch_ms(CAST(get_json_object(props, '$.k') AS BIGINT) * 86400000) AS k_day,
+       CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT))
+            OVER (PARTITION BY event_type) AS BIGINT) AS k_type_sum
 FROM tpch.silver.events
 WHERE event_id < 100
 ORDER BY event_id
@@ -333,7 +322,9 @@ SELECT event_id,
        json_extract_string(props, '$.k') AS k_str,
        CAST(props ->> 'k' AS BIGINT) AS k_arrow,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct,
-       epoch_ms(CAST(json_extract_string(props, '$.k') AS BIGINT) * 86400000) AS k_day
+       epoch_ms(CAST(json_extract_string(props, '$.k') AS BIGINT) * 86400000) AS k_day,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            OVER (PARTITION BY event_type) AS BIGINT) AS k_type_sum
 FROM events
 WHERE event_id < 100
 ORDER BY event_id
@@ -557,6 +548,22 @@ def _q_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered exact Jaccard
+    (``operators/dedup.py::ngram_jaccard_prefix``): candidates come
+    only from each document's rarest-gram prefix (length
+    |d| − ceil(t·|d|) + 1), pass a size-ratio filter, then exact
+    verification — so the inverted-index self-join never touches hot
+    grams. Output is EXACT Jaccard, so the same oracle as the full
+    inverted-index path applies; this entry certifies the pruned plan
+    loses no pairs. Scale guidance (docs/oracles.md): prefix filter
+    for exact results on hot-grammed corpora, `max_doc_freq` cap when
+    approximate recall is acceptable, MinHash-LSH when the corpus is
+    too large for either exact path."""
+    docs = _read_parallel(spark, sf_dir, "documents")
+    return ngram_jaccard_prefix(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_parallel(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
@@ -590,6 +597,102 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_GATE_ORACLE = """
 SELECT CAST(hamming AS BIGINT) AS hamming, CAST(n AS BIGINT) AS n_pairs
 FROM (VALUES (0, 444), (1, 74), (2, 122), (3, 394)) AS t(hamming, n)
+"""
+
+
+def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level near-dup dedup end-to-end: exact-Jaccard pairs →
+    transitive closure (``connected_components``, alternating
+    large-star/small-star — operators/components.py) → keep the
+    min-id representative per duplicate group, anti-join the losers
+    out of the corpus. This is the transitive generalization of the
+    reference's exact-key dedup (rank-over-PK,
+    ``serverless_processing_iceberg/main.py:64-74``). The oracle
+    recomputes the same closure with a DuckDB recursive CTE
+    (min-label reachability) over the identical pair set."""
+    from serverless_data_lake_spark.operators.components import dedup_corpus
+
+    docs = _read_parallel(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    survivors = dedup_corpus(docs, pairs, "doc_id")
+    return survivors.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
+def _dedup_corpus_oracle() -> str:
+    # Transitive closure via min-label reachability: `reach` holds
+    # every (node, reachable-ancestor) pair (UNION = set semantics,
+    # so it terminates); MIN(r) per node is the component label —
+    # identical semantics to connected_components' min-id contract.
+    return f"""
+WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+"""
+
+
+def _q_bronze_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end through the serving path: land ``nation`` as
+    bronze JSONL via the push-ingest write path (``BronzeZone.
+    ingest_batch`` — metadata stamping, one JSONL object per batch,
+    date-partitioned prefix; reference
+    ``lambdas/serverless_ingestion/main.py:204-279``), then query it
+    by three-part name ``tpchb.bronze.nation`` so the full
+    validate → rewrite (per-query temp view over the recursive
+    union-by-name JSONL scan) → transpile → Catalyst path runs
+    (reference read path ``lambdas/query_api/main.py:152-159``).
+
+    Schema evolution is exercised for real: batch 1 carries all
+    three columns, batch 2 drops ``n_name`` — the union-by-name scan
+    must fill nulls for batch-2 rows, which the oracle reproduces
+    declaratively from the parquet source. The 25-row driver-side
+    materialization is the push-ingest contract itself (reference
+    batch size 25), not a collect() shortcut."""
+    import shutil
+
+    from serverless_data_lake_spark.sources.bronze import BronzeZone
+
+    safe = sf_dir.strip("/").replace("/", "_")
+    root = f"/tmp/sdls_bronze_entry/{safe}"
+    config = LakeConfig(root=root)
+    prefix = config.bronze_path("tpchb", "nation")
+    shutil.rmtree(prefix, ignore_errors=True)
+    rows = [r.asDict() for r in _read(spark, sf_dir, "nation").collect()]
+    zone = BronzeZone(spark, config)
+    full = [r for r in rows if r["n_regionkey"] < 2]
+    drifted = [
+        {k: v for k, v in r.items() if k != "n_name"}
+        for r in rows
+        if r["n_regionkey"] >= 2
+    ]
+    zone.ingest_batch("tpchb", "nation", full)
+    zone.ingest_batch("tpchb", "nation", drifted)
+    engine = QueryEngine(spark, config)
+    return engine.dataframe("""
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+               n_name,
+               CAST(n_regionkey AS BIGINT) AS n_regionkey
+        FROM tpchb.bronze.nation
+        ORDER BY n_nationkey
+    """)
+
+
+_BRONZE_SCAN_ORACLE = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       CASE WHEN n_regionkey < 2 THEN n_name END AS n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+ORDER BY n_nationkey
 """
 
 
@@ -1338,7 +1441,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_order_stats": _engine_query(_ROLLUP),
         "count_distinct_segments": _engine_query(_COUNT_DISTINCT),
         "monthly_revenue": _engine_query(_DATE_TRUNC),
-        "json_extract_sum": _engine_query(_JSON_SPARK),
         "top_tokens": _engine_query(_TOKENS_SPARK),
         "json_dialect_shims": _engine_query(_JSON_SHIMS_SPARK),
         "dialect_text_funcs": _engine_query(_DIALECT_TEXT_SPARK),
@@ -1367,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_jaccard,
         "ngram_jaccard_capped": _q_jaccard_capped,
+        "ngram_jaccard_prefix": _q_jaccard_prefix,
         "minhash_lsh_pairs": _q_minhash,
         "embedding_similarity_pairs": _q_cosine_pairs,
         "cosine_topk": _q_cosine_topk,
@@ -1375,6 +1478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": _q_text_analysis,
         "multimodal_metadata_stats": _q_multimodal_metadata,
         "simhash_near_duplicates": _q_simhash,
+        "dedup_corpus_survivors": _q_dedup_corpus,
+        "bronze_jsonl_scan": _q_bronze_scan,
         # Rows-only entries (no oracle_sql) must come LAST: the
         # driver's correctness gate records rows for the first 50
         # registry entries only, and a rows-only entry inside that
@@ -1397,7 +1502,6 @@ def oracle_sql() -> dict[str, str]:
         "rollup_order_stats": _strip(_ROLLUP),
         "count_distinct_segments": _strip(_COUNT_DISTINCT),
         "monthly_revenue": _strip(_DATE_TRUNC),
-        "json_extract_sum": _JSON_ORACLE,
         "top_tokens": _TOKENS_ORACLE,
         "json_dialect_shims": _JSON_SHIMS_ORACLE,
         "dialect_text_funcs": _DIALECT_TEXT_ORACLE,
@@ -1425,6 +1529,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": _DEDUP_EXACT_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "ngram_jaccard_capped": _JACCARD_ORACLE,
+        "ngram_jaccard_prefix": _JACCARD_ORACLE,
         "minhash_lsh_pairs": _JACCARD_ORACLE,
         "embedding_similarity_pairs": _COSINE_PAIRS_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,
@@ -1433,6 +1538,8 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": _text_analysis_oracle(),
         "multimodal_metadata_stats": _MULTIMODAL_META_ORACLE,
         "simhash_near_duplicates": _SIMHASH_GATE_ORACLE,
+        "dedup_corpus_survivors": _dedup_corpus_oracle(),
+        "bronze_jsonl_scan": _BRONZE_SCAN_ORACLE,
         # rows-only (no SQL-expressible oracle): multimodal_features —
         # justification in docs/oracles.md
     }
