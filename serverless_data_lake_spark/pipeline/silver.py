@@ -149,15 +149,23 @@ class SilverProcessor:
             if c in df.columns
         ]
 
-        # The batch is materialized ONCE (persist + the rows_in count
-        # action); the dedup window, the merge's two scans of the
-        # batch, and the rows_written count all read the cache. The
-        # r1 implementation re-ran the JSON scan for every consumer —
-        # three scans and two window passes per batch. A silver batch
-        # is one bronze object (bounded), so caching it is the
-        # standard foreachBatch pattern, not a table-sized persist.
-        df = df.persist()
-        rows_in = df.count()
+        # The batch is persisted so the dedup window and the merge's
+        # two scans of the batch read the cache instead of re-running
+        # the JSON scan (the r1 implementation re-scanned per
+        # consumer). Row counts piggyback on the write pass itself
+        # via observe() — zero dedicated count() jobs per batch, the
+        # same pattern gold already uses (pipeline/gold.py:192).
+        # Through r4 this path paid persist + two count actions as a
+        # workaround for an observe() instability on an earlier Spark
+        # line; re-tested green on Spark 4.1 (unit + streaming
+        # foreachBatch suites), so the workaround is retired. A
+        # silver batch is one bronze object (bounded), so caching it
+        # is the standard foreachBatch pattern, not a table-sized
+        # persist.
+        from pyspark.sql import Observation
+
+        obs_in = Observation()
+        df = df.observe(obs_in, F.count(F.lit(1)).alias("n")).persist()
 
         database = self.config.database_name(domain, "silver")
         if primary_keys:
@@ -165,19 +173,27 @@ class SilverProcessor:
                 [F.col("__arrival").desc()] if "__arrival" in df.columns else []
             ) + [F.col("_insert_date").asc()]
             deduped = keep_one_ordered(df, primary_keys, order)
-            cleaned = deduped.drop(*METADATA_COLUMNS, "__arrival").persist()
-            rows_written = cleaned.count()
+            obs_out = Observation()
+            cleaned = (
+                deduped.drop(*METADATA_COLUMNS, "__arrival")
+                .observe(obs_out, F.count(F.lit(1)).alias("n"))
+                .persist()
+            )
             self.store.merge(
                 database, endpoint, cleaned, primary_keys, partition_by
             )
+            rows_written = int(obs_out.get["n"])
             mode = "merge"
         else:
             cleaned = df.drop(*METADATA_COLUMNS, "__arrival")
-            rows_written = rows_in
             self.store.append(
                 database, endpoint, cleaned, partition_by=partition_by
             )
+            rows_written = None
             mode = "append"
+        rows_in = int(obs_in.get["n"])
+        if rows_written is None:
+            rows_written = rows_in
 
         self._register_silver(domain, endpoint, cleaned, primary_keys)
         df.unpersist()
