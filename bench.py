@@ -146,10 +146,21 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     qs = entrymod.queries()
     draws: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    constr: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _ in range(reps):
         for name in BENCH_QUERIES:
+            # Construction is timed SEPARATELY and disclosed: most
+            # entries build a lazy plan in ~ms, but the write-path
+            # end-states (ingest + merges through TableStore), the
+            # IVF trainer, and the iterative connected-components
+            # closure do real eager work here. "queries"/"value"
+            # stay execution-only for round-over-round
+            # comparability; "construct"/"construct_total" carry the
+            # eager-work cost so nothing is hidden from the record.
+            c0 = time.time()
             df = qs[name](spark, sf_dir)
             started = time.time()
+            constr[name].append(started - c0)
             df.write.format("noop").mode("overwrite").save()
             draws[name].append(time.time() - started)
             # Hygiene between queries (untimed): operators that
@@ -158,6 +169,11 @@ def main() -> None:
             # queries with GC.
             spark.catalog.clearCache()
     timings = {name: round(min(ts), 3) for name, ts in draws.items()}
+    constructs = {
+        name: round(min(ts), 3)
+        for name, ts in constr.items()
+        if min(ts) >= 0.05
+    }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -170,6 +186,10 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "agg": "best_of_reps",
+                "construct": constructs,
+                "construct_total": round(
+                    sum(min(ts) for ts in constr.values()), 3
+                ),
             }
         )
     )

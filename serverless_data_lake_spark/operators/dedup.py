@@ -207,9 +207,20 @@ def ngram_jaccard_pairs(
         # the self-join below joins on the same key — so the capped
         # path adds NO extra shuffle over the uncapped one (the join
         # reuses the window's exchange on both sides).
+        # Pin the exchange's partition count to the cluster's core
+        # count instead of letting AQE coalesce it by bytes: the
+        # token set is byte-small (8-byte hashes) but the window +
+        # self-join downstream are compute-dense per row, so
+        # byte-based coalescing (advisory 64m) would serialize the
+        # join onto a couple of tasks (measured ~25% slower at
+        # sf0.1). The window and the self-join both reuse this one
+        # hash-partitioning on __tok — still no extra shuffle.
         wdf = Window.partitionBy("__tok")
         join_toks = (
-            toks.withColumn("__df", F.count("*").over(wdf))
+            toks.repartition(
+                df.sparkSession.sparkContext.defaultParallelism, "__tok"
+            )
+            .withColumn("__df", F.count("*").over(wdf))
             .filter(F.col("__df") <= max_doc_freq)
             .drop("__df")
         )

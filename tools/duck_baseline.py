@@ -1,0 +1,87 @@
+"""DuckDB baseline for the bench comparison.
+
+Runs every ``oracle_sql()`` text on DuckDB over the same parquet the
+Spark bench reads (default sf0.1), best-of-N (default 2, matching
+bench.py), and prints one JSON line::
+
+    {"metric": "duckdb_oracle_seconds", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "reps": N, "threads": N}
+
+Purpose: the reference publishes no numbers, so the judged baseline
+is DuckDB executing the oracle texts on the same box. Measuring it
+in the same session/methodology as bench.py (best-of-N, identical
+files) keeps the Spark-vs-baseline ratio an apples-to-apples number
+instead of depending on who measured the oracle side and when.
+
+Caveats on interpretation (same as VERDICT r4): gate-style oracles
+(`ann_*_topk`, `approx_quantile_gate`, `simhash_near_duplicates`)
+are literal SELECTs that do none of the work, and the similarity
+oracles compute exact answers without the LSH machinery — per-query
+ratios against those overstate or understate honestly-incomparable
+work. The headline comparison is the matched-entry total.
+
+Usage: python tools/duck_baseline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    threads = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {threads}")
+    for t in entrymod.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    oracles = entrymod.oracle_sql()
+    draws: dict[str, list[float]] = {name: [] for name in oracles}
+    # Warmup pass (parity with bench.py's unmeasured warmup): page
+    # cache + DuckDB's own readers warm before the measured reps.
+    for name, sql in oracles.items():
+        try:
+            con.execute(sql).fetchall()
+        except Exception:
+            pass
+    for _ in range(reps):
+        for name, sql in oracles.items():
+            started = time.time()
+            con.execute(sql).fetchall()
+            draws[name].append(time.time() - started)
+    timings = {name: round(min(ts), 3) for name, ts in draws.items()}
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_oracle_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "reps": reps,
+                "threads": threads,
+                "agg": "best_of_reps",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
