@@ -51,11 +51,64 @@ def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+# Edge-count gate for the driver-side union-find fast path: 100 k
+# edges is a few MB of ids — far below any driver memory concern —
+# while near-dup pair sets from a corpus small enough to produce so
+# few edges gain nothing from 2-shuffles-per-round iteration (each
+# distributed round costs ~0.5-1 s of fixed scheduling regardless of
+# data; measured ~4 s on a 300-edge graph vs ~0.1 s locally). Same
+# bounded-driver pattern as the IVF trainer sample and the capped
+# exact-cosine kernel (operators/similarity.py) — disclosed, gated,
+# and identical in output to the distributed path (asserted by
+# tests/test_components.py equivalence tests).
+SMALL_GRAPH_EDGE_CAP = 100_000
+
+
+def _components_local(edges_rows, id_type, spark) -> DataFrame:
+    """Union-find with path compression over a collected edge list;
+    labels = min id per component, bit-identical to the distributed
+    star algorithm's contract."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges_rows:
+        a, b = r["src"], r["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    label: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = label.get(root)
+        if cur is None or node < cur:
+            label[root] = node
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", id_type, False),
+            StructField("component", id_type, False),
+        ]
+    )
+    rows = [(node, label[find(node)]) for node in parent]
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 25,
+    small_graph_edges: int = SMALL_GRAPH_EDGE_CAP,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the MINIMUM
     node id of its connected component.
@@ -68,6 +121,10 @@ def connected_components(
         O(log n) rounds, so 25 covers any physically storable graph.
         Raises ``RuntimeError`` if somehow still moving (defensive —
         a silent wrong answer would poison a dedup downstream).
+    small_graph_edges : edge sets at or below this size are solved
+        with a driver-side union-find instead of distributed rounds
+        (see ``SMALL_GRAPH_EDGE_CAP``); pass 0 to force the
+        distributed path.
 
     Returns ``(id, component)`` with one row per distinct node id in
     ``pairs``; ``component`` is the min id of the node's component
@@ -84,6 +141,19 @@ def connected_components(
             F.col(src).alias("id"), F.col(src).alias("component")
         ).schema
         return pairs.sparkSession.createDataFrame([], schema)
+
+    if small_graph_edges:
+        # One cheap scalar over the checkpointed edges decides the
+        # path; `limit(cap+1).count()` instead of a full count so a
+        # web-scale edge set never pays a complete scan just to learn
+        # it is large.
+        probe = edges.limit(small_graph_edges + 1).count()
+        if probe <= small_graph_edges:
+            return _components_local(
+                edges.collect(),
+                edges.schema["src"].dataType,
+                pairs.sparkSession,
+            )
 
     prev = _edge_checksum(edges)
     for _ in range(max_rounds):

@@ -73,6 +73,61 @@ class TestConnectedComponents:
         assert got == {1: 1, 2: 1, 3: 1}
 
 
+class TestSmallGraphFastPath:
+    """The driver-side union-find (edge sets ≤ SMALL_GRAPH_EDGE_CAP)
+    must be indistinguishable from the distributed star rounds."""
+
+    GRAPHS = {
+        "chain": [(i, i + 1) for i in range(1, 40)],
+        "star": [(10, k) for k in range(11, 30)],
+        "disjoint": [(1, 2), (2, 3), (7, 8), (20, 21), (21, 22)],
+        "bridged_cliques": (
+            [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+            + [(a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a < b]
+            + [(3, 10)]
+        ),
+        "reversed_dups": [(3, 1), (1, 3), (3, 1), (2, 3), (5, 5)],
+    }
+
+    @pytest.mark.parametrize("name", sorted(GRAPHS))
+    def test_paths_agree(self, spark, name):
+        df = spark.createDataFrame(self.GRAPHS[name], ["id_a", "id_b"])
+        local = {
+            (r["id"], r["component"])
+            for r in connected_components(df).collect()
+        }
+        dist = {
+            (r["id"], r["component"])
+            for r in connected_components(df, small_graph_edges=0).collect()
+        }
+        assert local == dist
+
+    def test_paths_agree_string_ids(self, spark):
+        df = spark.createDataFrame(
+            [("b", "c"), ("a", "b"), ("x", "y")], ["id_a", "id_b"]
+        )
+        local = {
+            (r["id"], r["component"])
+            for r in connected_components(df).collect()
+        }
+        dist = {
+            (r["id"], r["component"])
+            for r in connected_components(df, small_graph_edges=0).collect()
+        }
+        assert local == dist
+
+    def test_cap_boundary_routes_to_distributed(self, spark):
+        # 5 edges with cap 4 → distributed path must still answer.
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 6)], ["id_a", "id_b"]
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(df, small_graph_edges=4).collect()
+        }
+        assert got == {i: 1 for i in range(1, 7)}
+
+
 class TestDedupCorpus:
     def test_keeps_min_representative_and_untouched_rows(self, spark):
         corpus = spark.createDataFrame(
