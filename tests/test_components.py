@@ -4,6 +4,8 @@
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from serverless_data_lake_spark.operators.components import (
@@ -126,6 +128,55 @@ class TestSmallGraphFastPath:
             for r in connected_components(df, small_graph_edges=4).collect()
         }
         assert got == {i: 1 for i in range(1, 7)}
+
+
+class TestLocalPathProperty:
+    """Property test: the union-find fast path agrees with a naive
+    BFS reference on random graphs (pure-Python reference, one Spark
+    round-trip per example)."""
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=15),
+                st.integers(min_value=0, max_value=15),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_matches_bfs_reference(self, spark, edges):
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        # BFS reference: min-id label per component.
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        expect = {}
+        seen: set[int] = set()
+        for start in adj:
+            if start in seen:
+                continue
+            comp, frontier = set(), {start}
+            while frontier:
+                node = frontier.pop()
+                if node in comp:
+                    continue
+                comp.add(node)
+                frontier |= adj[node] - comp
+            seen |= comp
+            m = min(comp)
+            for node in comp:
+                expect[node] = m
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == expect
 
 
 class TestDedupCorpus:
