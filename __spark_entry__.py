@@ -41,7 +41,6 @@ from serverless_data_lake_spark.operators.dedup import (
 )
 from serverless_data_lake_spark.operators.similarity import (
     cosine_topk,
-    embedding_near_duplicates,
     lsh_bucketed_topk,
 )
 from serverless_data_lake_spark.operators.text import (
