@@ -1393,21 +1393,50 @@ GROUP BY 1
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (since r5): synthesize a
+    deterministic 8×8 24-bit BMP per document (pixels a pure
+    function of doc_id), then decode + grid-pool features through
+    the production ``mapInPandas`` kernel with ``strict=True`` — if
+    any row fell back to the byte-histogram fake the entry would
+    raise, so the driver's rows-only determinism check now certifies
+    the actual BMP decoder (operators/media_codecs.py). Formats
+    needing codec libraries (JPEG/MP3/H.264) remain fenced; see
+    docs/oracles.md."""
     from serverless_data_lake_spark.operators.multimodal import (
         extract_image_features,
     )
 
-    # Plain read: the stubbed decode is cheap per row, so fanning the
-    # ~1 MB input over 32 Python workers costs more in worker spin-up
-    # than it saves (same reasoning as the all-pairs numpy kernel).
-    docs = _read(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image/fake").alias("mime_type"),
-        F.col("n_chars").alias("n_bytes"),
-        F.encode(F.col("text"), "utf-8").alias("content"),
+    # Plain read: per-row work is microseconds, so fanning the ~1 MB
+    # input over 32 Python workers costs more in worker spin-up than
+    # it saves (same reasoning as the all-pairs numpy kernel).
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from serverless_data_lake_spark.operators.media_codecs import (
+            encode_bmp,
+        )
+
+        for pdf in batches:
+            content = []
+            for did in pdf["doc_id"]:
+                idx = np.arange(8 * 8 * 3, dtype=np.int64)
+                px = ((idx * 31 + int(did) * 97) % 256).astype(np.uint8)
+                content.append(encode_bmp(px.reshape(8, 8, 3)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "mime_type": "image/bmp",
+                    "content": content,
+                }
+            )
+
+    media = docs.mapInPandas(
+        synth, schema="media_id long, mime_type string, content binary"
     )
-    feats = extract_image_features(media, dim=16)
+    feats = extract_image_features(media, dim=16, strict=True)
     return feats.select(
         "media_id",
         F.size("feature").alias("feature_dim"),

@@ -4,11 +4,16 @@ A 100 TB multimodal pipeline treats media as ``binary`` columns with
 typed metadata and runs decode / feature-extraction / resize /
 frame-sampling as **Arrow-batched Pandas functions over
 ``mapInPandas``** — the schema, partitioning, and batch shape here
-are the real production plumbing. The decode kernels themselves are
-stubbed (this container ships no image/audio codecs): each kernel
-either raises ``NotImplementedError`` (strict) or produces a
-deterministic fake (default) so the Spark-side contract is fully
-testable.
+are the real production plumbing.
+
+Decoding is REAL for the formats pure stdlib/numpy can parse —
+BMP, non-interlaced 8-bit PNG, RIFF-PCM WAV
+(:mod:`operators.media_codecs`) — and stubbed only for formats that
+genuinely require codec libraries this container does not ship
+(JPEG, MP3, H.264/MP4): those either raise ``NotImplementedError``
+(strict) or produce a deterministic fake (default) so the Spark-side
+contract stays fully testable. The stub boundary is format-based,
+not blanket.
 
 Design notes for scale:
 - media rows are *wide* (MBs of binary); ``maxPartitionBytes`` and
@@ -73,6 +78,34 @@ def _fake_decode(content: bytes, dim: int) -> list[float]:
     return [v / total for v in acc]
 
 
+# Mime types the pure stdlib/numpy decoders handle for real.
+_DECODABLE_IMAGE = {"image/bmp", "image/png", "image/x-ms-bmp"}
+_DECODABLE_AUDIO = {"audio/wav", "audio/x-wav", "audio/wave"}
+
+
+def _image_feature(content, mime, dim: int, strict: bool) -> list[float]:
+    from serverless_data_lake_spark.operators.media_codecs import (
+        decode_bmp,
+        decode_png,
+        image_features,
+    )
+
+    if content is not None and mime in _DECODABLE_IMAGE:
+        pixels = (
+            decode_png(bytes(content))
+            if mime == "image/png"
+            else decode_bmp(bytes(content))
+        )
+        return image_features(pixels, dim)
+    if strict:
+        raise NotImplementedError(
+            f"decode for {mime!r} requires a codec library "
+            "(PIL/torchvision) not shipped in this environment; "
+            "only BMP/PNG decode without one"
+        )
+    return _fake_decode(content, dim)
+
+
 def extract_image_features(
     df: DataFrame,
     dim: int = 64,
@@ -82,28 +115,89 @@ def extract_image_features(
 
     The UDF receives Arrow batches (pandas DataFrames) and yields
     result batches — constant memory per task regardless of partition
-    size. ``strict=True`` raises ``NotImplementedError`` where a real
-    codec is required, making the stub boundary explicit."""
+    size. BMP and non-interlaced 8-bit PNG are REALLY decoded
+    (operators/media_codecs.py, no codec library needed); features
+    are grid-pooled luminance means. Other image formats fall back to
+    the deterministic byte-histogram fake, or raise
+    ``NotImplementedError`` under ``strict=True`` — the stub boundary
+    is per-format."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "image decode requires a codec library (PIL/torchvision) "
-                    "not shipped in this environment"
-                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "mime_type": pdf["mime_type"],
                     "feature": [
-                        _fake_decode(c, dim) for c in pdf["content"]
+                        _image_feature(c, m, dim, strict)
+                        for c, m in zip(pdf["content"], pdf["mime_type"])
                     ],
                 }
             )
 
     return df.select("media_id", "mime_type", "content").mapInPandas(
         kernel, schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mime_type", StringType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    strict: bool = False,
+) -> DataFrame:
+    """Decode + feature-extract audio via ``mapInPandas``.
+
+    RIFF-PCM WAV is REALLY decoded (stdlib ``wave`` + numpy);
+    features are ``[duration_s, rms, zero_crossing_rate, peak]``
+    over the mono mixdown. Compressed audio (MP3/AAC/OGG) requires a
+    codec library: deterministic fake by default,
+    ``NotImplementedError`` under ``strict=True``."""
+
+    def one(content, mime):
+        from serverless_data_lake_spark.operators.media_codecs import (
+            audio_features,
+            decode_wav,
+        )
+
+        if content is not None and mime in _DECODABLE_AUDIO:
+            rate, channels, samples = decode_wav(bytes(content))
+            return rate, channels, audio_features(rate, samples)
+        if strict:
+            raise NotImplementedError(
+                f"decode for {mime!r} requires an audio codec library "
+                "not shipped in this environment; only PCM WAV decodes "
+                "without one"
+            )
+        return 0, 0, _fake_decode(content, 4)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                one(c, m)
+                for c, m in zip(pdf["content"], pdf["mime_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime_type": pdf["mime_type"],
+                    "sample_rate": [d[0] for d in decoded],
+                    "n_channels": [d[1] for d in decoded],
+                    "feature": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select("media_id", "mime_type", "content").mapInPandas(
+        kernel, schema=AUDIO_FEATURE_SCHEMA
     )
 
 
