@@ -201,6 +201,86 @@ def extract_audio_features(
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mime_type", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("content", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    strict: bool = False,
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode via
+    ``mapInPandas``.
+
+    REAL for BMP/PNG inputs (operators/media_codecs.py): pixels are
+    index-mapped in numpy (deterministic, no interpolation library)
+    and re-encoded as 24-bit BMP — the uniform-size preprocessing
+    step a training pipeline runs before batching images into
+    tensors. Codec-requiring formats pass through unchanged by
+    default or raise under ``strict=True``."""
+
+    def one(content, mime):
+        import numpy as np
+
+        from serverless_data_lake_spark.operators.media_codecs import (
+            decode_bmp,
+            decode_png,
+            encode_bmp,
+        )
+
+        if content is not None and mime in _DECODABLE_IMAGE:
+            px = (
+                decode_png(bytes(content))
+                if mime == "image/png"
+                else decode_bmp(bytes(content))
+            )
+            if px.shape[2] < 3:  # grayscale PNG -> replicate channels
+                px = np.repeat(px[:, :, :1], 3, axis=2)
+            h0, w0 = px.shape[:2]
+            rows = (np.arange(height) * h0) // height
+            cols = (np.arange(width) * w0) // width
+            resized = px[rows][:, cols, :3]
+            return "image/bmp", width, height, encode_bmp(
+                np.ascontiguousarray(resized)
+            )
+        if strict:
+            raise NotImplementedError(
+                f"resize for {mime!r} requires a codec library not "
+                "shipped in this environment; only BMP/PNG resize "
+                "without one"
+            )
+        return mime, None, None, content
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                one(c, m)
+                for c, m in zip(pdf["content"], pdf["mime_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime_type": [o[0] for o in out],
+                    "width": [o[1] for o in out],
+                    "height": [o[2] for o in out],
+                    "content": [o[3] for o in out],
+                }
+            )
+
+    return df.select("media_id", "mime_type", "content").mapInPandas(
+        kernel, schema=RESIZED_SCHEMA
+    )
+
+
 def sample_video_frames(
     df: DataFrame,
     every_ms: int = 1000,

@@ -229,6 +229,46 @@ class TestKernelRouting:
         assert rms == pytest.approx(0.25, abs=1e-3)
         assert zcr == 0.0
 
+    def test_resize_real_roundtrip(self, spark):
+        from serverless_data_lake_spark.operators.multimodal import (
+            resize_images,
+        )
+
+        # 2x2 quadrant image -> 4x4 nearest-neighbor: each quadrant
+        # becomes a 2x2 block of its color.
+        px = np.zeros((2, 2, 3), dtype=np.uint8)
+        px[0, 0], px[0, 1] = (255, 0, 0), (0, 255, 0)
+        px[1, 0], px[1, 1] = (0, 0, 255), (255, 255, 255)
+        df = _media_df(
+            spark, [(1, "image/png", bytearray(make_png(px.copy())))]
+        )
+        row = resize_images(df, 4, 4, strict=True).collect()[0]
+        assert (row["mime_type"], row["width"], row["height"]) == (
+            "image/bmp", 4, 4,
+        )
+        out = decode_bmp(bytes(row["content"]))
+        expect = px.repeat(2, axis=0).repeat(2, axis=1)
+        np.testing.assert_array_equal(out, expect)
+
+    def test_resize_strict_fences_codec_formats(self, spark):
+        from serverless_data_lake_spark.operators.multimodal import (
+            resize_images,
+        )
+
+        df = _media_df(spark, [(1, "image/jpeg", b"\xff\xd8nope")])
+        with pytest.raises(Exception, match="NotImplementedError|codec"):
+            resize_images(df, 4, 4, strict=True).collect()
+
+    def test_resize_passthrough_when_not_strict(self, spark):
+        from serverless_data_lake_spark.operators.multimodal import (
+            resize_images,
+        )
+
+        df = _media_df(spark, [(1, "image/jpeg", b"\xff\xd8keep")])
+        row = resize_images(df, 4, 4).collect()[0]
+        assert bytes(row["content"]) == b"\xff\xd8keep"
+        assert row["width"] is None
+
     # (Binary-column pruning for metadata-only ops is asserted on a
     # parquet scan in tests/test_plan_quality.py — a LocalTableScan
     # here would list every column regardless.)
