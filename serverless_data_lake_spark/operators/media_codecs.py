@@ -192,6 +192,76 @@ def decode_png(content: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# AVI (RIFF container, uncompressed DIB video stream)
+# ---------------------------------------------------------------------------
+def decode_avi_frames(content: bytes) -> tuple[float, list[np.ndarray]]:
+    """Decode an uncompressed (BI_RGB) video AVI.
+
+    Returns ``(fps, frames)`` with each frame ``(H, W, 3)`` uint8
+    RGB. Only the codec-less case is handled: ``biCompression=0``
+    DIB frames (bottom-up BGR rows, 4-byte stride padding — the same
+    pixel layout BMP uses). Compressed streams (MJPG/H.264) raise
+    ``ValueError`` — those need a real codec library.
+    """
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI file")
+
+    fps, width, height, bpp, compression = 0.0, None, None, None, None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal fps, width, height, bpp, compression
+        pos = start
+        while pos + 8 <= end:
+            cid, size = content[pos : pos + 4], struct.unpack_from(
+                "<I", content, pos + 4
+            )[0]
+            body_at = pos + 8
+            if cid == b"LIST":
+                walk(body_at + 4, body_at + size)  # skip list type tag
+            elif cid == b"strh":
+                fcc = content[body_at : body_at + 4]
+                if fcc == b"vids":
+                    scale, rate = struct.unpack_from(
+                        "<II", content, body_at + 20
+                    )
+                    fps = rate / scale if scale else 0.0
+            elif cid == b"strf" and width is None:
+                (
+                    _sz, width, height, _planes, bpp, compression,
+                ) = struct.unpack_from("<IiiHHI", content, body_at)
+            elif cid[2:] in (b"db", b"dc") and size:
+                frames.append(content[body_at : body_at + size])
+            pos = body_at + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(content))
+    if width is None or not frames:
+        raise ValueError("AVI missing video stream headers or frames")
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported AVI: bpp={bpp} compression={compression} "
+            "(only uncompressed DIB decodes without a codec)"
+        )
+    bottom_up = height > 0
+    h = abs(height)
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3
+    out = []
+    for raw in frames:
+        if len(raw) < stride * h:
+            raise ValueError("truncated AVI frame")
+        px = (
+            np.frombuffer(raw, dtype=np.uint8, count=stride * h)
+            .reshape(h, stride)[:, : width * bytes_pp]
+            .reshape(h, width, bytes_pp)
+        )
+        if bottom_up:
+            px = px[::-1]
+        out.append(px[:, :, 2::-1].copy())  # BGR(A) -> RGB
+    return fps, out
+
+
+# ---------------------------------------------------------------------------
 # Deterministic features over decoded media
 # ---------------------------------------------------------------------------
 def image_features(pixels: np.ndarray, dim: int) -> list[float]:

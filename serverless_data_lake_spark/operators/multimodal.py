@@ -281,16 +281,23 @@ def resize_images(
     )
 
 
+_DECODABLE_VIDEO = {"video/avi", "video/x-msvideo"}
+
+
 def sample_video_frames(
     df: DataFrame,
     every_ms: int = 1000,
     strict: bool = False,
 ) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled timestamp.
+    """Frame-sampling: one output row per sampled timestamp.
 
     Timestamps are derived from metadata (``duration_ms``) JVM-side
     with ``sequence`` + ``explode`` — the binary only flows into the
-    decode kernel. The frame decode itself is the stubbed part."""
+    decode kernel. Uncompressed DIB AVI is REALLY decoded
+    (operators/media_codecs.py — pure RIFF container parse): the
+    frame nearest each sampled timestamp is emitted re-encoded as a
+    24-bit BMP. Codec-bound containers (MP4/H.264, MJPG) produce the
+    deterministic fake by default or raise under ``strict=True``."""
     frames = df.withColumn(
         "frame_ts_ms",
         F.explode(
@@ -311,26 +318,48 @@ def sample_video_frames(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        from serverless_data_lake_spark.operators.media_codecs import (
+            decode_avi_frames,
+            encode_bmp,
+        )
+
+        decoded: dict = {}  # per-batch cache: media_id -> (fps, frames)
+
+        def one(mid, mime, ts, content):
+            if content is not None and mime in _DECODABLE_VIDEO:
+                if mid not in decoded:
+                    decoded[mid] = decode_avi_frames(bytes(content))
+                fps, fr = decoded[mid]
+                idx = min(int(round(ts / 1000.0 * fps)), len(fr) - 1)
+                return encode_bmp(fr[idx])
             if strict:
                 raise NotImplementedError(
-                    "video frame decode requires ffmpeg, not shipped here"
+                    f"frame decode for {mime!r} requires ffmpeg-class "
+                    "codecs not shipped here; only uncompressed AVI "
+                    "decodes without one"
                 )
+            return f"frame:{mid}:{ts}".encode()
+
+        for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "frame_ts_ms": pdf["frame_ts_ms"],
-                    # Deterministic fake frame: id+ts tag bytes.
                     "frame": [
-                        f"frame:{mid}:{ts}".encode()
-                        for mid, ts in zip(pdf["media_id"], pdf["frame_ts_ms"])
+                        one(mid, mime, ts, c)
+                        for mid, mime, ts, c in zip(
+                            pdf["media_id"],
+                            pdf["mime_type"],
+                            pdf["frame_ts_ms"],
+                            pdf["content"],
+                        )
                     ],
                 }
             )
 
-    return frames.select("media_id", "frame_ts_ms", "content").mapInPandas(
-        kernel, schema=out_schema
-    )
+    return frames.select(
+        "media_id", "mime_type", "frame_ts_ms", "content"
+    ).mapInPandas(kernel, schema=out_schema)
 
 
 def media_metadata_stats(df: DataFrame) -> DataFrame:

@@ -52,6 +52,50 @@ def make_bmp(pixels: np.ndarray) -> bytes:
     return header + bytes(body)
 
 
+def make_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Minimal uncompressed (BI_RGB) AVI from (H, W, 3) uint8 RGB
+    frames — independent fixture encoder."""
+    h, w, _ = frames[0].shape
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    frame_bytes = []
+    for fr in frames:
+        body = bytearray()
+        for row in fr[::-1]:  # bottom-up
+            line = row[:, ::-1].tobytes()  # RGB -> BGR
+            body += line + b"\x00" * (stride - len(line))
+        frame_bytes.append(bytes(body))
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1000000 // fps, 0, 0, 0, len(frames), 0, 1, stride * h,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"\x00" * 4
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                      0, len(frames), stride * h, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, 0, 0)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       stride * h, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     return (
         struct.pack(">I", len(body))
@@ -170,6 +214,30 @@ class TestPng:
         assert all(0.0 <= v <= 1.0 for v in f1)
 
 
+class TestAvi:
+    def test_roundtrip_frames_and_fps(self):
+        from serverless_data_lake_spark.operators.media_codecs import (
+            decode_avi_frames,
+        )
+
+        frames = [
+            np.full((3, 5, 3), v, dtype=np.uint8) for v in (10, 20, 30)
+        ]
+        fps, out = decode_avi_frames(make_avi(frames, fps=10))
+        assert fps == pytest.approx(10.0)
+        assert len(out) == 3
+        for got, want in zip(out, frames):
+            np.testing.assert_array_equal(got, want)
+
+    def test_rejects_garbage(self):
+        from serverless_data_lake_spark.operators.media_codecs import (
+            decode_avi_frames,
+        )
+
+        with pytest.raises(ValueError):
+            decode_avi_frames(b"RIFFxxxxWAVE")
+
+
 # ---------------------------------------------------------------------------
 # Spark-side routing
 # ---------------------------------------------------------------------------
@@ -268,6 +336,47 @@ class TestKernelRouting:
         row = resize_images(df, 4, 4).collect()[0]
         assert bytes(row["content"]) == b"\xff\xd8keep"
         assert row["width"] is None
+
+    def test_real_video_frame_sampling(self, spark):
+        from serverless_data_lake_spark.operators.multimodal import (
+            sample_video_frames,
+        )
+
+        # 10 fps, 5 frames = 500 ms; sample every 200 ms -> ts 0,
+        # 200, 400 -> frame indices 0, 2, 4.
+        frames = [
+            np.full((2, 2, 3), v, dtype=np.uint8)
+            for v in (0, 50, 100, 150, 200)
+        ]
+        df = spark.createDataFrame(
+            [(1, "video/avi", 500, bytearray(make_avi(frames, fps=10)))],
+            "media_id long, mime_type string, duration_ms long, "
+            "content binary",
+        )
+        rows = sorted(
+            sample_video_frames(df, every_ms=200, strict=True).collect(),
+            key=lambda r: r["frame_ts_ms"],
+        )
+        assert [r["frame_ts_ms"] for r in rows] == [0, 200, 400]
+        for r, v in zip(rows, (0, 100, 200)):
+            px = decode_bmp(bytes(r["frame"]))
+            assert px.shape == (2, 2, 3)
+            np.testing.assert_array_equal(
+                px, np.full((2, 2, 3), v, dtype=np.uint8)
+            )
+
+    def test_video_strict_fences_codec_containers(self, spark):
+        from serverless_data_lake_spark.operators.multimodal import (
+            sample_video_frames,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "video/mp4", 1000, b"\x00\x00\x00 ftypisom")],
+            "media_id long, mime_type string, duration_ms long, "
+            "content binary",
+        )
+        with pytest.raises(Exception, match="NotImplementedError|codec"):
+            sample_video_frames(df, strict=True).collect()
 
     # (Binary-column pruning for metadata-only ops is asserted on a
     # parquet scan in tests/test_plan_quality.py — a LocalTableScan
