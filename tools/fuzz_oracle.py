@@ -116,6 +116,55 @@ def gen_dialect_query(rng: random.Random) -> str:
     )
 
 
+def gen_window_query(rng: random.Random) -> str:
+    """Window functions + QUALIFY in the deterministic subset: every
+    window orders by a unique key (or unique composite) inside its
+    partition, running sums fold in DECIMAL, ranks cast to BIGINT."""
+    k = rng.randint(50, 2000)
+    variant = rng.randrange(4)
+    if variant == 0:
+        j = rng.randint(1, 4)
+        fn = rng.choice(["row_number", "rank", "dense_rank"])
+        return (
+            f"SELECT o_orderkey, o_custkey, "
+            f"CAST({fn}() OVER (PARTITION BY o_custkey "
+            f"ORDER BY o_orderkey) AS BIGINT) AS rn "
+            f"FROM tpch.silver.orders WHERE o_orderkey < {k} "
+            f"QUALIFY rn <= {j} ORDER BY o_orderkey"
+        )
+    if variant == 1:
+        return (
+            "SELECT o_orderkey, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER ("
+            "PARTITION BY o_orderpriority ORDER BY o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS DOUBLE) AS running "
+            f"FROM tpch.silver.orders WHERE o_orderkey < {k} "
+            "ORDER BY o_orderkey"
+        )
+    if variant == 2:
+        off = rng.randint(1, 3)
+        fn = rng.choice(["lag", "lead"])
+        return (
+            f"SELECT o_orderkey, {fn}(o_orderkey, {off}) OVER ("
+            "PARTITION BY o_orderpriority ORDER BY o_orderkey) AS nbr "
+            f"FROM tpch.silver.orders WHERE o_orderkey < {k} "
+            "ORDER BY o_orderkey"
+        )
+    # lineitem's (l_orderkey, l_linenumber) is NOT unique in the
+    # synthetic data (fuzz-discovered), so ranks over it would tie
+    # nondeterministically — full-partition aggregates are order-free
+    # and duplicate input rows yield identical output rows.
+    return (
+        "SELECT l_orderkey, l_linenumber, "
+        "CAST(COUNT(*) OVER (PARTITION BY l_linenumber) AS BIGINT) AS n_part, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) OVER ("
+        "PARTITION BY l_linenumber) AS DOUBLE) AS qty_part "
+        f"FROM tpch.silver.lineitem WHERE l_orderkey < {k} "
+        "ORDER BY l_linenumber, l_orderkey"
+    )
+
+
 def canon(v):
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
@@ -140,7 +189,13 @@ def main() -> int:
 
     failures = 0
     for i in range(n):
-        q = gen_dialect_query(rng) if rng.random() < 0.35 else gen_query(rng)
+        draw = rng.random()
+        if draw < 0.25:
+            q = gen_window_query(rng)
+        elif draw < 0.55:
+            q = gen_dialect_query(rng)
+        else:
+            q = gen_query(rng)
         sdf = engine.dataframe(q)
         srows = [
             tuple(canon(r[c]) for c in sdf.columns) for r in sdf.collect()
