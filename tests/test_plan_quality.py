@@ -129,3 +129,26 @@ def test_multimodal_metadata_stats_prunes_binary(spark):
     plan = _formatted_plan(spark, stats)
     scan_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "content" not in scan_schema
+
+
+def test_jaccard_prefix_no_cartesian_no_python(plans):
+    """The PPJoin path must stay a keyed equi-join over prefixes —
+    a cartesian (or Python in the row path) would defeat its entire
+    purpose at scale."""
+    plan = plans("ngram_jaccard_prefix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dedup_corpus_survivor_scan_pruned(plans):
+    """The corpus anti-join must read only the id column from the
+    survivors-side scan (the text never moves for the final filter),
+    and nothing in the final plan may be Python or a cartesian."""
+    plan = plans("dedup_corpus_survivors")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    scan_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schemas and all(
+        "text" not in l for l in scan_schemas
+    ), "survivor anti-join should prune text from the parquet scan"
