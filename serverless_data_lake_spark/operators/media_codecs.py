@@ -127,20 +127,23 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 # PNG (non-interlaced, 8-bit gray / RGB / RGBA)
 # ---------------------------------------------------------------------------
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> channels
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> channels
 
 
 def decode_png(content: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit PNG to ``(H, W, C)`` uint8."""
+    """Decode a non-interlaced 8-bit PNG to ``(H, W, C)`` uint8.
+    Palette images (color type 3) are expanded to RGB via PLTE."""
     if not content.startswith(_PNG_SIG):
         raise ValueError("not a PNG file")
-    pos, ihdr, idat = len(_PNG_SIG), None, []
+    pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
     while pos + 8 <= len(content):
         length, ctype = struct.unpack_from(">I4s", content, pos)
         body = content[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + crc
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
@@ -153,6 +156,8 @@ def decode_png(content: bytes) -> np.ndarray:
             f"unsupported PNG: depth={depth} color={color} "
             f"interlace={interlace}"
         )
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     ch = _PNG_CHANNELS[color]
     stride = width * ch
     raw = zlib.decompress(b"".join(idat))
@@ -188,7 +193,10 @@ def decode_png(content: bytes) -> np.ndarray:
                 row[i] = (line[i] + pred) % 256
         else:
             raise ValueError(f"unknown PNG filter {f}")
-    return out.astype(np.uint8).reshape(height, width, ch)
+    px = out.astype(np.uint8).reshape(height, width, ch)
+    if color == 3:
+        return plte[px[:, :, 0]]  # palette index -> RGB
+    return px
 
 
 # ---------------------------------------------------------------------------

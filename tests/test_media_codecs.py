@@ -207,6 +207,25 @@ class TestPng:
         with pytest.raises(ValueError):
             decode_png(b"not a png at all")
 
+    def test_palette_png_expands_to_rgb(self):
+        # 2x2, palette [red, green, blue], indices [[0,1],[2,0]].
+        palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+        raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", palette)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+        out = decode_png(png)
+        expect = np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]],
+            dtype=np.uint8,
+        )
+        np.testing.assert_array_equal(out, expect)
+
     def test_image_features_deterministic_and_bounded(self):
         f1 = image_features(self.PX, 8)
         f2 = image_features(self.PX, 8)
