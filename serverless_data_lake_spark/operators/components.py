@@ -20,9 +20,13 @@ MapReduce and Beyond", SoCC 2014) expressed as DataFrame joins and
 - edges strictly decrease toward min-id stars, converging in
   O(log n) rounds on pathological chains and 1-2 rounds on the
   star/clique shapes near-dup clusters actually have;
-- there is NO driver-side graph: the edge set never leaves the
-  cluster, so the operator scales to corpora whose pair set exceeds
-  any single machine.
+- above the small-graph gate the edge set never leaves the cluster,
+  so the operator scales to corpora whose pair set exceeds any
+  single machine; edge sets at or below ``SMALL_GRAPH_EDGE_CAP``
+  (100 k, a few MB) are instead solved with a driver-side
+  union-find, because per-round scheduling cost dwarfs the work on
+  tiny graphs — a disclosed, size-gated driver path like the IVF
+  trainer sample, not a scalability ceiling;
 - every round ends in ``localCheckpoint`` — without it the iterated
   plan nests one join deeper per round and Catalyst re-analysis goes
   quadratic (and lineage re-execution exponential).
