@@ -55,6 +55,16 @@ def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
         arr = (arr - 128.0) / 128.0
     elif width == 2:
         arr = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 3:
+        # 24-bit little-endian: widen each 3-byte sample to int32 by
+        # sign-extending through the high byte.
+        b = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+        widened = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int8).astype(np.int32) << 16)
+        )
+        arr = widened.astype(np.float32) / 8388608.0
     elif width == 4:
         arr = (
             np.frombuffer(frames, dtype="<i4").astype(np.float32)

@@ -159,6 +159,22 @@ class TestWav:
             out[:, 0], [(-128) / 128.0, 0.0, 127 / 128.0], atol=1e-6
         )
 
+    def test_24bit_sign_extension(self):
+        vals = [-8388608, -1, 0, 1, 8388607]  # int24 extremes
+        frames = b"".join(
+            v.to_bytes(3, "little", signed=True) for v in vals
+        )
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(3)
+            w.setframerate(8000)
+            w.writeframes(frames)
+        _, _, out = decode_wav(buf.getvalue())
+        np.testing.assert_allclose(
+            out[:, 0], np.array(vals) / 8388608.0, atol=1e-7
+        )
+
     def test_audio_features(self):
         rate = 8000
         pcm = np.full((rate, 1), 16384, dtype=np.int64)  # 1 s DC at 0.5
