@@ -165,6 +165,21 @@ def gen_window_query(rng: random.Random) -> str:
     )
 
 
+def gen_cte_query(rng: random.Random) -> str:
+    """CTE + IN/NOT-IN (semi/anti) shapes over orders/lineitem."""
+    k = rng.randint(100, 3000)
+    neg = rng.choice(["", "NOT "])
+    agg = rng.choice(["COUNT(*)", "COUNT(DISTINCT o_custkey)"])
+    return (
+        f"WITH picked AS (SELECT l_orderkey FROM tpch.silver.lineitem "
+        f"WHERE l_quantity > {rng.randint(20, 45)}) "
+        f"SELECT o_orderpriority, CAST({agg} AS BIGINT) AS n "
+        f"FROM tpch.silver.orders WHERE o_orderkey < {k} "
+        f"AND o_orderkey {neg}IN (SELECT l_orderkey FROM picked) "
+        f"GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+
+
 def canon(v):
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
@@ -190,9 +205,11 @@ def main() -> int:
     failures = 0
     for i in range(n):
         draw = rng.random()
-        if draw < 0.25:
+        if draw < 0.2:
             q = gen_window_query(rng)
-        elif draw < 0.55:
+        elif draw < 0.35:
+            q = gen_cte_query(rng)
+        elif draw < 0.6:
             q = gen_dialect_query(rng)
         else:
             q = gen_query(rng)
