@@ -323,11 +323,16 @@ def sample_video_frames(
             encode_bmp,
         )
 
-        decoded: dict = {}  # per-batch cache: media_id -> (fps, frames)
+        # Keep only the MOST RECENT media's decoded frames: explode
+        # emits a media's sampled timestamps contiguously within the
+        # partition, so one slot gives full reuse while bounding task
+        # memory to a single video regardless of batch size.
+        decoded: dict = {}
 
         def one(mid, mime, ts, content):
             if content is not None and mime in _DECODABLE_VIDEO:
                 if mid not in decoded:
+                    decoded.clear()
                     decoded[mid] = decode_avi_frames(bytes(content))
                 fps, fr = decoded[mid]
                 idx = min(int(round(ts / 1000.0 * fps)), len(fr) - 1)
