@@ -226,25 +226,30 @@ QUALIFY ROW_NUMBER() OVER (
   PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
 """
 
-_UNION = """
-SELECT n_name AS name FROM tpch.silver.nation WHERE n_regionkey = 0
-UNION
-SELECT r_name AS name FROM tpch.silver.region
-"""
-
+# CTE (R9) + IN/EXISTS semi/anti (R17) + UNION set-dedup (R10) in one
+# oracle row — the UNION leg (marker rows, n = -1) was folded in from
+# the former union_names entry (r5) to free a registry slot for
+# decontaminate_train; feature coverage is identical.
 _CTE_SEMI_ANTI = """
 WITH big AS (
   SELECT o_custkey, COUNT(*) AS n_orders
   FROM tpch.silver.orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+),
+names AS (
+  SELECT n_name AS name FROM tpch.silver.nation WHERE n_regionkey = 0
+  UNION
+  SELECT r_name AS name FROM tpch.silver.region
 )
-SELECT c.c_mktsegment, COUNT(*) AS n_customers
+SELECT c.c_mktsegment AS grp, CAST(COUNT(*) AS BIGINT) AS n
 FROM tpch.silver.customer c
 WHERE c.c_custkey IN (SELECT o_custkey FROM big)
   AND NOT EXISTS (
     SELECT 1 FROM tpch.silver.supplier s WHERE s.s_suppkey = c.c_custkey
   )
 GROUP BY c.c_mktsegment
-ORDER BY c.c_mktsegment
+UNION
+SELECT name AS grp, CAST(-1 AS BIGINT) AS n FROM names
+ORDER BY grp, n
 """
 
 _ROLLUP = """
@@ -637,6 +642,50 @@ reach(id, r) AS (
 comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id FROM documents d
 WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+"""
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py
+    ``decontaminate``, GPT-3 appendix-C rule): hold out every 17th
+    document as the "eval suite", drop training docs sharing ≥ 1
+    distinct 5-gram with it, return surviving doc ids. The test-side
+    gram set is broadcast; the train side streams once. The oracle
+    recomputes the same overlap with string grams in DuckDB."""
+    from serverless_data_lake_spark.operators.dedup import decontaminate
+
+    docs = _read_parallel(spark, sf_dir, "documents")
+    test = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    clean = decontaminate(train, test, "doc_id", "text", n=5, min_shared=1)
+    return clean.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
+_DECONTAMINATE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(t) - 4),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+                  || t[i+4] || ' ' || t[i+5])) AS g
+    FROM toks
+  ) WHERE g <> ''
+),
+test_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % 17 <> 0 AND g IN (SELECT g FROM test_grams)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id % 17 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
 """
 
 
@@ -1464,7 +1513,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_join_counts": _engine_query(_CROSS),
         "window_top3_orders": _engine_query(_WINDOW_TOP3),
         "qualify_top_order": _engine_query(_QUALIFY),
-        "union_names": _engine_query(_UNION),
         "cte_semi_anti": _engine_query(_CTE_SEMI_ANTI),
         "rollup_order_stats": _engine_query(_ROLLUP),
         "count_distinct_segments": _engine_query(_COUNT_DISTINCT),
@@ -1508,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_duplicates": _q_simhash,
         "dedup_corpus_survivors": _q_dedup_corpus,
         "bronze_jsonl_scan": _q_bronze_scan,
+        "decontaminate_train": _q_decontaminate,
         # Rows-only entries (no oracle_sql) must come LAST: the
         # driver's correctness gate records rows for the first 50
         # registry entries only, and a rows-only entry inside that
@@ -1525,7 +1574,6 @@ def oracle_sql() -> dict[str, str]:
         "cross_join_counts": _strip(_CROSS),
         "window_top3_orders": _strip(_WINDOW_TOP3),
         "qualify_top_order": _strip(_QUALIFY),
-        "union_names": _strip(_UNION),
         "cte_semi_anti": _strip(_CTE_SEMI_ANTI),
         "rollup_order_stats": _strip(_ROLLUP),
         "count_distinct_segments": _strip(_COUNT_DISTINCT),
@@ -1568,6 +1616,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_duplicates": _SIMHASH_GATE_ORACLE,
         "dedup_corpus_survivors": _dedup_corpus_oracle(),
         "bronze_jsonl_scan": _BRONZE_SCAN_ORACLE,
+        "decontaminate_train": _DECONTAMINATE_ORACLE,
         # rows-only (no SQL-expressible oracle): multimodal_features —
         # justification in docs/oracles.md
     }

@@ -32,7 +32,6 @@ BENCH_QUERIES = [
     "cross_join_counts",
     "window_top3_orders",
     "qualify_top_order",
-    "union_names",
     "cte_semi_anti",
     "rollup_order_stats",
     "count_distinct_segments",
@@ -66,6 +65,7 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_near_duplicates",
     "dedup_corpus_survivors",
+    "decontaminate_train",
     "bronze_jsonl_scan",
     "embedding_similarity_pairs",
     "cosine_topk",

@@ -594,3 +594,50 @@ def ngram_jaccard_prefix(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Drop training documents that overlap the eval/test corpus —
+    the GPT-3-style n-gram decontamination rule (Brown et al. 2020,
+    appendix C: 13-gram collisions mark a training document as
+    contaminated). A training-data pipeline runs this before every
+    release so benchmark answers don't leak into the corpus.
+
+    Shape at scale: the TEST side is small by construction (eval
+    suites), so its distinct gram-hash set is built once and
+    broadcast; the TRAIN side — the 100 TB one — streams through a
+    single map-side hash-join + groupBy on the 8-byte doc id. No
+    train-side self-join, no test-side shuffle. Gram arrays are
+    in-row distinct (``_gram_hash_array``), so per-doc join hits
+    count DISTINCT shared grams without an extra dedup.
+
+    Returns the clean training corpus (rows with ≥ ``min_shared``
+    shared n-grams removed).
+    """
+    test_grams = test.select(
+        F.explode(_gram_hash_array(text_col, n)).alias("__tok")
+    ).distinct()
+    train_toks = train.select(
+        F.col(id_col).alias("__cid"),
+        F.explode(_gram_hash_array(text_col, n)).alias("__tok"),
+    )
+    contaminated = (
+        train_toks.join(F.broadcast(test_grams), "__tok")
+        .groupBy("__cid")
+        .agg(F.count("*").alias("__shared"))
+        .filter(F.col("__shared") >= min_shared)
+        .select("__cid")
+    )
+    return train.join(
+        contaminated, train[id_col] == contaminated["__cid"], "left_anti"
+    )

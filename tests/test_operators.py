@@ -199,6 +199,63 @@ def vectors(spark):
     return spark.createDataFrame(rows, ["vec_id", "embedding"])
 
 
+class TestDecontaminate:
+    def test_planted_contamination_removed(self, spark):
+        from serverless_data_lake_spark.operators.dedup import decontaminate
+
+        leak = "the exact answer to benchmark question forty two is this"
+        train = spark.createDataFrame(
+            [
+                (1, f"clean document about weather patterns {'x ' * 10}"),
+                (2, f"contaminated document containing {leak} verbatim"),
+                (3, "another clean one about cooking rice slowly today"),
+            ],
+            ["doc_id", "text"],
+        )
+        test = spark.createDataFrame(
+            [(100, f"eval prompt: {leak}?")], ["doc_id", "text"]
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in decontaminate(
+                train, test, "doc_id", "text", n=5
+            ).collect()
+        )
+        assert kept == [1, 3]
+
+    def test_min_shared_threshold(self, spark):
+        from serverless_data_lake_spark.operators.dedup import decontaminate
+
+        # Shares exactly one 3-gram with the test set; min_shared=2
+        # keeps it, min_shared=1 drops it.
+        train = spark.createDataFrame(
+            [(1, "alpha beta gamma wholly unrelated tail words here")],
+            ["doc_id", "text"],
+        )
+        test = spark.createDataFrame(
+            [(9, "alpha beta gamma different continuation entirely")],
+            ["doc_id", "text"],
+        )
+        assert decontaminate(train, test, "doc_id", "text", n=3).count() == 0
+        assert (
+            decontaminate(
+                train, test, "doc_id", "text", n=3, min_shared=2
+            ).count()
+            == 1
+        )
+
+    def test_no_overlap_keeps_everything(self, spark):
+        from serverless_data_lake_spark.operators.dedup import decontaminate
+
+        train = spark.createDataFrame(
+            [(1, "one two three four five six")], ["doc_id", "text"]
+        )
+        test = spark.createDataFrame(
+            [(2, "seven eight nine ten eleven twelve")], ["doc_id", "text"]
+        )
+        assert decontaminate(train, test, "doc_id", "text", n=3).count() == 1
+
+
 class TestSimilaritySearch:
     def test_near_duplicates_exact(self, spark, vectors):
         pairs = {
