@@ -606,6 +606,7 @@ def decontaminate(
     text_col: str,
     n: int = 13,
     min_shared: int = 1,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Drop training documents that overlap the eval/test corpus —
     the GPT-3-style n-gram decontamination rule (Brown et al. 2020,
@@ -622,7 +623,9 @@ def decontaminate(
     count DISTINCT shared grams without an extra dedup.
 
     Returns the clean training corpus (rows with ≥ ``min_shared``
-    shared n-grams removed).
+    shared n-grams removed). Pass ``broadcast=False`` if the eval
+    corpus is too large to broadcast — AQE then picks the join
+    strategy for the gram match.
     """
     test_grams = test.select(
         F.explode(_gram_hash_array(text_col, n)).alias("__tok")
@@ -631,8 +634,9 @@ def decontaminate(
         F.col(id_col).alias("__cid"),
         F.explode(_gram_hash_array(text_col, n)).alias("__tok"),
     )
+    gram_side = F.broadcast(test_grams) if broadcast else test_grams
     contaminated = (
-        train_toks.join(F.broadcast(test_grams), "__tok")
+        train_toks.join(gram_side, "__tok")
         .groupBy("__cid")
         .agg(F.count("*").alias("__shared"))
         .filter(F.col("__shared") >= min_shared)
