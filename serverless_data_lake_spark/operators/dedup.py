@@ -98,64 +98,82 @@ def dedup_exact(
 # ---------------------------------------------------------------------------
 # Tokenization shared by the similarity-dedup family
 # ---------------------------------------------------------------------------
-def _distinct_tokens(
-    df: DataFrame, id_col: str, text_col: str, pattern: str = "\\s+"
-) -> DataFrame:
-    """(id, token) pairs, distinct per document, empty tokens dropped.
-
-    Per-doc dedup happens **inside the row** (``array_distinct``
-    before ``explode``) — a pure map, no shuffle. A global
-    ``.distinct()`` here would shuffle the whole exploded token set
-    for a property that is already per-row."""
+def _hashed_tokens(text_col: str):
+    """Column: 64-bit hashes of the lowercased whitespace tokens, in
+    document order. Each variable-length token string is hashed
+    exactly ONCE; all gram arithmetic downstream runs on fixed-width
+    longs."""
     toks = F.filter(
-        F.split(F.lower(F.col(text_col)), pattern), lambda t: t != ""
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != ""
     )
-    return df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(toks)).alias("__tok"),
-    )
+    return F.transform(toks, lambda t: F.xxhash64(t))
 
 
-def _gram_array(text_col: str, n: int):
-    """Column: distinct word n-grams of the lowercased text as
-    ``array<string>`` — built entirely in-row (token split, window
-    join, ``array_distinct``), no shuffle."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+def _grams_from_hashes(th, n: int):
+    """Column: distinct n-gram hashes from a **bound** token-hash
+    array column — ``xxhash64(th[i], …, th[i+n-1])`` per position.
+
+    ``th`` MUST be a materialized column reference, never an inline
+    expression: higher-order functions get no codegen subexpression
+    elimination, and this expression references ``th`` n times per
+    gram — inlined tokenization would re-split the text O(n·L) times
+    per row (the r5 plans paid exactly that; staging the token hashes
+    in their own projection halved the n-gram family's bench time).
+    Documents shorter than ``n`` yield no grams (guarded —
+    ``sequence(0, -1)`` would DESCEND)."""
     if n <= 1:
-        grams = toks
-    else:
-        # transform over indices 0..len-n producing space-joined
-        # grams; documents shorter than n yield no grams (guarded —
-        # sequence(0, -1) would DESCEND and slice would reject the
-        # start index 0).
-        grams = F.when(
-            F.size(toks) < n, F.array().cast("array<string>")
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-            )
+        return F.array_distinct(th)
+    grams = F.when(
+        F.size(th) < n, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(th) - n),
+            lambda i: F.xxhash64(*[F.get(th, i + F.lit(j)) for j in range(n)]),
         )
-    return F.array_distinct(F.filter(grams, lambda g: g != ""))
-
-
-def _gram_hash_array(text_col: str, n: int):
-    """Column: the distinct n-grams hashed to ``array<bigint>``
-    (64-bit). All set arithmetic downstream (minhash, intersection
-    counts) runs on 8-byte longs instead of ~25-byte strings; each
-    variable-length gram is hashed exactly once."""
-    return F.transform(_gram_array(text_col, n), lambda g: F.xxhash64(g))
-
-
-def _token_ngrams(
-    df: DataFrame, id_col: str, text_col: str, n: int
-) -> DataFrame:
-    """(id, ngram) distinct-per-doc pairs: the in-row gram array,
-    exploded (for inverted-index shapes)."""
-    return df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(_gram_array(text_col, n)).alias("__tok"),
     )
+    return F.array_distinct(grams)
+
+
+def gram_hash_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    out_col: str = "__grams",
+) -> DataFrame:
+    """(id, distinct n-gram hash set) per document, all in-row (zero
+    shuffle): stage the token-hash array in its own projection (kept
+    by CollapseProject because it is multi-referenced and non-cheap),
+    then derive gram hashes from the bound column. Gram identity is
+    the 64-bit hash of the n token hashes — set-equivalent to
+    distinct gram strings (tokens cannot contain the split
+    whitespace, so the token-tuple → string mapping is injective;
+    64-bit collisions are negligible)."""
+    staged = df.select(
+        F.col(id_col), _hashed_tokens(text_col).alias("__th")
+    )
+    return staged.select(
+        F.col(id_col),
+        _grams_from_hashes(F.col("__th"), n).alias(out_col),
+    )
+
+
+def _explode_grams(gram_df: DataFrame, id_out: str, grams_col: str = "__grams"):
+    """Explode a gram-set column to (id, gram) rows — with
+    ``explode_outer`` + a post-Generate null filter, never plain
+    ``explode``: for an inner explode, ``InferFiltersFromGenerate``
+    clones the generator's ENTIRE expression tree into an inferred
+    ``size(...) > 0`` filter and pushes it below the projections —
+    re-evaluating the tokenization several times per input row
+    (measured 10× slower at sf0.1). The outer explode infers no
+    filter; gram-less documents yield one null row, dropped here on
+    the cheap *output* column (which cannot be pushed below the
+    Generate)."""
+    first = gram_df.columns[0]
+    return gram_df.select(
+        F.col(first).alias(id_out),
+        F.explode_outer(grams_col).alias("__tok"),
+    ).filter(F.col("__tok").isNotNull())
 
 
 # ---------------------------------------------------------------------------
@@ -194,9 +212,8 @@ def ngram_jaccard_pairs(
     # trigrams and the join compares longs. A hash collision would
     # need two docs sharing a colliding pair to miscount by 1 —
     # negligible at 64 bits.
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(_gram_hash_array(text_col, n)).alias("__tok"),
+    toks = _explode_grams(
+        gram_hash_sets(df, id_col, text_col, n), "__id"
     ).cache()
     sizes = toks.groupBy("__id").agg(F.count("*").alias("__n"))
     join_toks = toks
@@ -273,16 +290,14 @@ def minhash_signatures(
     at sf0.1 the in-row plan is ~3× faster and at 100 TB it removes
     the only shuffle from the signature stage entirely.
 
-    The gram array is materialized in its own projection first: the
-    signature expression references it H+1 times, and a higher-order
-    function sees no codegen subexpression elimination — inlined, the
-    tokenization would re-run per reference (CollapseProject keeps
-    multi-referenced non-cheap aliases in their own project, making
-    the materialization stick)."""
-    grams = df.select(
-        F.col(id_col),
-        _gram_hash_array(text_col, shingle_size).alias("__grams"),
-    )
+    The gram array is materialized in its own projection first
+    (:func:`gram_hash_sets`): the signature expression references it
+    H+1 times, and a higher-order function sees no codegen
+    subexpression elimination — inlined, the tokenization would
+    re-run per reference (CollapseProject keeps multi-referenced
+    non-cheap aliases in their own project, making the materialization
+    stick)."""
+    grams = gram_hash_sets(df, id_col, text_col, shingle_size)
     sig = _signature_expr(F.col("__grams"), num_hashes)
     return grams.select(F.col(id_col), sig.alias("signature")).filter(
         F.size("signature") > 0
@@ -334,10 +349,11 @@ def minhash_lsh_pairs(
     # 129 times and HOFs get no codegen subexpression elimination, so
     # inlined it would re-tokenize per reference; persisting also
     # feeds the verification joins without re-reading the corpus.
-    gram_sets = df.select(
-        F.col(id_col).alias("__gid"),
-        _gram_hash_array(text_col, shingle_size).alias("__grams"),
-    ).persist()
+    gram_sets = (
+        gram_hash_sets(df, id_col, text_col, shingle_size)
+        .select(F.col(id_col).alias("__gid"), "__grams")
+        .persist()
+    )
     bases = F.col("__grams")
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -355,14 +371,18 @@ def minhash_lsh_pairs(
             ]
         ),
     )
+    # posexplode_outer + null filter, NOT posexplode: the inner form
+    # makes InferFiltersFromGenerate clone the 128-minhash band
+    # expression into a pre-Generate filter, evaluating it twice per
+    # row (see _explode_grams).
     banded = gram_sets.select(
         F.col("__gid").alias("__id"),
-        F.posexplode(
+        F.posexplode_outer(
             F.when(
                 F.size(bases) == 0, F.array().cast("array<bigint>")
             ).otherwise(band_arr)
         ).alias("__band", "__bh"),
-    )
+    ).filter(F.col("__bh").isNotNull())
     left = banded.alias("l")
     right = banded.alias("r")
     candidates = (
@@ -529,10 +549,7 @@ def ngram_jaccard_prefix(
     MinHash's approximation is unwanted. Cost: one extra groupBy for
     document frequencies and a per-doc sort of the gram array.
     """
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(_gram_hash_array(text_col, n)).alias("__tok"),
-    )
+    toks = _explode_grams(gram_hash_sets(df, id_col, text_col, n), "__id")
     freq = toks.groupBy("__tok").agg(F.count("*").alias("__df"))
     ranked = toks.join(freq, "__tok")
     arrs = (
@@ -619,7 +636,7 @@ def decontaminate(
     broadcast; the TRAIN side — the 100 TB one — streams through a
     single map-side hash-join + groupBy on the 8-byte doc id. No
     train-side self-join, no test-side shuffle. Gram arrays are
-    in-row distinct (``_gram_hash_array``), so per-doc join hits
+    in-row distinct (:func:`gram_hash_sets`), so per-doc join hits
     count DISTINCT shared grams without an extra dedup.
 
     Returns the clean training corpus (rows with ≥ ``min_shared``
@@ -627,12 +644,13 @@ def decontaminate(
     corpus is too large to broadcast — AQE then picks the join
     strategy for the gram match.
     """
-    test_grams = test.select(
-        F.explode(_gram_hash_array(text_col, n)).alias("__tok")
-    ).distinct()
-    train_toks = train.select(
-        F.col(id_col).alias("__cid"),
-        F.explode(_gram_hash_array(text_col, n)).alias("__tok"),
+    test_grams = (
+        _explode_grams(gram_hash_sets(test, id_col, text_col, n), "__tid")
+        .select("__tok")
+        .distinct()
+    )
+    train_toks = _explode_grams(
+        gram_hash_sets(train, id_col, text_col, n), "__cid"
     )
     gram_side = F.broadcast(test_grams) if broadcast else test_grams
     contaminated = (
