@@ -252,14 +252,28 @@ SELECT name AS grp, CAST(-1 AS BIGINT) AS n FROM names
 ORDER BY grp, n
 """
 
-_ROLLUP = """
-SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+# R16 ROLLUP + CUBE in ONE oracle row (consolidated from the former
+# separate rollup_order_stats / cube_order_counts entries in r6 to
+# free a correctness-window slot for sessionize_events — the r5
+# consolidation pattern; feature coverage identical, the `src` marker
+# keeps both grouping-set shapes distinguishable in the output).
+_ROLLUP_CUBE = """
+SELECT 'rollup' AS src,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
        COALESCE(o_orderstatus, 'ALL') AS status,
        COUNT(*) AS n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
 FROM tpch.silver.orders
 GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
-ORDER BY priority, status
+UNION ALL
+SELECT 'cube' AS src,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n,
+       CAST(NULL AS DOUBLE) AS total
+FROM tpch.silver.orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+ORDER BY src, priority, status
 """
 
 _COUNT_DISTINCT = """
@@ -367,15 +381,6 @@ SELECT doc_id,
        CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
 FROM documents
-"""
-
-_CUBE = """
-SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
-       COALESCE(o_orderstatus, 'ALL') AS status,
-       COUNT(*) AS n
-FROM tpch.silver.orders
-GROUP BY CUBE(o_orderpriority, o_orderstatus)
-ORDER BY priority, status
 """
 
 # LIST aggregation (reference §2.3 LIST/STRUCT types): engine-side
@@ -1257,51 +1262,56 @@ FROM p
 """
 
 
-def _q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash sampling (operators/sampling.py): keep
-    ~10% of documents by md5(doc_id) — reproducible on any run,
-    partitioning, or engine; the oracle reproduces the exact same
-    selection in DuckDB (md5 is md5 everywhere)."""
+def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sampling operators in one oracle row (consolidated from
+    the former deterministic_sample / split_assignment entries in r6
+    to free a correctness-window slot for salted_aggregate_events;
+    feature coverage identical):
+
+    - ``deterministic_sample``: the ~10% md5(doc_id) sample rows —
+      reproducible on any run, partitioning, or engine;
+    - ``assign_splits``: leakage-safe train/val/test assignment,
+      aggregated to per-split counts.
+
+    The two legs union with a ``part`` marker; the oracle replays the
+    identical md5 hash-bound arithmetic in DuckDB."""
     from serverless_data_lake_spark.operators.sampling import (
+        assign_splits,
         deterministic_sample,
     )
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    return deterministic_sample(docs, "doc_id", 0.1)
+    sample = deterministic_sample(docs, "doc_id", 0.1).select(
+        F.lit("sample").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_chars").cast("bigint").alias("n"),
+    )
+    splits = (
+        assign_splits(docs.select("doc_id"), "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.lit("split").alias("part"), F.col("split").alias("key"), "n")
+    )
+    return sample.unionAll(splits)
 
 
-_DET_SAMPLE_ORACLE = """
-SELECT doc_id, n_chars FROM documents
+_SAMPLING_SPLITS_ORACLE = """
+SELECT 'sample' AS part, CAST(doc_id AS VARCHAR) AS key,
+       CAST(n_chars AS BIGINT) AS n
+FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
       / 4294967296.0 < 0.1
-"""
-
-
-def _q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leakage-safe train/val/test assignment keyed on doc_id
-    (operators/sampling.py ``assign_splits``), aggregated to per-split
-    counts. The oracle reproduces the cumulative hash-bound
-    assignment exactly."""
-    from serverless_data_lake_spark.operators.sampling import assign_splits
-
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
-    out = assign_splits(docs, "doc_id")
-    return out.groupBy("split").agg(
-        F.count("*").cast("bigint").alias("n_docs")
-    )
-
-
-_SPLIT_ORACLE = """
-WITH u AS (
+UNION ALL
+SELECT 'split' AS part,
+       CASE WHEN unit < 0.8 THEN 'train'
+            WHEN unit < 0.9 THEN 'val'
+            ELSE 'test' END AS key,
+       COUNT(*) AS n
+FROM (
   SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
          / 4294967296.0 AS unit
   FROM documents
-)
-SELECT CASE WHEN unit < 0.8 THEN 'train'
-            WHEN unit < 0.9 THEN 'val'
-            ELSE 'test' END AS split,
-       COUNT(*) AS n_docs
-FROM u GROUP BY 1
+) GROUP BY 2
 """
 
 
@@ -1486,13 +1496,145 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth, schema="media_id long, mime_type string, content binary"
     )
     feats = extract_image_features(media, dim=16, strict=True)
-    return feats.select(
+    per_row = feats.select(
         "media_id",
         F.size("feature").alias("feature_dim"),
         F.round(
             F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4
         ).alias("feature_sum"),
     )
+    # Determinism gate (the simhash pattern, r6): collapse the per-row
+    # features to an order-free aggregate the sf0.01 oracle pins as
+    # literals — count, dim conformance, the DECIMAL-exact sum of the
+    # rounded per-image feature sums, and an id-weighted sum so a
+    # feature landing on the WRONG image (not just a changed multiset)
+    # breaks the hash. Any change to the BMP decoder, the grid
+    # pooling, or the mapInPandas plumbing shifts these values.
+    return per_row.agg(
+        F.count("*").cast("bigint").alias("n_media"),
+        F.sum(F.when(F.col("feature_dim") == 16, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dim16"),
+        F.sum(F.col("feature_sum").cast("decimal(38,4)"))
+        .cast("double")
+        .alias("total_feature_sum"),
+        F.sum(
+            (F.col("media_id") * F.col("feature_sum").cast("decimal(38,4)"))
+            .cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("weighted_feature_sum"),
+    )
+
+
+# Literals measured at sf0.01 (the driver's correctness scale; same
+# caveat as _SIMHASH_GATE_ORACLE — bench at other scales runs the
+# Spark side alone). Regenerate with
+# ``python tools/parity_check.py /root/testdata/sf0.01 multimodal_features``
+# after any intentional decoder/pooling change.
+_MULTIMODAL_GATE_ORACLE = """
+SELECT CAST(500 AS BIGINT) AS n_media,
+       CAST(500 AS BIGINT) AS n_dim16,
+       CAST(3999.7074 AS DOUBLE) AS total_feature_sum,
+       CAST(998023.7549 AS DOUBLE) AS weighted_feature_sum
+"""
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful streaming sessionization
+    (streaming/sessionize.py): events group into sessions that close
+    after 30 min of per-user inactivity. The streaming variant
+    (``applyInPandasWithState``) is asserted stream==batch in
+    tests/test_sessionize.py; this entry oracle-checks the
+    sessionization semantics themselves — the oracle replays the
+    gap→boundary→cumulative-session-id construction with lag/sum
+    windows in DuckDB. ``value`` is pre-cast to DECIMAL so the
+    per-session sum is order-free and bit-identical across engines."""
+    from serverless_data_lake_spark.streaming.sessionize import (
+        sessionize_batch,
+    )
+
+    events = _read(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(38,6)")
+    )
+    out = sessionize_batch(events, gap_seconds=1800)
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("session_start").cast("timestamp").alias("session_start"),
+        F.col("session_end").cast("timestamp").alias("session_end"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+_SESSIONIZE_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM e
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient two-phase aggregation (operators/skew.py
+    ``salted_aggregate``): partial aggregate on (event_type, salt)
+    spreads the hot group over 16 reducers, the final phase
+    re-aggregates per key — the 100-TB insurance for extreme
+    cardinality skew AQE's skew handling does not cover
+    (aggregations, not joins). The end state must equal the plain
+    one-phase GROUP BY (salt only routes rows), which is exactly what
+    the oracle computes; the two-phase plan shape is separately
+    asserted in tests/test_plan_quality.py. DECIMAL value sums keep
+    both engines' totals bit-identical."""
+    from serverless_data_lake_spark.operators.skew import salted_aggregate
+
+    events = _read(spark, sf_dir, "events").withColumn(
+        "__v", F.col("value").cast("decimal(38,6)")
+    )
+    out = salted_aggregate(
+        events,
+        ["event_type"],
+        {
+            "n_events": ("count", "*"),
+            "total_value": ("sum", "__v"),
+            "min_value": ("min", "__v"),
+            "max_value": ("max", "__v"),
+        },
+        salt=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+_SALTED_AGG_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+       CAST(MIN(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS min_value,
+       CAST(MAX(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS max_value
+FROM events GROUP BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1514,13 +1656,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top3_orders": _engine_query(_WINDOW_TOP3),
         "qualify_top_order": _engine_query(_QUALIFY),
         "cte_semi_anti": _engine_query(_CTE_SEMI_ANTI),
-        "rollup_order_stats": _engine_query(_ROLLUP),
+        "rollup_cube_order_stats": _engine_query(_ROLLUP_CUBE),
         "count_distinct_segments": _engine_query(_COUNT_DISTINCT),
         "monthly_revenue": _engine_query(_DATE_TRUNC),
         "top_tokens": _engine_query(_TOKENS_SPARK),
         "json_dialect_shims": _engine_query(_JSON_SHIMS_SPARK),
         "dialect_text_funcs": _engine_query(_DIALECT_TEXT_SPARK),
-        "cube_order_counts": _engine_query(_CUBE),
         "list_agg_segments": _engine_query(_LIST_AGG_SPARK),
         "unnest_lateral_tokens": _engine_query(_UNNEST_LATERAL),
         "from_json_unnest": _engine_query(_FROM_JSON_UNNEST),
@@ -1537,8 +1678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "repetition_stats": _q_repetition,
         "interval_join_attribution": _q_interval_join,
-        "deterministic_sample": _q_det_sample,
-        "split_assignment": _q_split_assignment,
+        "sampling_and_splits": _q_sampling_splits,
+        "sessionize_events": _q_sessionize,
+        "salted_aggregate_events": _q_salted_agg,
         "redact_pii": _q_redact_pii,
         "approx_quantile_gate": _q_quantile_gate,
         "dedup_first_event_per_user": _q_dedup_events,
@@ -1553,15 +1695,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "text_analysis": _q_text_analysis,
         "multimodal_metadata_stats": _q_multimodal_metadata,
-        "simhash_near_duplicates": _q_simhash,
+        # r6 rename (r4 advisory): the entry emits a Hamming-distance
+        # histogram, not pairs — named accordingly now. The old key
+        # survives below as a rows-only alias.
+        "simhash_hamming_histogram": _q_simhash,
         "dedup_corpus_survivors": _q_dedup_corpus,
         "bronze_jsonl_scan": _q_bronze_scan,
         "decontaminate_train": _q_decontaminate,
+        "multimodal_features": _q_multimodal,
         # Rows-only entries (no oracle_sql) must come LAST: the
         # driver's correctness gate records rows for the first 50
         # registry entries only, and a rows-only entry inside that
         # window would waste a slot an oracle-checked entry needs.
-        "multimodal_features": _q_multimodal,
+        # simhash_near_duplicates = round-over-round continuity alias
+        # for simhash_hamming_histogram (same callable).
+        "simhash_near_duplicates": _q_simhash,
     }
     return q
 
@@ -1575,13 +1723,12 @@ def oracle_sql() -> dict[str, str]:
         "window_top3_orders": _strip(_WINDOW_TOP3),
         "qualify_top_order": _strip(_QUALIFY),
         "cte_semi_anti": _strip(_CTE_SEMI_ANTI),
-        "rollup_order_stats": _strip(_ROLLUP),
+        "rollup_cube_order_stats": _strip(_ROLLUP_CUBE),
         "count_distinct_segments": _strip(_COUNT_DISTINCT),
         "monthly_revenue": _strip(_DATE_TRUNC),
         "top_tokens": _TOKENS_ORACLE,
         "json_dialect_shims": _JSON_SHIMS_ORACLE,
         "dialect_text_funcs": _DIALECT_TEXT_ORACLE,
-        "cube_order_counts": _strip(_CUBE),
         "list_agg_segments": _LIST_AGG_ORACLE,
         "unnest_lateral_tokens": _strip(_UNNEST_LATERAL),
         "from_json_unnest": _strip(_FROM_JSON_UNNEST),
@@ -1597,8 +1744,9 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _CHUNK_ORACLE,
         "repetition_stats": _REPETITION_ORACLE,
         "interval_join_attribution": _INTERVAL_JOIN_ORACLE,
-        "deterministic_sample": _DET_SAMPLE_ORACLE,
-        "split_assignment": _SPLIT_ORACLE,
+        "sampling_and_splits": _SAMPLING_SPLITS_ORACLE,
+        "sessionize_events": _SESSIONIZE_ORACLE,
+        "salted_aggregate_events": _SALTED_AGG_ORACLE,
         "redact_pii": _REDACT_ORACLE,
         "approx_quantile_gate": _QUANTILE_GATE_ORACLE,
         "dedup_first_event_per_user": _DEDUP_EVENTS_ORACLE,
@@ -1613,10 +1761,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ANN_GATE_ORACLE,
         "text_analysis": _text_analysis_oracle(),
         "multimodal_metadata_stats": _MULTIMODAL_META_ORACLE,
-        "simhash_near_duplicates": _SIMHASH_GATE_ORACLE,
+        "simhash_hamming_histogram": _SIMHASH_GATE_ORACLE,
         "dedup_corpus_survivors": _dedup_corpus_oracle(),
         "bronze_jsonl_scan": _BRONZE_SCAN_ORACLE,
         "decontaminate_train": _DECONTAMINATE_ORACLE,
-        # rows-only (no SQL-expressible oracle): multimodal_features —
-        # justification in docs/oracles.md
+        "multimodal_features": _MULTIMODAL_GATE_ORACLE,
+        # rows-only (no oracle entry): simhash_near_duplicates — the
+        # continuity alias of simhash_hamming_histogram; the checked
+        # twin is the histogram entry above.
     }

@@ -33,14 +33,13 @@ BENCH_QUERIES = [
     "window_top3_orders",
     "qualify_top_order",
     "cte_semi_anti",
-    "rollup_order_stats",
+    "rollup_cube_order_stats",
     "count_distinct_segments",
     "monthly_revenue",
     "ann_ivf_topk",
     "nonequi_price_pairs",
     "hourly_event_windows",
     "list_agg_segments",
-    "cube_order_counts",
     "dialect_text_funcs",
     "top_tokens",
     "json_dialect_shims",
@@ -53,8 +52,9 @@ BENCH_QUERIES = [
     "chunk_documents",
     "repetition_stats",
     "interval_join_attribution",
-    "deterministic_sample",
-    "split_assignment",
+    "sampling_and_splits",
+    "sessionize_events",
+    "salted_aggregate_events",
     "redact_pii",
     "approx_quantile_gate",
     "dedup_first_event_per_user",
@@ -63,7 +63,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_capped",
     "ngram_jaccard_prefix",
     "minhash_lsh_pairs",
-    "simhash_near_duplicates",
+    "simhash_hamming_histogram",
     "dedup_corpus_survivors",
     "decontaminate_train",
     "bronze_jsonl_scan",
@@ -77,6 +77,15 @@ BENCH_QUERIES = [
     "from_json_unnest",
     "star_replace_orders",
 ]
+
+# Entries whose DuckDB oracle replays work the Spark side performs
+# EAGERLY at construction time (the connected-components closure runs
+# localCheckpoint during query construction). For these, construct
+# time is folded INTO the reported per-query seconds so paired
+# Spark-vs-oracle comparisons measure the same work on both sides
+# (r5 advisory: the closure was excluded from the headline while the
+# oracle's recursive CTE paid it).
+EAGER_CONSTRUCT = {"dedup_corpus_survivors"}
 
 
 def main() -> None:
@@ -168,7 +177,14 @@ def main() -> None:
             # pin executor memory across the whole run and tax later
             # queries with GC.
             spark.catalog.clearCache()
-    timings = {name: round(min(ts), 3) for name, ts in draws.items()}
+    timings = {
+        name: round(
+            min(ts)
+            + (min(constr[name]) if name in EAGER_CONSTRUCT else 0.0),
+            3,
+        )
+        for name, ts in draws.items()
+    }
     constructs = {
         name: round(min(ts), 3)
         for name, ts in constr.items()
@@ -176,20 +192,33 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    # Two output lines (r5: the driver's tail-capture window truncated
+    # the single 3.5 kB record and lost the headline). The FULL record
+    # (construct detail, 3-decimal timings) goes first; the LAST line
+    # is the compact driver contract — headline + per-query at reduced
+    # precision — sized to survive the capture window.
+    print(
+        json.dumps(
+            {
+                "metric": "detail",
+                "construct": constructs,
+                "construct_total": round(
+                    sum(min(ts) for ts in constr.values()), 3
+                ),
+                "queries_3dp": timings,
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "total_headline_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "sf": sf,
                 "reps": reps,
                 "agg": "best_of_reps",
-                "construct": constructs,
-                "construct_total": round(
-                    sum(min(ts) for ts in constr.values()), 3
-                ),
             }
         )
     )

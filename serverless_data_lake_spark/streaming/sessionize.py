@@ -67,7 +67,11 @@ def sessionize_batch(
     session id is the running count of such boundaries (two window
     passes over one shuffle-partitioning by key)."""
     w = Window.partitionBy(key_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # TIMESTAMP_NTZ has no direct cast to BIGINT; go through TIMESTAMP
+    # first (a no-op for TIMESTAMP inputs). Gaps are differences, so
+    # any consistent wall-clock interpretation yields the same result.
+    secs = F.col(ts_col).cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
     with_bounds = events.withColumn(
         "__new_session",
         F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0),

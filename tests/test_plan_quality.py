@@ -152,3 +152,24 @@ def test_dedup_corpus_survivor_scan_pruned(plans):
     assert scan_schemas and all(
         "text" not in l for l in scan_schemas
     ), "survivor anti-join should prune text from the parquet scan"
+
+
+def test_salted_aggregate_two_phase(plans):
+    """The skew entry must compile to the two-phase shape: a partial
+    aggregate keyed on (event_type, salt) — visible as the salt
+    column inside a hashpartitioning exchange — then a final
+    re-aggregation on the bare key. Each phase contributes a
+    partial+final HashAggregate pair."""
+    plan = plans("salted_aggregate_events")
+    assert "__sdls_salt" in plan, "salt column missing from the plan"
+    assert _count_nodes(plan, "HashAggregate") == 4
+    assert _count_nodes(plan, "Exchange") == 2
+
+
+def test_sessionize_single_shuffle(plans):
+    """Batch sessionization: both window passes and the session
+    aggregation reuse ONE hash-partitioning by user_id — a second
+    exchange would mean the windows and the groupBy disagree on
+    partitioning."""
+    plan = plans("sessionize_events")
+    assert _count_nodes(plan, "Exchange") == 1
