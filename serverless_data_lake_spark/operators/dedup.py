@@ -616,6 +616,13 @@ def ngram_jaccard_prefix(
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (train/eval n-gram overlap)
 # ---------------------------------------------------------------------------
+# Distinct 8-byte gram hashes the auto mode will still broadcast: 20 M
+# longs ≈ 160 MB raw (~320 MB as a broadcast hash relation) — inside a
+# 4 GB executor's comfort zone, far past any real eval suite (GPT-3's
+# full decontamination set was ~10 M grams).
+DECONTAMINATE_BROADCAST_GRAM_CAP = 20_000_000
+
+
 def decontaminate(
     train: DataFrame,
     test: DataFrame,
@@ -623,7 +630,7 @@ def decontaminate(
     text_col: str,
     n: int = 13,
     min_shared: int = 1,
-    broadcast: bool = True,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Drop training documents that overlap the eval/test corpus —
     the GPT-3-style n-gram decontamination rule (Brown et al. 2020,
@@ -640,9 +647,13 @@ def decontaminate(
     count DISTINCT shared grams without an extra dedup.
 
     Returns the clean training corpus (rows with ≥ ``min_shared``
-    shared n-grams removed). Pass ``broadcast=False`` if the eval
-    corpus is too large to broadcast — AQE then picks the join
-    strategy for the gram match.
+    shared n-grams removed). ``broadcast=None`` (default) counts the
+    distinct test grams first (one cheap job over the small eval
+    side) and broadcasts only when the set fits under
+    ``DECONTAMINATE_BROADCAST_GRAM_CAP`` — an oversized eval corpus
+    degrades to an AQE-planned shuffle join instead of silently
+    exploding driver memory. Pass ``True``/``False`` to skip the
+    sizing job and force the strategy.
     """
     test_grams = (
         _explode_grams(gram_hash_sets(test, id_col, text_col, n), "__tid")
@@ -652,6 +663,8 @@ def decontaminate(
     train_toks = _explode_grams(
         gram_hash_sets(train, id_col, text_col, n), "__cid"
     )
+    if broadcast is None:
+        broadcast = test_grams.count() <= DECONTAMINATE_BROADCAST_GRAM_CAP
     gram_side = F.broadcast(test_grams) if broadcast else test_grams
     contaminated = (
         train_toks.join(gram_side, "__tok")

@@ -226,9 +226,15 @@ def decode_avi_frames(content: bytes) -> tuple[float, list[np.ndarray]]:
 
     fps, width, height, bpp, compression = 0.0, None, None, None, None
     frames: list[bytes] = []
+    # strf carries a different struct per stream type (BITMAPINFOHEADER
+    # for 'vids', WAVEFORMATEX for 'auds'); strf always follows its strh
+    # within the same strl LIST, so gate on the last-seen strh fcc — an
+    # AVI whose audio strl precedes the video one must not have its
+    # WAVEFORMATEX parsed as a video header.
+    last_strh_fcc = b""
 
     def walk(start: int, end: int) -> None:
-        nonlocal fps, width, height, bpp, compression
+        nonlocal fps, width, height, bpp, compression, last_strh_fcc
         pos = start
         while pos + 8 <= end:
             cid, size = content[pos : pos + 4], struct.unpack_from(
@@ -238,13 +244,13 @@ def decode_avi_frames(content: bytes) -> tuple[float, list[np.ndarray]]:
             if cid == b"LIST":
                 walk(body_at + 4, body_at + size)  # skip list type tag
             elif cid == b"strh":
-                fcc = content[body_at : body_at + 4]
-                if fcc == b"vids":
+                last_strh_fcc = content[body_at : body_at + 4]
+                if last_strh_fcc == b"vids":
                     scale, rate = struct.unpack_from(
                         "<II", content, body_at + 20
                     )
                     fps = rate / scale if scale else 0.0
-            elif cid == b"strf" and width is None:
+            elif cid == b"strf" and last_strh_fcc == b"vids" and width is None:
                 (
                     _sz, width, height, _planes, bpp, compression,
                 ) = struct.unpack_from("<IiiHHI", content, body_at)

@@ -10,10 +10,11 @@ Decoding is REAL for the formats pure stdlib/numpy can parse —
 BMP, non-interlaced 8-bit PNG, RIFF-PCM WAV
 (:mod:`operators.media_codecs`) — and stubbed only for formats that
 genuinely require codec libraries this container does not ship
-(JPEG, MP3, H.264/MP4): those either raise ``NotImplementedError``
-(strict) or produce a deterministic fake (default) so the Spark-side
-contract stays fully testable. The stub boundary is format-based,
-not blanket.
+(JPEG, MP3, H.264/MP4): those raise ``NotImplementedError`` by
+default (``strict=True``) — a pipeline must never silently ship fake
+features — or, under an explicit ``strict=False``, produce a
+deterministic fake so the Spark-side contract stays testable without
+codec libraries. The stub boundary is format-based, not blanket.
 
 Design notes for scale:
 - media rows are *wide* (MBs of binary); ``maxPartitionBytes`` and
@@ -109,7 +110,7 @@ def _image_feature(content, mime, dim: int, strict: bool) -> list[float]:
 def extract_image_features(
     df: DataFrame,
     dim: int = 64,
-    strict: bool = False,
+    strict: bool = True,
 ) -> DataFrame:
     """Decode + feature-extract images via ``mapInPandas``.
 
@@ -117,10 +118,10 @@ def extract_image_features(
     result batches — constant memory per task regardless of partition
     size. BMP and non-interlaced 8-bit PNG are REALLY decoded
     (operators/media_codecs.py, no codec library needed); features
-    are grid-pooled luminance means. Other image formats fall back to
-    the deterministic byte-histogram fake, or raise
-    ``NotImplementedError`` under ``strict=True`` — the stub boundary
-    is per-format."""
+    are grid-pooled luminance means. Other image formats raise
+    ``NotImplementedError`` by default, or fall back to the
+    deterministic byte-histogram fake under an explicit
+    ``strict=False`` — the stub boundary is per-format."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -153,15 +154,15 @@ AUDIO_FEATURE_SCHEMA = StructType(
 
 def extract_audio_features(
     df: DataFrame,
-    strict: bool = False,
+    strict: bool = True,
 ) -> DataFrame:
     """Decode + feature-extract audio via ``mapInPandas``.
 
     RIFF-PCM WAV is REALLY decoded (stdlib ``wave`` + numpy);
     features are ``[duration_s, rms, zero_crossing_rate, peak]``
     over the mono mixdown. Compressed audio (MP3/AAC/OGG) requires a
-    codec library: deterministic fake by default,
-    ``NotImplementedError`` under ``strict=True``."""
+    codec library: ``NotImplementedError`` by default, deterministic
+    fake under an explicit ``strict=False``."""
 
     def one(content, mime):
         from serverless_data_lake_spark.operators.media_codecs import (
@@ -216,7 +217,7 @@ def resize_images(
     df: DataFrame,
     width: int,
     height: int,
-    strict: bool = False,
+    strict: bool = True,
 ) -> DataFrame:
     """Decode → nearest-neighbor resize → re-encode via
     ``mapInPandas``.
@@ -225,8 +226,8 @@ def resize_images(
     index-mapped in numpy (deterministic, no interpolation library)
     and re-encoded as 24-bit BMP — the uniform-size preprocessing
     step a training pipeline runs before batching images into
-    tensors. Codec-requiring formats pass through unchanged by
-    default or raise under ``strict=True``."""
+    tensors. Codec-requiring formats raise by default, or pass
+    through unchanged under an explicit ``strict=False``."""
 
     def one(content, mime):
         import numpy as np
@@ -287,7 +288,7 @@ _DECODABLE_VIDEO = {"video/avi", "video/x-msvideo"}
 def sample_video_frames(
     df: DataFrame,
     every_ms: int = 1000,
-    strict: bool = False,
+    strict: bool = True,
 ) -> DataFrame:
     """Frame-sampling: one output row per sampled timestamp.
 
@@ -296,8 +297,9 @@ def sample_video_frames(
     decode kernel. Uncompressed DIB AVI is REALLY decoded
     (operators/media_codecs.py — pure RIFF container parse): the
     frame nearest each sampled timestamp is emitted re-encoded as a
-    24-bit BMP. Codec-bound containers (MP4/H.264, MJPG) produce the
-    deterministic fake by default or raise under ``strict=True``."""
+    24-bit BMP. Codec-bound containers (MP4/H.264, MJPG) raise by
+    default or produce the deterministic fake under an explicit
+    ``strict=False``."""
     frames = df.withColumn(
         "frame_ts_ms",
         F.explode(

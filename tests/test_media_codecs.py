@@ -52,9 +52,14 @@ def make_bmp(pixels: np.ndarray) -> bytes:
     return header + bytes(body)
 
 
-def make_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
+def make_avi(
+    frames: list[np.ndarray], fps: int = 10, audio_first: bool = False
+) -> bytes:
     """Minimal uncompressed (BI_RGB) AVI from (H, W, 3) uint8 RGB
-    frames — independent fixture encoder."""
+    frames — independent fixture encoder. ``audio_first`` prepends an
+    audio strl (whose strf is a WAVEFORMATEX, not a video header)
+    before the video strl, the layout that used to confuse strf
+    attribution."""
     h, w, _ = frames[0].shape
     stride = (w * 3 + 3) & ~3
 
@@ -86,11 +91,23 @@ def make_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
     )
     strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
                        stride * h, 0, 0, 0, 0)
-    hdrl = lst(
-        b"hdrl",
-        chunk(b"avih", avih)
-        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
-    )
+    strls = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    if audio_first:
+        # PCM audio stream header + WAVEFORMATEX strf whose leading
+        # bytes (wFormatTag=1, nChannels=1, 8000 Hz ...) would parse as
+        # an absurd BITMAPINFOHEADER if misattributed to the video.
+        astrh = (
+            b"auds" + b"\x00" * 4
+            + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 8000,
+                          0, 8000, 16000, 0, 0, 0)
+            + struct.pack("<hhhh", 0, 0, 0, 0)
+        )
+        astrf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        strls = (
+            lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf))
+            + strls
+        )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
     movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
@@ -124,8 +141,26 @@ def make_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
             ).reshape(-1)
         elif f == 2:
             enc = (line - prev) % 256
+        elif f in (3, 4):
+            # Average / Paeth — per-byte loops (fixture images are tiny).
+            n = line.shape[0]
+            enc = np.zeros(n, dtype=np.int32)
+            for i in range(n):
+                a = int(line[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if f == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc)
+                        else (b if pb <= pc else c)
+                    )
+                enc[i] = (int(line[i]) - pred) % 256
         else:
-            raise ValueError("test encoder supports filters 0-2")
+            raise ValueError("test encoder supports filters 0-4")
         raw += bytes([f]) + bytes(enc.astype(np.uint8))
         prev = line
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
@@ -214,7 +249,11 @@ class TestPng:
         np.uint8
     ).reshape(4, 5, 3)
 
-    @pytest.mark.parametrize("filters", [[0, 0, 0, 0], [0, 1, 2, 1]])
+    @pytest.mark.parametrize(
+        "filters",
+        [[0, 0, 0, 0], [0, 1, 2, 1], [3, 3, 3, 3], [4, 4, 4, 4],
+         [0, 3, 4, 2], [4, 1, 3, 0]],
+    )
     def test_roundtrip(self, filters):
         out = decode_png(make_png(self.PX, filters))
         np.testing.assert_array_equal(out, self.PX)
@@ -261,6 +300,23 @@ class TestAvi:
         fps, out = decode_avi_frames(make_avi(frames, fps=10))
         assert fps == pytest.approx(10.0)
         assert len(out) == 3
+        for got, want in zip(out, frames):
+            np.testing.assert_array_equal(got, want)
+
+    def test_audio_strl_before_video_strl(self):
+        # The audio stream's strf (WAVEFORMATEX) precedes the video
+        # strl; strf attribution must key off the owning strh fcc, not
+        # first-seen order.
+        from serverless_data_lake_spark.operators.media_codecs import (
+            decode_avi_frames,
+        )
+
+        frames = [np.full((3, 5, 3), v, dtype=np.uint8) for v in (7, 99)]
+        fps, out = decode_avi_frames(
+            make_avi(frames, fps=25, audio_first=True)
+        )
+        assert fps == pytest.approx(25.0)
+        assert len(out) == 2
         for got, want in zip(out, frames):
             np.testing.assert_array_equal(got, want)
 
@@ -362,13 +418,25 @@ class TestKernelRouting:
         with pytest.raises(Exception, match="NotImplementedError|codec"):
             resize_images(df, 4, 4, strict=True).collect()
 
+    def test_default_is_strict_fail_loud(self, spark):
+        # Pipeline foot-gun closed in r6: with no strict argument, a
+        # codec-bound format must raise, never silently ship fake
+        # features.
+        from serverless_data_lake_spark.operators.multimodal import (
+            extract_image_features,
+        )
+
+        df = _media_df(spark, [(1, "image/jpeg", b"\xff\xd8junk")])
+        with pytest.raises(Exception, match="NotImplementedError|codec"):
+            extract_image_features(df, dim=4).collect()
+
     def test_resize_passthrough_when_not_strict(self, spark):
         from serverless_data_lake_spark.operators.multimodal import (
             resize_images,
         )
 
         df = _media_df(spark, [(1, "image/jpeg", b"\xff\xd8keep")])
-        row = resize_images(df, 4, 4).collect()[0]
+        row = resize_images(df, 4, 4, strict=False).collect()[0]
         assert bytes(row["content"]) == b"\xff\xd8keep"
         assert row["width"] is None
 

@@ -255,6 +255,42 @@ class TestDecontaminate:
         )
         assert decontaminate(train, test, "doc_id", "text", n=3).count() == 1
 
+    def test_auto_broadcast_gates_on_gram_count(self, spark, monkeypatch):
+        # broadcast=None must size-check the distinct test-gram set:
+        # over the cap → no broadcast hint (shuffle join); under → hint
+        # present. Same end state either way.
+        from serverless_data_lake_spark.operators import dedup
+
+        leak = "the exact answer to benchmark question forty two is this"
+        train = spark.createDataFrame(
+            [
+                (1, "clean document about weather patterns entirely"),
+                (2, f"contaminated document containing {leak} verbatim"),
+            ],
+            ["doc_id", "text"],
+        )
+        test = spark.createDataFrame(
+            [(100, f"eval prompt: {leak}?")], ["doc_id", "text"]
+        )
+        # The anti-join side never carries a hint, so any ResolvedHint
+        # in the analyzed plan is the gram-set broadcast.
+        def has_broadcast_hint(df):
+            return "ResolvedHint" in (
+                df._jdf.queryExecution().analyzed().toString()
+            )
+
+        monkeypatch.setattr(dedup, "DECONTAMINATE_BROADCAST_GRAM_CAP", 0)
+        big = dedup.decontaminate(train, test, "doc_id", "text", n=5)
+        assert not has_broadcast_hint(big)
+        assert [r["doc_id"] for r in big.collect()] == [1]
+
+        monkeypatch.setattr(
+            dedup, "DECONTAMINATE_BROADCAST_GRAM_CAP", 20_000_000
+        )
+        small = dedup.decontaminate(train, test, "doc_id", "text", n=5)
+        assert has_broadcast_hint(small)
+        assert [r["doc_id"] for r in small.collect()] == [1]
+
 
 class TestSimilaritySearch:
     def test_near_duplicates_exact(self, spark, vectors):
