@@ -212,10 +212,24 @@ def ngram_jaccard_pairs(
     # trigrams and the join compares longs. A hash collision would
     # need two docs sharing a colliding pair to miscount by 1 —
     # negligible at 64 bits.
-    toks = _explode_grams(
-        gram_hash_sets(df, id_col, text_col, n), "__id"
-    ).cache()
-    sizes = toks.groupBy("__id").agg(F.count("*").alias("__n"))
+    #
+    # The per-document gram-set size is F.size of the in-row array —
+    # carried through the explode on every token row (8 bytes) so the
+    # union size is already sitting on both sides of the self-join.
+    # The r5 shape aggregated sizes from the exploded tokens and
+    # joined them back per pair: one extra groupBy shuffle, two extra
+    # joins, and a cache() barrier to share the exploded tokens —
+    # all gone here. The self-join's two sides are byte-identical
+    # plans, so the token exchange is built once and ReusedExchange
+    # feeds both sides (no cache needed for single-pass reuse).
+    grams = gram_hash_sets(df, id_col, text_col, n).select(
+        F.col(id_col), F.col("__grams"), F.size("__grams").alias("__n")
+    )
+    toks = grams.select(
+        F.col(id_col).alias("__id"),
+        F.col("__n"),
+        F.explode_outer("__grams").alias("__tok"),
+    ).filter(F.col("__tok").isNotNull())
     join_toks = toks
     if max_doc_freq is not None:
         # Document frequency as a count() window over __tok, not a
@@ -243,15 +257,19 @@ def ngram_jaccard_pairs(
         )
     left = join_toks.alias("l")
     right = join_toks.alias("r")
-    inter = (
+    # (__na, __nb) are functionally dependent on (id_a, id_b) — adding
+    # them to the groupBy keys is free (same group count) and saves
+    # the two size join-backs the r5 plan paid.
+    pairs = (
         left.join(right, on="__tok")
         .filter(F.col("l.__id") < F.col("r.__id"))
-        .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .groupBy(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__n").alias("__na"),
+            F.col("r.__n").alias("__nb"),
+        )
         .agg(F.count("*").alias("__inter"))
-    )
-    pairs = (
-        inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
-        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
         .withColumn(
             "jaccard",
             F.col("__inter")
@@ -549,9 +567,15 @@ def ngram_jaccard_prefix(
     MinHash's approximation is unwanted. Cost: one extra groupBy for
     document frequencies and a per-doc sort of the gram array.
     """
+    # Document frequency as a count() window over one explicit
+    # hash-partitioning of the token set — not groupBy + join-back
+    # (which pays a second shuffle and a join for the same numbers;
+    # same rationale and parallelism pin as the capped path in
+    # :func:`ngram_jaccard_pairs`).
     toks = _explode_grams(gram_hash_sets(df, id_col, text_col, n), "__id")
-    freq = toks.groupBy("__tok").agg(F.count("*").alias("__df"))
-    ranked = toks.join(freq, "__tok")
+    ranked = toks.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "__tok"
+    ).withColumn("__df", F.count("*").over(Window.partitionBy("__tok")))
     arrs = (
         ranked.groupBy("__id")
         .agg(

@@ -1,0 +1,191 @@
+"""Scale-consistency sweep: Spark vs DuckDB at sizes past the driver
+testdata, comparing ENGINE-SIDE aggregates instead of collected rows.
+
+``tools/parity_check.py`` (the driver-style gate) collects both
+result sets into Python and compares canonicalized values — exact,
+but O(result size) in the Python interpreter, which stops being
+viable when entries return millions of rows (an sf1
+``window_top3_orders`` result is ~450 k rows; value-level parity at
+that size ground for >30 min in round 6). This tool keeps the
+comparison *distributed*: each side reduces its own result to
+
+- row count,
+- per numeric column: SUM (compared with relative tolerance — the
+  two engines sum doubles in different orders) and COUNT,
+- per string/bool column: COUNT of non-nulls and COUNT DISTINCT,
+
+so only a handful of scalars cross into Python regardless of scale.
+A wrong join fanout, a lost filter, a broadcast-threshold bug or an
+overflow at 10× data moves at least one aggregate; only an
+exactly-compensating value swap inside one column could slip
+through — and the sf0.01 driver gate still does exact value-hash
+parity every round.
+
+Usage::
+
+    python tools/gen_scale_data.py 1.0 /tmp/sdls_scale/sf1
+    python tools/scale_sweep.py /tmp/sdls_scale/sf1 [query ...]
+
+Prints one line per entry (status, rows, per-engine seconds) and a
+JSON summary tail; exit code = number of failures.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from serverless_data_lake_spark.session import get_spark  # noqa: E402
+
+REL_TOL = 1e-6  # double sums: engines reduce in different orders
+
+NUMERIC = {"byte", "short", "integer", "long", "float", "double"}
+
+
+def spark_summary(df) -> dict:
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for f in df.schema.fields:
+        t = f.dataType.typeName()
+        c = f.name
+        if t in NUMERIC or t.startswith("decimal"):
+            aggs.append(F.sum(F.col(c).cast("double")).alias(f"sum::{c}"))
+            aggs.append(F.count(c).alias(f"cnt::{c}"))
+        elif t in ("string", "boolean", "date", "timestamp",
+                   "timestamp_ntz"):
+            aggs.append(F.count(c).alias(f"cnt::{c}"))
+            aggs.append(
+                F.countDistinct(F.col(c).cast("string")).alias(f"nd::{c}")
+            )
+        # arrays/structs/binary: covered by the row count only.
+    row = df.agg(*aggs).collect()[0].asDict()
+    return {k: row[k] for k in row}
+
+
+def duck_summary(con, sql: str) -> dict:
+    rel = con.sql(f"SELECT * FROM ({sql})")
+    cols = list(zip(rel.columns, [str(t).lower() for t in rel.types]))
+    parts = ["count(*) AS __rows"]
+    for c, t in cols:
+        qc = f'"{c}"'
+        if any(
+            k in t
+            for k in ("int", "float", "double", "decimal", "hugeint")
+        ):
+            parts.append(f"sum(CAST({qc} AS DOUBLE)) AS \"sum::{c}\"")
+            parts.append(f"count({qc}) AS \"cnt::{c}\"")
+        elif any(k in t for k in ("varchar", "bool", "date", "timestamp")):
+            parts.append(f"count({qc}) AS \"cnt::{c}\"")
+            parts.append(
+                f"count(DISTINCT CAST({qc} AS VARCHAR)) AS \"nd::{c}\""
+            )
+    q = f"SELECT {', '.join(parts)} FROM ({sql})"
+    cur = con.sql(q)
+    return dict(zip(cur.columns, cur.fetchone()))
+
+
+def compare(s: dict, d: dict) -> list[str]:
+    diffs = []
+    for k in sorted(set(s) | set(d)):
+        sv, dv = s.get(k), d.get(k)
+        if k not in s or k not in d:
+            diffs.append(f"{k}: only one side ({sv!r} / {dv!r})")
+            continue
+        if sv is None and dv is None:
+            continue
+        if isinstance(sv, float) or isinstance(dv, float):
+            sv_f = float(sv or 0.0)
+            dv_f = float(dv or 0.0)
+            if math.isnan(sv_f) and math.isnan(dv_f):
+                continue
+            scale = max(abs(sv_f), abs(dv_f), 1.0)
+            if abs(sv_f - dv_f) > REL_TOL * scale:
+                diffs.append(f"{k}: {sv_f} vs {dv_f}")
+        elif sv != dv:
+            diffs.append(f"{k}: {sv!r} vs {dv!r}")
+    return diffs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sdls_scale/sf1"
+    only = set(sys.argv[2:])
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in entrymod.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures, report = 0, {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            s = spark_summary(df)
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark: {str(exc).splitlines()[0][:160]}",
+                  flush=True)
+            failures += 1
+            report[name] = {"status": "spark_error"}
+            continue
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(
+                f"rows-only {name}: {s['__rows']} rows "
+                f"(spark {t_spark:.2f}s)",
+                flush=True,
+            )
+            report[name] = {
+                "status": "rows_only",
+                "rows": s["__rows"],
+                "spark_s": round(t_spark, 2),
+            }
+            continue
+        t0 = time.time()
+        try:
+            d = duck_summary(con, oracles[name])
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb: {str(exc).splitlines()[0][:160]}",
+                  flush=True)
+            failures += 1
+            report[name] = {"status": "duckdb_error"}
+            continue
+        t_duck = time.time() - t0
+        diffs = compare(s, d)
+        status = "ok" if not diffs else "MISMATCH"
+        if diffs:
+            failures += 1
+        print(
+            f"{status} {name}: {s['__rows']} rows "
+            f"(spark {t_spark:.2f}s, duckdb {t_duck:.2f}s)"
+            + ("" if not diffs else f" :: {'; '.join(diffs[:4])}"),
+            flush=True,
+        )
+        report[name] = {
+            "status": status,
+            "rows": s["__rows"],
+            "spark_s": round(t_spark, 2),
+            "duckdb_s": round(t_duck, 2),
+        }
+    print(json.dumps({"sf_dir": sf_dir, "failures": failures,
+                      "entries": report}))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
