@@ -545,15 +545,20 @@ def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale path: drop n-grams with document frequency > 100
-    before the inverted-index self-join (bounds the per-gram join
-    blowup to cap² — the stop-phrase-skew killer at 100 TB). On this
-    corpus the output is identical to the exact path (verified at
-    sf0.01 and sf0.1: near-duplicate overlap is carried by rare
-    grams), so the exact-Jaccard oracle applies unchanged."""
+    """The scale path: drop hot n-grams before the inverted-index
+    self-join (bounds the per-gram join blowup — the stop-phrase-skew
+    killer at 100 TB). The cap is corpus-RELATIVE —
+    max(100, ceil(2% · N)) — because this corpus's 31-word vocabulary
+    makes every gram's document frequency scale linearly with corpus
+    size: the r6 sf1 sweep showed a fixed cap of 100 silently pruning
+    66 of 83 true pairs at 10× data, while the 2% cap keeps the
+    output identical to the exact path at sf0.01/sf0.1/sf1 (verified
+    by tools/scale_sweep.py), so the exact-Jaccard oracle applies
+    unchanged."""
     docs = _read_parallel(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=100
+        docs, "doc_id", "text", n=3, threshold=0.8,
+        max_doc_freq=100, max_doc_frac=0.02,
     )
 
 

@@ -186,6 +186,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    max_doc_frac: float | None = None,
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard ≥ threshold.
 
@@ -204,6 +205,17 @@ def ngram_jaccard_pairs(
     ``None`` for the exact oracle path; set it (e.g. 1000) for
     web-scale corpora — or prefer ``minhash_lsh_pairs``, whose cost
     is frequency-independent.
+
+    An ABSOLUTE cap assumes overlap-carrying grams have corpus-size-
+    independent document frequency (true of real text, where a near-
+    dup pair's shared grams are rare phrases). On templated or small-
+    vocabulary corpora, df scales linearly with corpus size and a
+    fixed cap silently prunes more of the overlap at every scale-up —
+    the r6 sf1 sweep caught exactly that (17 of 83 pairs survived a
+    cap of 100 at 10× data). ``max_doc_frac`` expresses the cap as a
+    fraction of the corpus instead (cap = ceil(frac · N), combined
+    with ``max_doc_freq`` as a floor when both are set); N is joined
+    in as a broadcast scalar, keeping the plan fully lazy.
 
     Returns columns ``id_a, id_b, jaccard`` with ``id_a < id_b``.
     """
@@ -231,7 +243,7 @@ def ngram_jaccard_pairs(
         F.explode_outer("__grams").alias("__tok"),
     ).filter(F.col("__tok").isNotNull())
     join_toks = toks
-    if max_doc_freq is not None:
+    if max_doc_freq is not None or max_doc_frac is not None:
         # Document frequency as a count() window over __tok, not a
         # groupBy + join-back: one shuffle hash-partitions the token
         # set by __tok, the filter preserves that partitioning, and
@@ -247,14 +259,27 @@ def ngram_jaccard_pairs(
         # sf0.1). The window and the self-join both reuse this one
         # hash-partitioning on __tok — still no extra shuffle.
         wdf = Window.partitionBy("__tok")
-        join_toks = (
-            toks.repartition(
-                df.sparkSession.sparkContext.defaultParallelism, "__tok"
+        counted = toks.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "__tok"
+        ).withColumn("__df", F.count("*").over(wdf))
+        if max_doc_frac is not None:
+            # Corpus size as a broadcast 1-row scalar — a
+            # BroadcastNestedLoopJoin against one row costs nothing
+            # and keeps construction lazy (no driver-side count()).
+            total = df.agg(F.count(F.lit(1)).alias("__total"))
+            cap = F.ceil(F.lit(max_doc_frac) * F.col("__total")).cast(
+                "long"
             )
-            .withColumn("__df", F.count("*").over(wdf))
-            .filter(F.col("__df") <= max_doc_freq)
-            .drop("__df")
-        )
+            if max_doc_freq is not None:
+                cap = F.greatest(F.lit(int(max_doc_freq)).cast("long"), cap)
+            counted = (
+                counted.crossJoin(F.broadcast(total))
+                .filter(F.col("__df") <= cap)
+                .drop("__total")
+            )
+        else:
+            counted = counted.filter(F.col("__df") <= max_doc_freq)
+        join_toks = counted.drop("__df")
     left = join_toks.alias("l")
     right = join_toks.alias("r")
     # (__na, __nb) are functionally dependent on (id_a, id_b) — adding

@@ -127,6 +127,50 @@ class TestSimilarityDedup:
         assert (0, 1) in capped
         assert (2, 3) in uncapped and (2, 3) not in capped
 
+    def test_df_frac_cap_scales_with_corpus(self, spark):
+        """max_doc_frac expresses the cap as a corpus fraction: on a
+        10-doc corpus frac=0.2 means cap 2 (stop-phrase grams in all
+        10 docs are pruned), while frac=1.0 means cap 10 (nothing
+        pruned — identical to exact). The combined form takes the max
+        of floor and fraction."""
+        stop = "click here to subscribe to our newsletter"
+        rows = [(i, f"doc number {i} unique words {stop}") for i in range(8)]
+        rows += [
+            (8, f"alpha beta gamma delta epsilon zeta {stop}"),
+            (9, f"alpha beta gamma delta epsilon eta {stop}"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        exact = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=0.1
+            ).collect()
+        }
+        tight = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=0.1, max_doc_frac=0.2
+            ).collect()
+        }
+        loose = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=0.1, max_doc_frac=1.0
+            ).collect()
+        }
+        assert loose == exact
+        assert (8, 9) in tight  # rare-gram overlap survives
+        assert (0, 1) in exact and (0, 1) not in tight  # stop-only pair
+        # floor dominates when larger than the fraction
+        floored = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=0.1,
+                max_doc_freq=1000, max_doc_frac=0.2,
+            ).collect()
+        }
+        assert floored == exact
+
     def test_df_cap_exact_when_cap_above_all_frequencies(
         self, spark, near_dup_docs
     ):
