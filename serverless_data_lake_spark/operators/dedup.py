@@ -234,34 +234,43 @@ def ngram_jaccard_pairs(
     # all gone here. The self-join's two sides are byte-identical
     # plans, so the token exchange is built once and ReusedExchange
     # feeds both sides (no cache needed for single-pass reuse).
+    # coalesce() makes __n provably non-null: the final jaccard
+    # filter otherwise makes InferFiltersFromConstraints emit an
+    # isnotnull(__n) that pushdown rewrites below the staging
+    # projections with the WHOLE gram expression substituted in —
+    # re-tokenizing the text several times per row (the same
+    # pathology _explode_grams documents for generator filters;
+    # measured 12× slower at sf0.1). Provably non-null → no inferred
+    # filter → the staged projections stay intact.
     grams = gram_hash_sets(df, id_col, text_col, n).select(
-        F.col(id_col), F.col("__grams"), F.size("__grams").alias("__n")
+        F.col(id_col),
+        F.col("__grams"),
+        F.coalesce(F.size("__grams"), F.lit(0)).alias("__n"),
     )
     toks = grams.select(
         F.col(id_col).alias("__id"),
         F.col("__n"),
         F.explode_outer("__grams").alias("__tok"),
     ).filter(F.col("__tok").isNotNull())
+    # ONE explicit hash-partitioning of the token set feeds both
+    # sides of the self-join (and, when capping, the df window):
+    # without it each join side builds its own exchange over its own
+    # copy of the tokenize+explode pipeline — measured 1.7× slower at
+    # sf0.1 than sharing the single repartition. Partition count
+    # pinned to cores, not AQE's byte-based coalescing: 8-byte token
+    # rows are byte-small but the join is compute-dense per row.
+    toks = toks.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "__tok"
+    )
     join_toks = toks
     if max_doc_freq is not None or max_doc_frac is not None:
-        # Document frequency as a count() window over __tok, not a
-        # groupBy + join-back: one shuffle hash-partitions the token
-        # set by __tok, the filter preserves that partitioning, and
-        # the self-join below joins on the same key — so the capped
-        # path adds NO extra shuffle over the uncapped one (the join
-        # reuses the window's exchange on both sides).
-        # Pin the exchange's partition count to the cluster's core
-        # count instead of letting AQE coalesce it by bytes: the
-        # token set is byte-small (8-byte hashes) but the window +
-        # self-join downstream are compute-dense per row, so
-        # byte-based coalescing (advisory 64m) would serialize the
-        # join onto a couple of tasks (measured ~25% slower at
-        # sf0.1). The window and the self-join both reuse this one
-        # hash-partitioning on __tok — still no extra shuffle.
+        # Document frequency as a count() window over the SAME token
+        # hash-partitioning staged above, not a groupBy + join-back:
+        # the window preserves the partitioning, the filter preserves
+        # it, and the self-join joins on the same key — the capped
+        # path adds NO shuffle over the uncapped one.
         wdf = Window.partitionBy("__tok")
-        counted = toks.repartition(
-            df.sparkSession.sparkContext.defaultParallelism, "__tok"
-        ).withColumn("__df", F.count("*").over(wdf))
+        counted = toks.withColumn("__df", F.count("*").over(wdf))
         if max_doc_frac is not None:
             # Corpus size as a broadcast 1-row scalar — a
             # BroadcastNestedLoopJoin against one row costs nothing
@@ -280,8 +289,15 @@ def ngram_jaccard_pairs(
         else:
             counted = counted.filter(F.col("__df") <= max_doc_freq)
         join_toks = counted.drop("__df")
+    # shuffle_hash pins the self-join to a shuffled hash join: left
+    # free to AQE, a broadcast flip would rebuild one entire side
+    # (tokenize + explode) into a broadcast relation instead of
+    # reusing the token exchange — and a corpus self-join is never
+    # broadcastable at production scale anyway. With both sides
+    # shuffling on __tok, the two byte-identical plans share ONE
+    # exchange (ReusedExchange, plan-gated).
     left = join_toks.alias("l")
-    right = join_toks.alias("r")
+    right = join_toks.hint("shuffle_hash").alias("r")
     # (__na, __nb) are functionally dependent on (id_a, id_b) — adding
     # them to the groupBy keys is free (same group count) and saves
     # the two size join-backs the r5 plan paid.

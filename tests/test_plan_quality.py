@@ -131,6 +131,24 @@ def test_multimodal_metadata_stats_prunes_binary(spark):
     assert "content" not in scan_schema
 
 
+def test_jaccard_pairs_staged_tokens_no_poison_no_broadcast(plans):
+    """The exact-Jaccard self-join shape (r6):
+    - the tokenize→gram pipeline must stay STAGED — no inferred
+      isnotnull(size(CASE ...)) filter re-expanding the gram
+      expression below the projections (re-tokenizes per row;
+      measured 12× slower when the collapse hit);
+    - the self-join is a shuffled hash join over one explicit token
+      partitioning — an AQE broadcast flip would rebuild a whole
+      side into a broadcast relation instead of sharing the
+      exchange, and a corpus self-join is never broadcastable at
+      production scale."""
+    plan = plans("ngram_jaccard_pairs")
+    assert "isnotnull(size(" not in plan, "inferred-filter poison is back"
+    assert _count_nodes(plan, "ShuffledHashJoin") == 1
+    assert _count_nodes(plan, "BroadcastExchange") == 0
+    assert _count_nodes(plan, "SortMergeJoin") == 0
+
+
 def test_jaccard_prefix_no_cartesian_no_python(plans):
     """The PPJoin path must stay a keyed equi-join over prefixes —
     a cartesian (or Python in the row path) would defeat its entire
