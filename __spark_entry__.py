@@ -829,10 +829,14 @@ def _ann_quality_gate(
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serverless_data_lake_spark.operators.similarity import ivf_topk
 
+    # nlist/nprobe auto-scale with the training sample
+    # (sqrt-of-sample cells, half probed): fixed toy-size
+    # constants (nlist=8/nprobe=4) passed the gate at sf0.01-0.1 but
+    # lost recall at the sf1 sweep's 20k vectors.
     return _ann_quality_gate(
         spark, sf_dir,
         lambda emb, q: ivf_topk(emb, q, dim=64, id_col="vec_id", k=10,
-                                nlist=8, nprobe=4),
+                                nlist=None, nprobe=None),
     )
 
 
