@@ -1134,13 +1134,21 @@ def _profile_oracle() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
-def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-count quality gate: profile the same
-    columns exactly and approximately (``approx_count_distinct``,
-    the only viable distinct counter at 100 TB), emit the exact
-    count plus a boolean asserting the sketch landed within 10% —
-    the ANN-entry gate pattern, making an approximate operator
-    deterministically oracle-checkable."""
+def _q_sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch quality gates, consolidated (r6 — the r5
+    rollup+cube precedent, freeing a driver-window slot for
+    ``semantic_dedup_gate``): one marker-tagged union of
+
+    - ``hll`` rows: HyperLogLog++ distinct counts
+      (``approx_count_distinct``, the only viable distinct counter
+      at 100 TB) per profiled column, gate = sketch within 10% of
+      the exact count; ``metric`` carries the exact count.
+    - ``tdigest`` rows: ``percentile_approx`` vs the exact
+      ``percentile`` on o_totalprice, gate = sketch within 1% of the
+      exact spread; ``metric`` carries the quantile level.
+
+    Both booleans are deterministic, so the approximate operators
+    stay oracle-checkable (the ANN-gate pattern)."""
     from serverless_data_lake_spark.operators.profile import profile_table
 
     orders = _read(spark, sf_dir, "orders")
@@ -1150,14 +1158,44 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = profile_table(orders, _PROFILE_COLS, approx=True).select(
         "column", F.col("n_distinct").alias("__a")
     )
-    return exact.join(approx, "column").select(
-        "column",
-        F.col("__e").alias("n_distinct"),
+    hll = exact.join(approx, "column").select(
+        F.lit("hll").alias("gate"),
+        F.col("column").alias("key"),
+        F.col("__e").cast("double").alias("metric"),
         (
             F.abs(F.col("__a") - F.col("__e"))
             <= F.lit(0.1) * F.col("__e")
         ).alias("approx_ok"),
     )
+    qs = [0.25, 0.5, 0.75, 0.9]
+    arr = "array(" + ",".join(str(q) for q in qs) + ")"
+    agg = orders.agg(
+        F.expr(
+            f"percentile_approx(o_totalprice, {arr}, 10000)"
+        ).alias("__a"),
+        F.expr(f"percentile(o_totalprice, {arr})").alias("__e"),
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("__range"),
+    )
+    pairs = agg.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in qs]).alias("quantile"),
+                F.col("__a").alias("a"),
+                F.col("__e").alias("e"),
+            )
+        ).alias("z"),
+        "__range",
+    )
+    tdigest = pairs.select(
+        F.lit("tdigest").alias("gate"),
+        F.format_number(F.col("z.quantile"), 2).alias("key"),
+        F.col("z.quantile").cast("double").alias("metric"),
+        (
+            F.abs(F.col("z.a") - F.col("z.e"))
+            <= F.lit(0.01) * F.col("__range")
+        ).alias("approx_ok"),
+    )
+    return hll.unionByName(tdigest)
 
 
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1190,47 +1228,8 @@ FROM c
 """
 
 
-def _q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percentile aggregates, gate-checked: ``percentile_approx``
-    (t-digest-style mergeable sketch — the only viable quantile at
-    100 TB) against the exact ``percentile`` on the same column, in
-    one aggregation. Emits one row per requested quantile with a
-    boolean asserting the sketch landed within 1% of the exact
-    spread — deterministic, so oracle-checkable like the ANN recall
-    and HLL gates."""
-    orders = _read(spark, sf_dir, "orders")
-    qs = [0.25, 0.5, 0.75, 0.9]
-    arr = "array(" + ",".join(str(q) for q in qs) + ")"
-    agg = orders.agg(
-        F.expr(
-            f"percentile_approx(o_totalprice, {arr}, 10000)"
-        ).alias("__a"),
-        F.expr(f"percentile(o_totalprice, {arr})").alias("__e"),
-        (F.max("o_totalprice") - F.min("o_totalprice")).alias("__range"),
-    )
-    pairs = agg.select(
-        F.explode(
-            F.arrays_zip(
-                F.array(*[F.lit(q) for q in qs]).alias("quantile"),
-                F.col("__a").alias("a"),
-                F.col("__e").alias("e"),
-            )
-        ).alias("z"),
-        "__range",
-    )
-    return pairs.select(
-        F.col("z.quantile").alias("quantile"),
-        (
-            F.abs(F.col("z.a") - F.col("z.e"))
-            <= F.lit(0.01) * F.col("__range")
-        ).alias("approx_ok"),
-    )
 
 
-_QUANTILE_GATE_ORACLE = """
-SELECT CAST(q AS DOUBLE) AS quantile, true AS approx_ok
-FROM (VALUES (0.25), (0.5), (0.75), (0.9)) AS t(q)
-"""
 
 
 def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1414,12 +1413,21 @@ FROM g
 """
 
 
-def _approx_distinct_oracle() -> str:
+def _sketch_gates_oracle() -> str:
+    """hll rows recompute the exact distinct counts; tdigest rows are
+    literal (the within-1%-of-spread boolean is deterministic)."""
     parts = [
-        f"""SELECT '{c}' AS "column", COUNT(DISTINCT {c}) AS n_distinct,
+        f"""SELECT 'hll' AS gate, '{c}' AS key,
+        CAST(COUNT(DISTINCT {c}) AS DOUBLE) AS metric,
         true AS approx_ok FROM orders"""
         for c in _PROFILE_COLS
     ]
+    parts.append(
+        """SELECT 'tdigest' AS gate, k AS key,
+        CAST(q AS DOUBLE) AS metric, true AS approx_ok
+        FROM (VALUES ('0.25', 0.25), ('0.50', 0.5), ('0.75', 0.75),
+                     ('0.90', 0.9)) AS t(k, q)"""
+    )
     return "\nUNION ALL\n".join(parts)
 
 
@@ -1551,6 +1559,60 @@ SELECT CAST(500 AS BIGINT) AS n_media,
        CAST(500 AS BIGINT) AS n_dim16,
        CAST(3999.7074 AS DOUBLE) AS total_feature_sum,
        CAST(998023.7549 AS DOUBLE) AS weighted_feature_sum
+"""
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end-to-end
+    (``operators/similarity.py::semantic_dedup``, Abbas et al. 2023):
+    cluster embeddings with the shared spherical k-means quantizer,
+    drop rows with a higher-cosine same-cell twin of smaller id. The
+    testdata embeddings have no natural near-dups (max pairwise
+    cosine 0.51 at sf0.01), so 25 planted copies — vec_id+10000,
+    first component nudged by 1e-3, cosine ≈ 0.99999 to their
+    source — are synthesized IN-PLAN; the operator must drop exactly
+    the planted copies (min-id originals win) and nothing else.
+    Determinism-gate oracle (the simhash/multimodal pattern): the
+    sf0.01 literals pin input size, survivor count and two id
+    checksums, so a drop of the wrong row — not just the wrong
+    number of rows — breaks the hash. Plain `_read`: the trainer's
+    bounded sample is `limit(10k)` in file order, deterministic only
+    on an unshuffled scan."""
+    from serverless_data_lake_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, (x + F.lit(0.001)).cast("float"))
+            .otherwise(x),
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(copies)
+    kept = semantic_dedup(corpus, dim=64, threshold=0.99)
+    return kept.agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("vec_id").cast("bigint").alias("kept_id_sum"),
+        F.sum(F.col("vec_id") * F.col("vec_id"))
+        .cast("bigint")
+        .alias("kept_id_sq_sum"),
+    )
+
+
+# Literals measured at sf0.01 (the driver's correctness scale; the
+# n_kept=500 row proves all 25 planted twins were dropped — the
+# id-sum/sq-sum pin WHICH rows survived). Regenerate with
+# ``python tools/parity_check.py /root/testdata/sf0.01
+# semantic_dedup_gate`` after any intentional quantizer/keep-rule
+# change.
+_SEMANTIC_DEDUP_GATE_ORACLE = """
+SELECT CAST(500 AS BIGINT) AS n_kept,
+       CAST(124750 AS BIGINT) AS kept_id_sum,
+       CAST(41541750 AS BIGINT) AS kept_id_sq_sum
 """
 
 
@@ -1688,7 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_merge_endstate": _q_partitioned_merge,
         "bucketed_join_revenue": _q_bucketed_join,
         "profile_orders": _q_profile,
-        "approx_distinct_gate": _q_approx_distinct,
+        "sketch_quality_gates": _q_sketch_gates,
         "chunk_documents": _q_chunk_documents,
         "repetition_stats": _q_repetition,
         "interval_join_attribution": _q_interval_join,
@@ -1696,7 +1758,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "salted_aggregate_events": _q_salted_agg,
         "redact_pii": _q_redact_pii,
-        "approx_quantile_gate": _q_quantile_gate,
         "dedup_first_event_per_user": _q_dedup_events,
         "dedup_exact_documents": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_jaccard,
@@ -1717,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bronze_jsonl_scan": _q_bronze_scan,
         "decontaminate_train": _q_decontaminate,
         "multimodal_features": _q_multimodal,
+        "semantic_dedup_gate": _q_semantic_dedup,
         # Rows-only entries (no oracle_sql) must come LAST: the
         # driver's correctness gate records rows for the first 50
         # registry entries only, and a rows-only entry inside that
@@ -1754,7 +1816,7 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_merge_endstate": _PARTITIONED_MERGE_ORACLE,
         "bucketed_join_revenue": _BUCKETED_JOIN_ORACLE,
         "profile_orders": _profile_oracle(),
-        "approx_distinct_gate": _approx_distinct_oracle(),
+        "sketch_quality_gates": _sketch_gates_oracle(),
         "chunk_documents": _CHUNK_ORACLE,
         "repetition_stats": _REPETITION_ORACLE,
         "interval_join_attribution": _INTERVAL_JOIN_ORACLE,
@@ -1762,7 +1824,6 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _SESSIONIZE_ORACLE,
         "salted_aggregate_events": _SALTED_AGG_ORACLE,
         "redact_pii": _REDACT_ORACLE,
-        "approx_quantile_gate": _QUANTILE_GATE_ORACLE,
         "dedup_first_event_per_user": _DEDUP_EVENTS_ORACLE,
         "dedup_exact_documents": _DEDUP_EXACT_ORACLE,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
@@ -1780,6 +1841,7 @@ def oracle_sql() -> dict[str, str]:
         "bronze_jsonl_scan": _BRONZE_SCAN_ORACLE,
         "decontaminate_train": _DECONTAMINATE_ORACLE,
         "multimodal_features": _MULTIMODAL_GATE_ORACLE,
+        "semantic_dedup_gate": _SEMANTIC_DEDUP_GATE_ORACLE,
         # rows-only (no oracle entry): simhash_near_duplicates — the
         # continuity alias of simhash_hamming_histogram; the checked
         # twin is the histogram entry above.

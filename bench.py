@@ -48,7 +48,7 @@ BENCH_QUERIES = [
     "partitioned_merge_endstate",
     "bucketed_join_revenue",
     "profile_orders",
-    "approx_distinct_gate",
+    "sketch_quality_gates",
     "chunk_documents",
     "repetition_stats",
     "interval_join_attribution",
@@ -56,7 +56,6 @@ BENCH_QUERIES = [
     "sessionize_events",
     "salted_aggregate_events",
     "redact_pii",
-    "approx_quantile_gate",
     "dedup_first_event_per_user",
     "dedup_exact_documents",
     "ngram_jaccard_pairs",
@@ -72,6 +71,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "text_analysis",
     "multimodal_features",
+    "semantic_dedup_gate",
     "multimodal_metadata_stats",
     "unnest_lateral_tokens",
     "from_json_unnest",

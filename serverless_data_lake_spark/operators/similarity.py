@@ -248,6 +248,52 @@ def ann_recall_at_k(
     )
 
 
+def _train_spherical_kmeans(
+    corpus: DataFrame,
+    vec_col: str,
+    nlist: int | None,
+    sample_size: int,
+    seed: int,
+):
+    """Driver-side spherical k-means on a bounded sample (constant
+    driver memory regardless of corpus size): unit-normalize, 10
+    Lloyd iterations with cosine assignment, re-normalized means.
+    ``nlist=None`` → ``round(sqrt(n_sample))`` (FAISS rule of
+    thumb). Returns the centroid matrix (list of unit vectors) to be
+    shipped as literal arrays — shared by :func:`ivf_topk` and
+    :func:`semantic_dedup`."""
+    import numpy as np
+
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(vec_col).limit(sample_size).collect()
+        ],
+        dtype=np.float64,
+    )
+    if nlist is None:
+        nlist = max(4, int(round(math.sqrt(len(sample)))))
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = sample / norms
+
+    rng = np.random.RandomState(seed)
+    centroids = unit[
+        rng.choice(len(unit), size=min(nlist, len(unit)), replace=False)
+    ]
+    for _ in range(10):  # Lloyd iterations on the sample
+        sims = unit @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = unit[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    centroids[c] = m / nrm
+    return centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -282,35 +328,11 @@ def ivf_topk(
     recall gate at 20 k; a quarter-probe auto rule then failed at
     500 — half-probe holds recall ≥0.6 at every measured scale on
     heavily-overlapping clusters while still halving the scan)."""
-    import numpy as np
-
-    sample = np.array(
-        [
-            r[0]
-            for r in corpus.select(vec_col).limit(sample_size).collect()
-        ],
-        dtype=np.float64,
+    centroids = _train_spherical_kmeans(
+        corpus, vec_col, nlist, sample_size, seed
     )
-    if nlist is None:
-        nlist = max(4, int(round(math.sqrt(len(sample)))))
     if nprobe is None:
-        nprobe = max(2, nlist // 2)
-    norms = np.linalg.norm(sample, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    unit = sample / norms
-
-    rng = np.random.RandomState(seed)
-    centroids = unit[rng.choice(len(unit), size=min(nlist, len(unit)), replace=False)]
-    for _ in range(10):  # Lloyd iterations on the sample
-        sims = unit @ centroids.T
-        assign = sims.argmax(axis=1)
-        for c in range(len(centroids)):
-            members = unit[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                nrm = np.linalg.norm(m)
-                if nrm > 0:
-                    centroids[c] = m / nrm
+        nprobe = max(2, len(centroids) // 2)
 
     cent_cols = [
         F.array(*[F.lit(float(x)) for x in c]) for c in centroids
@@ -504,4 +526,82 @@ def embedding_near_duplicates(
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int | None = None,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with a spherical
+    k-means coarse quantizer, then drop every row that has a
+    semantically-near row (cosine ≥ ``threshold``) with a smaller id
+    in the SAME cluster. Returns the surviving rows of ``df``.
+
+    Shape at scale — the all-pairs comparison never happens:
+
+    - the quantizer trains driver-side on a bounded sample
+      (:func:`_train_spherical_kmeans`, same trainer as
+      :func:`ivf_topk`) and ships as literal centroid arrays;
+    - cell assignment is an in-row JVM argmax (zero shuffle);
+    - the pairwise cosine check is a **cell-id equi-join** — cost is
+      Σ|cell|², bounded by the quantizer granularity (``nlist=None``
+      → √n_sample cells), never N²;
+    - survivors come from ONE left-anti join of the corpus against
+      the dropped-id set.
+
+    Keep rule: deterministic min-id-wins (a row is dropped iff a
+    similar same-cell row with a smaller id exists) — the same
+    greedy convention as :func:`operators.dedup.dedup_exact`. This
+    is NOT transitive grouping: in a chain a~b, b~c, a≁c, row c is
+    dropped because of b even though b itself is dropped. For
+    transitive survivor sets, feed the pair list from
+    :func:`embedding_near_duplicates` (or this operator's inner
+    join) into ``operators.components.dedup_connected`` instead.
+    Approximation, inherited from the paper: near-duplicates that
+    land in different cells are not compared — recall follows the
+    quantizer, exactly like IVF probing.
+    """
+    centroids = _train_spherical_kmeans(
+        df, vec_col, nlist, sample_size, seed
+    )
+    cent_cols = [
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ]
+
+    def argmax_cell(vec: Column) -> Column:
+        scores = F.array(*[_dot(vec, c) for c in cent_cols])
+        return (
+            F.array_position(scores, F.array_max(scores)) - 1
+        ).cast("int")
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        _as_double(F.col(vec_col)).alias("__vec"),
+        _norm(F.col(vec_col)).alias("__norm"),
+        argmax_cell(F.col(vec_col)).alias("__cell"),
+    )
+    left = base.alias("l")
+    right = base.alias("r")
+    dropped = (
+        left.join(right, on="__cell")
+        .filter(F.col("r.__id") < F.col("l.__id"))
+        .filter(
+            _dot_d(F.col("l.__vec"), F.col("r.__vec"))
+            / (F.col("l.__norm") * F.col("r.__norm"))
+            >= threshold
+        )
+        .select(F.col("l.__id").alias("__dropped"))
+        .distinct()
+    )
+    return df.join(
+        dropped, df[id_col] == dropped["__dropped"], "left_anti"
     )

@@ -365,6 +365,70 @@ class TestSimilaritySearch:
         assert any(r.vec_id == 0 and r.rank == 1 for r in rows)
 
 
+class TestSemanticDedup:
+    def _corpus(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        # Two well-separated clusters + planted near-duplicates:
+        # ids 10/11 are tiny perturbations of id 0; id 20 duplicates
+        # id 2 in the other cluster; everything else is spread out.
+        c1 = np.array([1.0, 0.0, 0.0, 0.0])
+        c2 = np.array([0.0, 1.0, 0.0, 0.0])
+        def unit(v):
+            return (v / np.linalg.norm(v)).tolist()
+        rows = [
+            (0, unit(c1 + 0.05 * rng.randn(4))),
+            (1, unit(c1 + 0.4 * rng.randn(4))),
+            (2, unit(c2 + 0.05 * rng.randn(4))),
+            (3, unit(c2 + 0.4 * rng.randn(4))),
+        ]
+        base = {i: np.array(v) for i, v in rows}
+        rows += [
+            (10, unit(base[0] + 0.01 * rng.randn(4))),
+            (11, unit(base[0] + 0.01 * rng.randn(4))),
+            (20, unit(base[2] + 0.01 * rng.randn(4))),
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_drops_planted_duplicates_min_id_wins(self, spark):
+        from serverless_data_lake_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        df = self._corpus(spark)
+        kept = sorted(
+            r.vec_id
+            for r in semantic_dedup(
+                df, dim=4, threshold=0.98, nlist=2, sample_size=100
+            ).collect()
+        )
+        # 10/11 duplicate 0; 20 duplicates 2; min ids win.
+        assert kept == [0, 1, 2, 3]
+
+    def test_threshold_one_keeps_everything(self, spark):
+        from serverless_data_lake_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        df = self._corpus(spark)
+        kept = semantic_dedup(
+            df, dim=4, threshold=1.01, nlist=2, sample_size=100
+        ).count()
+        assert kept == df.count()
+
+    def test_schema_preserved(self, spark):
+        from serverless_data_lake_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        df = self._corpus(spark).withColumn("label", F.lit("x"))
+        out = semantic_dedup(
+            df, dim=4, threshold=0.98, nlist=2, sample_size=100
+        )
+        assert out.columns == df.columns
+
+
 class TestText:
     def test_language_detection(self, spark):
         df = spark.createDataFrame(

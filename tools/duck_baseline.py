@@ -14,7 +14,7 @@ files) keeps the Spark-vs-baseline ratio an apples-to-apples number
 instead of depending on who measured the oracle side and when.
 
 Caveats on interpretation (same as VERDICT r4): gate-style oracles
-(`ann_*_topk`, `approx_quantile_gate`, `simhash_near_duplicates`)
+(`ann_*_topk`, `sketch_quality_gates`, `simhash_near_duplicates`)
 are literal SELECTs that do none of the work, and the similarity
 oracles compute exact answers without the LSH machinery — per-query
 ratios against those overstate or understate honestly-incomparable

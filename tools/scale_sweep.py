@@ -54,7 +54,11 @@ NUMERIC = {"byte", "short", "integer", "long", "float", "double"}
 # determinism-gate pattern): meaningful only at the driver's
 # correctness scale. At any other scale the sweep runs the Spark side
 # alone (rows-only), exactly like bench does.
-PINNED_SF001_GATES = {"simhash_hamming_histogram", "multimodal_features"}
+PINNED_SF001_GATES = {
+    "simhash_hamming_histogram",
+    "multimodal_features",
+    "semantic_dedup_gate",
+}
 
 
 def spark_summary(df) -> dict:
