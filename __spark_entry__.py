@@ -1575,14 +1575,14 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism-gate oracle (the simhash/multimodal pattern): the
     sf0.01 literals pin input size, survivor count and two id
     checksums, so a drop of the wrong row — not just the wrong
-    number of rows — breaks the hash. Plain `_read`: the trainer's
-    bounded sample is `limit(10k)` in file order, deterministic only
-    on an unshuffled scan."""
+    number of rows — breaks the hash. Parallel read is safe: the
+    trainer lex-sorts its bounded sample, so any partitioning that
+    captures the same row set trains identical centroids."""
     from serverless_data_lake_spark.operators.similarity import (
         semantic_dedup,
     )
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_parallel(spark, sf_dir, "embeddings")
     copies = emb.filter(F.col("vec_id") < 25).select(
         (F.col("vec_id") + 10000).alias("vec_id"),
         F.transform(

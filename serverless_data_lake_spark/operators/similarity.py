@@ -271,6 +271,16 @@ def _train_spherical_kmeans(
         ],
         dtype=np.float64,
     )
+    # Lexicographic row sort makes training ORDER-insensitive: the
+    # seeded init indexes into the sample, so without it a
+    # repartitioned input (nondeterministic limit order) would yield
+    # different centroids run-to-run. With it, any input whose
+    # limit() captures the same row SET (always true when the corpus
+    # fits sample_size) trains identical centroids. Past sample_size
+    # the sampled set itself depends on scan order — documented
+    # approximation, same as any bounded-sample trainer.
+    if len(sample):
+        sample = sample[np.lexsort(sample.T[::-1])]
     if nlist is None:
         nlist = max(4, int(round(math.sqrt(len(sample)))))
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
@@ -585,22 +595,44 @@ def semantic_dedup(
 
     base = df.select(
         F.col(id_col).alias("__id"),
-        _as_double(F.col(vec_col)).alias("__vec"),
-        _norm(F.col(vec_col)).alias("__norm"),
+        F.col(vec_col).alias("__vec"),
         argmax_cell(F.col(vec_col)).alias("__cell"),
     )
-    left = base.alias("l")
-    right = base.alias("r")
-    dropped = (
-        left.join(right, on="__cell")
-        .filter(F.col("r.__id") < F.col("l.__id"))
-        .filter(
-            _dot_d(F.col("l.__vec"), F.col("r.__vec"))
-            / (F.col("l.__norm") * F.col("r.__norm"))
-            >= threshold
-        )
-        .select(F.col("l.__id").alias("__dropped"))
-        .distinct()
+
+    # Per-cell pairwise via an Arrow kernel, not an expression-level
+    # self-join: the HOF dot product costs ~1 µs/pair-element while
+    # the numpy matmul does the identical arithmetic vectorized
+    # (measured ~5× faster end-to-end at sf0.1). One shuffle on the
+    # 4-byte cell id; per-task memory is bounded by BLOCK×|cell|
+    # floats regardless of cell size (row-blocked matmul), and each
+    # task holds one cell — the same work unit a cell-partitioned
+    # storage layout would hand it.
+    BLOCK = 1024
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"__dropped": np.array([], dtype=np.int64)})
+        order = np.argsort(pdf["__id"].to_numpy())
+        ids = pdf["__id"].to_numpy()[order]
+        mat = np.stack(pdf["__vec"].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        dropped = []
+        for lo in range(1, len(ids), BLOCK):
+            hi = min(lo + BLOCK, len(ids))
+            # rows lo..hi vs all STRICTLY EARLIER ids (min-id wins)
+            sims = unit[lo:hi] @ unit[:hi].T
+            for k in range(hi - lo):
+                if (sims[k, : lo + k] >= threshold).any():
+                    dropped.append(ids[lo + k])
+        return pd.DataFrame({"__dropped": np.array(dropped, dtype=np.int64)})
+
+    dropped = base.groupBy("__cell").applyInPandas(
+        kernel, schema="__dropped long"
     )
     return df.join(
         dropped, df[id_col] == dropped["__dropped"], "left_anti"
