@@ -428,6 +428,24 @@ class TestSemanticDedup:
         )
         assert out.columns == df.columns
 
+    def test_trainer_is_input_order_insensitive(self, spark):
+        # The seeded k-means init indexes into the collected sample;
+        # the lex-sort must make any partitioning/order of the same
+        # row set train identical centroids.
+        import numpy as np
+
+        from serverless_data_lake_spark.operators.similarity import (
+            _train_spherical_kmeans,
+        )
+
+        df = self._corpus(spark)
+        a = _train_spherical_kmeans(df, "embedding", 3, 100, 42)
+        b = _train_spherical_kmeans(
+            df.orderBy(F.desc("vec_id")).repartition(7),
+            "embedding", 3, 100, 42,
+        )
+        np.testing.assert_array_equal(a, b)
+
 
 class TestText:
     def test_language_detection(self, spark):
