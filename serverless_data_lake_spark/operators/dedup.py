@@ -264,13 +264,16 @@ def ngram_jaccard_pairs(
     )
     join_toks = toks
     if max_doc_freq is not None or max_doc_frac is not None:
-        # Document frequency as a count() window over the SAME token
-        # hash-partitioning staged above, not a groupBy + join-back:
-        # the window preserves the partitioning, the filter preserves
-        # it, and the self-join joins on the same key — the capped
-        # path adds NO shuffle over the uncapped one.
-        wdf = Window.partitionBy("__tok")
-        counted = toks.withColumn("__df", F.count("*").over(wdf))
+        # Document frequency as a groupBy over the SAME token
+        # hash-partitioning staged above (partial+final aggregate in
+        # one stage, no new exchange) with the surviving-gram set
+        # joined back via a shuffled hash join on that partitioning.
+        # NOT a count() window: partitionBy(__tok) makes WindowExec
+        # SORT the full token set by gram hash on each side —
+        # measured 2.5× slower at sf0.1 and strictly more work at
+        # every scale (the frequency table after map-side combine is
+        # |distinct grams| rows, far smaller than the token set).
+        freq = toks.groupBy("__tok").agg(F.count("*").alias("__df"))
         if max_doc_frac is not None:
             # Corpus size as a broadcast 1-row scalar — a
             # BroadcastNestedLoopJoin against one row costs nothing
@@ -281,14 +284,16 @@ def ngram_jaccard_pairs(
             )
             if max_doc_freq is not None:
                 cap = F.greatest(F.lit(int(max_doc_freq)).cast("long"), cap)
-            counted = (
-                counted.crossJoin(F.broadcast(total))
+            freq = (
+                freq.crossJoin(F.broadcast(total))
                 .filter(F.col("__df") <= cap)
                 .drop("__total")
             )
         else:
-            counted = counted.filter(F.col("__df") <= max_doc_freq)
-        join_toks = counted.drop("__df")
+            freq = freq.filter(F.col("__df") <= max_doc_freq)
+        join_toks = toks.join(
+            freq.drop("__df").hint("shuffle_hash"), "__tok"
+        )
     # shuffle_hash pins the self-join to a shuffled hash join: left
     # free to AQE, a broadcast flip would rebuild one entire side
     # (tokenize + explode) into a broadcast relation instead of
@@ -608,15 +613,19 @@ def ngram_jaccard_prefix(
     MinHash's approximation is unwanted. Cost: one extra groupBy for
     document frequencies and a per-doc sort of the gram array.
     """
-    # Document frequency as a count() window over one explicit
-    # hash-partitioning of the token set — not groupBy + join-back
-    # (which pays a second shuffle and a join for the same numbers;
-    # same rationale and parallelism pin as the capped path in
-    # :func:`ngram_jaccard_pairs`).
-    toks = _explode_grams(gram_hash_sets(df, id_col, text_col, n), "__id")
-    ranked = toks.repartition(
+    # Document frequency from a groupBy over one explicit
+    # hash-partitioning of the token set, joined back with a
+    # shuffled hash join on the same partitioning — same shape and
+    # rationale as the capped path in :func:`ngram_jaccard_pairs`
+    # (a count() window would sort the full token set by gram hash;
+    # the combined frequency table is only |distinct grams| rows).
+    toks = _explode_grams(
+        gram_hash_sets(df, id_col, text_col, n), "__id"
+    ).repartition(
         df.sparkSession.sparkContext.defaultParallelism, "__tok"
-    ).withColumn("__df", F.count("*").over(Window.partitionBy("__tok")))
+    )
+    freq = toks.groupBy("__tok").agg(F.count("*").alias("__df"))
+    ranked = toks.join(freq.hint("shuffle_hash"), "__tok")
     arrs = (
         ranked.groupBy("__id")
         .agg(
