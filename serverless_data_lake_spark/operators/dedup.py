@@ -697,6 +697,19 @@ def ngram_jaccard_prefix(
 DECONTAMINATE_BROADCAST_GRAM_CAP = 20_000_000
 
 
+def eval_gram_set(
+    test: DataFrame, id_col: str, text_col: str, n: int = 13
+) -> DataFrame:
+    """Distinct 8-byte gram hashes of the eval corpus — the static
+    side of decontamination. Compute once (and ``persist()`` when
+    reused across micro-batches or corpus shards)."""
+    return (
+        _explode_grams(gram_hash_sets(test, id_col, text_col, n), "__tid")
+        .select("__tok")
+        .distinct()
+    )
+
+
 def decontaminate(
     train: DataFrame,
     test: DataFrame,
@@ -705,6 +718,7 @@ def decontaminate(
     n: int = 13,
     min_shared: int = 1,
     broadcast: bool | None = None,
+    test_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Drop training documents that overlap the eval/test corpus —
     the GPT-3-style n-gram decontamination rule (Brown et al. 2020,
@@ -728,12 +742,15 @@ def decontaminate(
     degrades to an AQE-planned shuffle join instead of silently
     exploding driver memory. Pass ``True``/``False`` to skip the
     sizing job and force the strategy.
+
+    ``test_grams`` accepts a precomputed (ideally persisted)
+    :func:`eval_gram_set` so repeated calls — one per streaming
+    micro-batch in :func:`streaming.decontaminate_stream.
+    decontaminate_stream` — reuse one gram extraction instead of
+    re-deriving it from ``test`` every time.
     """
-    test_grams = (
-        _explode_grams(gram_hash_sets(test, id_col, text_col, n), "__tid")
-        .select("__tok")
-        .distinct()
-    )
+    if test_grams is None:
+        test_grams = eval_gram_set(test, id_col, text_col, n)
     train_toks = _explode_grams(
         gram_hash_sets(train, id_col, text_col, n), "__cid"
     )
