@@ -624,12 +624,21 @@ def semantic_dedup(
         dropped = []
         for lo in range(1, len(ids), BLOCK):
             hi = min(lo + BLOCK, len(ids))
-            # rows lo..hi vs all STRICTLY EARLIER ids (min-id wins)
+            # rows lo..hi vs all STRICTLY EARLIER ids (min-id wins):
+            # row lo+k may only match columns j < lo+k, expressed as
+            # a vectorized per-row column cutoff — no Python loop.
             sims = unit[lo:hi] @ unit[:hi].T
-            for k in range(hi - lo):
-                if (sims[k, : lo + k] >= threshold).any():
-                    dropped.append(ids[lo + k])
-        return pd.DataFrame({"__dropped": np.array(dropped, dtype=np.int64)})
+            cutoff = (
+                np.arange(hi)[None, :]
+                < (lo + np.arange(hi - lo))[:, None]
+            )
+            hit = ((sims >= threshold) & cutoff).any(axis=1)
+            dropped.append(ids[lo:hi][hit])
+        return pd.DataFrame(
+            {"__dropped": np.concatenate(dropped).astype(np.int64)}
+            if dropped
+            else {"__dropped": np.array([], dtype=np.int64)}
+        )
 
     dropped = base.groupBy("__cell").applyInPandas(
         kernel, schema="__dropped long"

@@ -125,8 +125,13 @@ def compare(s: dict, d: dict) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sdls_scale/sf1"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--spark-only"]
+    # --spark-only: skip the DuckDB side entirely (rows + timing
+    # record only) — for scales where the oracle SQL would grind for
+    # hours while the question is "does the SPARK plan hold up".
+    spark_only = "--spark-only" in sys.argv[1:]
+    sf_dir = args[0] if args else "/tmp/sdls_scale/sf1"
+    only = set(args[1:])
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
@@ -158,7 +163,7 @@ def main() -> int:
             name in PINNED_SF001_GATES
             and os.path.basename(sf_dir.rstrip("/")) != "sf0.01"
         )
-        if name not in oracles or pinned:
+        if spark_only or name not in oracles or pinned:
             print(
                 f"rows-only {name}: {s['__rows']} rows "
                 f"(spark {t_spark:.2f}s)",
