@@ -1779,12 +1779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_train": _q_decontaminate,
         "multimodal_features": _q_multimodal,
         "semantic_dedup_gate": _q_semantic_dedup,
-        # Rows-only entries (no oracle_sql) must come LAST: the
-        # driver's correctness gate records rows for the first 50
-        # registry entries only, and a rows-only entry inside that
-        # window would waste a slot an oracle-checked entry needs.
         # simhash_near_duplicates = round-over-round continuity alias
-        # for simhash_hamming_histogram (same callable).
+        # for simhash_hamming_histogram (r4 advisory rename; same
+        # callable, same pinned oracle — fully checked, not rows-only).
         "simhash_near_duplicates": _q_simhash,
     }
     return q
@@ -1842,7 +1839,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_train": _DECONTAMINATE_ORACLE,
         "multimodal_features": _MULTIMODAL_GATE_ORACLE,
         "semantic_dedup_gate": _SEMANTIC_DEDUP_GATE_ORACLE,
-        # rows-only (no oracle entry): simhash_near_duplicates — the
-        # continuity alias of simhash_hamming_histogram; the checked
-        # twin is the histogram entry above.
+        # Continuity alias (r4 advisory rename): identical callable,
+        # identical pinned oracle as simhash_hamming_histogram.
+        "simhash_near_duplicates": _SIMHASH_GATE_ORACLE,
     }

@@ -16,18 +16,31 @@ import __spark_entry__ as entrymod
 DRIVER_WINDOW = 50
 
 
-def test_every_oracle_entry_inside_driver_window():
-    names = list(entrymod.queries())
+def test_every_unique_oracle_entry_inside_driver_window():
+    # An entry past position 50 gets NO correctness row at all (r02
+    # showed the driver drops them, not even rows-only), so every
+    # UNIQUE oracle-checked entry must sit inside the window. Beyond
+    # the window, only continuity aliases are allowed — same callable
+    # AND same oracle text as an in-window entry, so local tooling
+    # (tools/parity_check.py) still fully checks them while the
+    # driver loses nothing it would otherwise record.
+    qs = entrymod.queries()
+    names = list(qs)
     oracles = entrymod.oracle_sql()
-    checked = [n for n in names if n in oracles]
-    assert len(checked) <= DRIVER_WINDOW, (
-        f"{len(checked)} oracle-checked entries, but the driver only "
-        f"records correctness rows for the first {DRIVER_WINDOW}; "
-        "consolidate entries."
-    )
-    window = set(names[:DRIVER_WINDOW])
-    missing = [n for n in checked if n not in window]
-    assert not missing, f"oracle-checked entries outside window: {missing}"
+    window = names[:DRIVER_WINDOW]
+    wset = set(window)
+    for n in names:
+        if n in wset:
+            continue
+        twins = [
+            m
+            for m in window
+            if qs[m] is qs[n] and oracles.get(m) == oracles.get(n)
+        ]
+        assert twins, (
+            f"registry entry outside the driver's {DRIVER_WINDOW}-row "
+            f"window is not an alias of an in-window entry: {n}"
+        )
 
 
 def test_rows_only_entries_come_last():
