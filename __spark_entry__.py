@@ -704,6 +704,73 @@ WHERE doc_id % 17 <> 0
 """
 
 
+def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication (operators/dedup.py
+    ``remove_duplicate_spans``; the distributed k-gram analogue of
+    Lee et al. 2021's suffix-array ExactSubstr dedup): delete every
+    duplicated ≥13-token span from the corpus keeping its
+    (doc_id, pos)-first occurrence, and return per-doc rewritten
+    text + kept/removed token counts. The oracle replays the same
+    positional-gram algorithm over gram STRINGS in DuckDB (window
+    rank per gram, covered-position expansion, ordered string_agg
+    reconstruction) — full rewritten texts are value-hashed, so a
+    single token kept or cut wrongly anywhere in the corpus breaks
+    the entry."""
+    from serverless_data_lake_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = _read_parallel(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, "doc_id", "text", k=13)
+
+
+_SUBSTRING_DEDUP_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos
+  FROM base
+),
+occ AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(toks, pos + 1, pos + 13), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 12)) AS pos
+        FROM base WHERE len(toks) >= 13)
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY gram) AS cnt
+  FROM occ
+),
+cover AS (
+  SELECT DISTINCT doc_id, unnest(range(pos, pos + 13)) AS cpos
+  FROM ranked WHERE cnt > 1 AND rn > 1
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.cpos = t.pos
+  WHERE c.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_dedup,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+rem AS (SELECT doc_id, count(*) AS n_removed FROM cover GROUP BY doc_id)
+SELECT b.doc_id,
+       COALESCE(a.text_dedup, '') AS text_dedup,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed
+FROM base b
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN rem r USING (doc_id)
+"""
+
+
 def _q_bronze_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 end-to-end through the serving path: land ``nation`` as
     bronze JSONL via the push-ingest write path (``BronzeZone.
@@ -850,6 +917,30 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANN_GATE_ORACLE = """
 SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS recall_ok
+FROM embeddings WHERE vec_id < 5
+"""
+
+
+def _q_ann_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN paths' recall gates in one entry (the rollup+cube /
+    sketch-gates consolidation precedent — frees a driver-window
+    slot): hyperplane-LSH with multiprobe and IVF top-k, each
+    compared against exact cosine top-k with recall ≥ the gate,
+    tagged by method."""
+    lsh = _q_ann_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "recall_ok"
+    )
+    ivf = _q_ann_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "recall_ok"
+    )
+    return lsh.unionByName(ivf)
+
+
+_ANN_GATES_ORACLE = """
+SELECT 'lsh' AS method, vec_id AS query_id, CAST(1 AS BOOLEAN) AS recall_ok
+FROM embeddings WHERE vec_id < 5
+UNION ALL
+SELECT 'ivf' AS method, vec_id AS query_id, CAST(1 AS BOOLEAN) AS recall_ok
 FROM embeddings WHERE vec_id < 5
 """
 
@@ -1766,8 +1857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash,
         "embedding_similarity_pairs": _q_cosine_pairs,
         "cosine_topk": _q_cosine_topk,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
+        # lsh/ivf recall gates consolidated into one entry (r6 —
+        # freed the window slot exact_substring_dedup occupies).
+        "ann_topk_gates": _q_ann_gates,
         "text_analysis": _q_text_analysis,
         "multimodal_metadata_stats": _q_multimodal_metadata,
         # r6 rename (r4 advisory): the entry emits a Hamming-distance
@@ -1777,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus_survivors": _q_dedup_corpus,
         "bronze_jsonl_scan": _q_bronze_scan,
         "decontaminate_train": _q_decontaminate,
+        "exact_substring_dedup": _q_substring_dedup,
         "multimodal_features": _q_multimodal,
         "semantic_dedup_gate": _q_semantic_dedup,
         # simhash_near_duplicates = round-over-round continuity alias
@@ -1829,14 +1922,14 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _JACCARD_ORACLE,
         "embedding_similarity_pairs": _COSINE_PAIRS_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,
-        "ann_lsh_topk": _ANN_GATE_ORACLE,
-        "ann_ivf_topk": _ANN_GATE_ORACLE,
+        "ann_topk_gates": _ANN_GATES_ORACLE,
         "text_analysis": _text_analysis_oracle(),
         "multimodal_metadata_stats": _MULTIMODAL_META_ORACLE,
         "simhash_hamming_histogram": _SIMHASH_GATE_ORACLE,
         "dedup_corpus_survivors": _dedup_corpus_oracle(),
         "bronze_jsonl_scan": _BRONZE_SCAN_ORACLE,
         "decontaminate_train": _DECONTAMINATE_ORACLE,
+        "exact_substring_dedup": _strip(_SUBSTRING_DEDUP_ORACLE),
         "multimodal_features": _MULTIMODAL_GATE_ORACLE,
         "semantic_dedup_gate": _SEMANTIC_DEDUP_GATE_ORACLE,
         # Continuity alias (r4 advisory rename): identical callable,

@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     "rollup_cube_order_stats",
     "count_distinct_segments",
     "monthly_revenue",
-    "ann_ivf_topk",
+    "ann_topk_gates",
     "nonequi_price_pairs",
     "hourly_event_windows",
     "list_agg_segments",
@@ -65,10 +65,10 @@ BENCH_QUERIES = [
     "simhash_hamming_histogram",
     "dedup_corpus_survivors",
     "decontaminate_train",
+    "exact_substring_dedup",
     "bronze_jsonl_scan",
     "embedding_similarity_pairs",
     "cosine_topk",
-    "ann_lsh_topk",
     "text_analysis",
     "multimodal_features",
     "semantic_dedup_gate",

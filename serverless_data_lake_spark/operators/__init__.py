@@ -23,10 +23,12 @@ Pandas UDFs where Spark has no built-in equivalent.
 
 from serverless_data_lake_spark.operators.dedup import (
     dedup_exact,
+    decontaminate,
     keep_one_per_key,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     ngram_jaccard_prefix,
+    remove_duplicate_spans,
     simhash_near_duplicates,
     simhash_signatures,
 )
@@ -60,6 +62,7 @@ __all__ = [
     "assign_splits",
     "cosine_similarity_col",
     "cosine_topk",
+    "decontaminate",
     "dedup_exact",
     "deterministic_sample",
     "embedding_all_pairs_numpy",
@@ -73,6 +76,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "ngram_jaccard_prefix",
+    "remove_duplicate_spans",
     "profile_table",
     "quality_score",
     "salted_aggregate",

@@ -22,6 +22,12 @@ compositions so Catalyst plans the shuffles:
   candidates only.
 - ``simhash_signatures``  — 64-bit SimHash per document; near-dups =
   signatures within a small Hamming distance.
+- ``remove_duplicate_spans`` — exact-substring dedup: delete every
+  duplicated ≥k-token span corpus-wide, keeping its first
+  occurrence (distributed k-gram analogue of suffix-array
+  ExactSubstr, Lee et al. 2021).
+- ``decontaminate``       — GPT-3-style n-gram benchmark
+  decontamination against an eval corpus.
 - embedding near-dup lives in ``operators/similarity.py``.
 """
 
@@ -123,7 +129,18 @@ def _grams_from_hashes(th, n: int):
     ``sequence(0, -1)`` would DESCEND)."""
     if n <= 1:
         return F.array_distinct(th)
-    grams = F.when(
+    return F.array_distinct(_positional_gram_hashes(th, n))
+
+
+def _positional_gram_hashes(th, n: int):
+    """Column: n-gram hashes at EVERY start position (array index i =
+    gram starting at token i) — the positional variant of
+    :func:`_grams_from_hashes`, same bound-column requirement. Used
+    where gram → token-span mapping matters (duplicated-span
+    removal)."""
+    if n <= 1:
+        return th
+    return F.when(
         F.size(th) < n, F.array().cast("array<bigint>")
     ).otherwise(
         F.transform(
@@ -131,7 +148,6 @@ def _grams_from_hashes(th, n: int):
             lambda i: F.xxhash64(*[F.get(th, i + F.lit(j)) for j in range(n)]),
         )
     )
-    return F.array_distinct(grams)
 
 
 def gram_hash_sets(
@@ -766,4 +782,129 @@ def decontaminate(
     )
     return train.join(
         contaminated, train[id_col] == contaminated["__cid"], "left_anti"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (duplicated-span) removal
+# ---------------------------------------------------------------------------
+def _raw_tokens(text_col: str):
+    """Column: non-empty whitespace tokens, ORIGINAL case — this
+    operator rewrites text, so tokens must round-trip; no lowercase
+    normalization like the similarity family's :func:`_hashed_tokens`."""
+    return F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 13,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Exact-substring deduplication: delete every duplicated span of
+    ≥ ``k`` tokens from the corpus, keeping only its first occurrence
+    (ordered by ``(id, position)``) — the distributed analogue of the
+    suffix-array ExactSubstr dedup of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better"), expressed at k-gram
+    granularity: a token is removed iff it is covered by a k-gram
+    whose occurrence is not the corpus-first one. Any duplicated run
+    of length L ≥ k is covered by its L−k+1 constituent k-grams, so
+    whole repeated passages vanish from all-but-one document;
+    within-document repetitions count too. Documents shorter than
+    ``k`` tokens pass through untouched; all input documents appear
+    in the output (possibly with empty text).
+
+    Returns ``(id, text_dedup, n_kept, n_removed)`` where the counts
+    are kept/removed token totals per document.
+
+    Shape at scale (suffix arrays don't distribute; this does):
+
+    - Gram identity is an 8-byte ``xxhash64`` over the k token
+      hashes, computed IN-ROW from a staged token-hash projection
+      (zero shuffle, same bound-column discipline as
+      :func:`_grams_from_hashes`).
+    - The corpus-first occurrence per gram is ``min(struct(id, pos))``
+      under a ``groupBy`` on the gram hash — an algebraic aggregate
+      with map-side partial combine, chosen over a window
+      (``row_number`` over gram) deliberately: a stop-phrase gram
+      occurring 10⁸ times at 100 TB would serialize one window
+      partition, while partial ``min``/``count`` reduce it
+      map-side.
+    - Removal intervals explode to covered token positions with a
+      bounded ×k factor on REMOVAL rows only, then a distinct +
+      ``left_anti`` equi-join on ``(id, pos)`` drops covered tokens.
+      Every join in the plan is a keyed equi-join; nothing is ever
+      all-pairs.
+    """
+    base = df.select(F.col(id_col), _raw_tokens(text_col).alias("__toks"))
+    # Token rows for reconstruction. posexplode_outer + null filter,
+    # not posexplode: same InferFiltersFromGenerate pathology as
+    # _explode_grams (an inner generate clones the tokenize expression
+    # into a pushed-down size(...)>0 filter).
+    toks = base.select(
+        F.col(id_col), F.posexplode_outer("__toks").alias("__pos", "__tok")
+    ).filter(F.col("__tok").isNotNull())
+    staged = base.select(
+        F.col(id_col),
+        F.transform(F.col("__toks"), lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    occ = staged.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            _positional_gram_hashes(F.col("__th"), k)
+        ).alias("__pos", "__g"),
+    ).filter(F.col("__g").isNotNull())
+
+    canon = (
+        occ.groupBy("__g")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first"),
+            F.count("*").alias("__cnt"),
+        )
+        .filter(F.col("__cnt") >= 2)
+        .select("__g", "__first")
+    )
+    removals = (
+        occ.join(canon, "__g")
+        .filter(
+            (F.col(id_col) != F.col("__first").getField(id_col))
+            | (F.col("__pos") != F.col("__first").getField("__pos"))
+        )
+        .select(F.col(id_col), F.col("__pos"))
+    )
+    cover = removals.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("__pos"), F.col("__pos") + F.lit(k - 1))
+        ).alias("__pos"),
+    ).distinct()
+
+    kept = toks.join(cover, [id_col, "__pos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__tok")))
+                ),
+                lambda s: s.getField("__tok"),
+            ),
+        ).alias(out_col),
+        F.count("*").cast("bigint").alias("n_kept"),
+    )
+    # n_removed derives in-row as n_orig − n_kept: a dedicated
+    # count over ``cover`` would re-execute the whole gram-extraction
+    # + canonical-occurrence subtree a second time (the first plan
+    # carried 17 exchanges for exactly that reason).
+    n_orig = base.select(
+        F.col(id_col), F.size("__toks").cast("bigint").alias("__n_orig")
+    )
+    return n_orig.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("__n_orig") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
     )
