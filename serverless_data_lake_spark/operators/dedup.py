@@ -831,24 +831,29 @@ def remove_duplicate_spans(
       occurring 10⁸ times at 100 TB would serialize one window
       partition, while partial ``min``/``count`` reduce it
       map-side.
-    - Removal intervals explode to covered token positions with a
-      bounded ×k factor on REMOVAL rows only, then a distinct +
-      ``left_anti`` equi-join on ``(id, pos)`` drops covered tokens.
-      Every join in the plan is a keyed equi-join; nothing is ever
-      all-pairs.
+    - Tokens themselves NEVER shuffle: only 8-byte (id, pos, gram)
+      occurrence rows move. Non-first occurrences reduce to one
+      removal-start array per affected document (``collect_set`` —
+      one keyed shuffle), covered positions expand IN-ROW from those
+      starts (bounded ×k on removal docs only), and reconstruction
+      is an in-row positional ``filter`` over the original token
+      array after a keyed left join of the small removal side onto
+      the corpus (AQE broadcasts it when small). Every join is a
+      keyed equi-join; nothing is ever all-pairs. An earlier shape
+      that exploded every token for a (id, pos) anti-join + ordered
+      re-assembly carried 10 exchanges and shuffled full token text
+      twice; this one carries 7 (incl. scan-parallelism
+      repartitions), none of which moves token text.
     """
     base = df.select(F.col(id_col), _raw_tokens(text_col).alias("__toks"))
-    # Token rows for reconstruction. posexplode_outer + null filter,
-    # not posexplode: same InferFiltersFromGenerate pathology as
-    # _explode_grams (an inner generate clones the tokenize expression
-    # into a pushed-down size(...)>0 filter).
-    toks = base.select(
-        F.col(id_col), F.posexplode_outer("__toks").alias("__pos", "__tok")
-    ).filter(F.col("__tok").isNotNull())
     staged = base.select(
         F.col(id_col),
         F.transform(F.col("__toks"), lambda t: F.xxhash64(t)).alias("__th"),
     )
+    # posexplode_outer + null filter, not posexplode: same
+    # InferFiltersFromGenerate pathology as _explode_grams (an inner
+    # generate clones the tokenize expression into a pushed-down
+    # size(...)>0 filter).
     occ = staged.select(
         F.col(id_col),
         F.posexplode_outer(
@@ -865,46 +870,53 @@ def remove_duplicate_spans(
         .filter(F.col("__cnt") >= 2)
         .select("__g", "__first")
     )
-    removals = (
+    # Removal-start positions per document (distinct: overlapping
+    # duplicated grams repeat starts). 8-byte rows in, one array row
+    # per affected doc out.
+    removal_starts = (
         occ.join(canon, "__g")
         .filter(
             (F.col(id_col) != F.col("__first").getField(id_col))
             | (F.col("__pos") != F.col("__first").getField("__pos"))
         )
-        .select(F.col(id_col), F.col("__pos"))
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__starts"))
     )
-    cover = removals.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.col("__pos"), F.col("__pos") + F.lit(k - 1))
-        ).alias("__pos"),
-    ).distinct()
 
-    kept = toks.join(cover, [id_col, "__pos"], "left_anti")
-    agg = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("__pos"), F.col("__tok")))
-                ),
-                lambda s: s.getField("__tok"),
-            ),
-        ).alias(out_col),
-        F.count("*").cast("bigint").alias("n_kept"),
+    # In-row: starts → covered-position set → positional token filter.
+    # Covered positions are sorted+distinct so the per-token
+    # array_contains probe is over a bounded, duplicate-free array.
+    cover_arr = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.col("__starts"),
+                    lambda s: F.sequence(s, s + F.lit(k - 1)),
+                )
+            )
+        )
     )
-    # n_removed derives in-row as n_orig − n_kept: a dedicated
-    # count over ``cover`` would re-execute the whole gram-extraction
-    # + canonical-occurrence subtree a second time (the first plan
-    # carried 17 exchanges for exactly that reason).
-    n_orig = base.select(
-        F.col(id_col), F.size("__toks").cast("bigint").alias("__n_orig")
-    )
-    return n_orig.join(agg, id_col, "left").select(
+    joined = base.join(removal_starts, id_col, "left").select(
         F.col(id_col),
-        F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
-        (F.col("__n_orig") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        F.col("__toks"),
+        F.when(F.col("__starts").isNull(), F.array().cast("array<int>"))
+        .otherwise(cover_arr)
+        .alias("__cover"),
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.array_contains(F.col("__cover"), i),
+    )
+    staged_kept = joined.select(
+        F.col(id_col),
+        F.size("__toks").cast("bigint").alias("__n_orig"),
+        kept.alias("__kept"),
+    )
+    return staged_kept.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.col("__kept")).alias(out_col),
+        F.size("__kept").cast("bigint").alias("n_kept"),
+        (F.col("__n_orig") - F.size("__kept"))
         .cast("bigint")
         .alias("n_removed"),
     )

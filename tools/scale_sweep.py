@@ -56,6 +56,7 @@ NUMERIC = {"byte", "short", "integer", "long", "float", "double"}
 # alone (rows-only), exactly like bench does.
 PINNED_SF001_GATES = {
     "simhash_hamming_histogram",
+    "simhash_near_duplicates",  # continuity alias, same pinned gate
     "multimodal_features",
     "semantic_dedup_gate",
 }
