@@ -724,7 +724,12 @@ def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(docs, "doc_id", "text", k=13)
 
 
-_SUBSTRING_DEDUP_ORACLE = """
+def _substring_dedup_oracle(k: int = 13) -> str:
+    """DuckDB replay of remove_duplicate_spans for any ``k`` — the
+    entry pins k=13; tests/test_substring_dedup.py runs the same
+    template at small k against random corpora (differential fuzz of
+    the oracle formula itself, not just the testdata corpus)."""
+    return f"""
 WITH base AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
@@ -736,9 +741,9 @@ toks AS (
 ),
 occ AS (
   SELECT doc_id, pos,
-         array_to_string(list_slice(toks, pos + 1, pos + 13), ' ') AS gram
-  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 12)) AS pos
-        FROM base WHERE len(toks) >= 13)
+         array_to_string(list_slice(toks, pos + 1, pos + {k}), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(len(toks) - {k - 1})) AS pos
+        FROM base WHERE len(toks) >= {k})
 ),
 ranked AS (
   SELECT doc_id, pos,
@@ -747,7 +752,7 @@ ranked AS (
   FROM occ
 ),
 cover AS (
-  SELECT DISTINCT doc_id, unnest(range(pos, pos + 13)) AS cpos
+  SELECT DISTINCT doc_id, unnest(range(pos, pos + {k})) AS cpos
   FROM ranked WHERE cnt > 1 AND rn > 1
 ),
 kept AS (
@@ -769,6 +774,9 @@ FROM base b
 LEFT JOIN agg a USING (doc_id)
 LEFT JOIN rem r USING (doc_id)
 """
+
+
+_SUBSTRING_DEDUP_ORACLE = _substring_dedup_oracle(13)
 
 
 def _q_bronze_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

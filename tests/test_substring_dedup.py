@@ -144,3 +144,41 @@ def test_plan_no_cartesian_no_python_partial_min(spark, sf_dir):
     # The canonical-occurrence groupBy must reduce map-side (the
     # skew argument for groupBy-min over a per-gram window).
     assert "partial_min" in plan
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz of the DRIVER ORACLE formula itself: random
+# corpora through the Spark operator vs the DuckDB oracle template —
+# three-way agreement with the brute-force reference above.
+# ---------------------------------------------------------------------------
+def run_duckdb_oracle(rows, k):
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    out = con.execute(entrymod._substring_dedup_oracle(k)).fetchall()
+    con.close()
+    return {r[0]: (r[1], r[2], r[3]) for r in out}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("x1 x2 x3 yy".split()), min_size=0, max_size=20
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_oracle_template_matches_spark_and_bruteforce(spark, texts, k):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got_spark = run_spark(spark, rows, k)
+    got_duck = run_duckdb_oracle(rows, k)
+    got_ref = ref_remove_duplicate_spans(rows, k)
+    assert got_spark == got_ref
+    assert got_duck == got_ref
