@@ -28,7 +28,9 @@ from serverless_data_lake_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     ngram_jaccard_prefix,
+    reference_span_grams,
     remove_duplicate_spans,
+    remove_reference_spans,
     simhash_near_duplicates,
     simhash_signatures,
 )
@@ -76,7 +78,9 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "ngram_jaccard_prefix",
+    "reference_span_grams",
     "remove_duplicate_spans",
+    "remove_reference_spans",
     "profile_table",
     "quality_score",
     "salted_aggregate",

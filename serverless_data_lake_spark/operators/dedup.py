@@ -845,21 +845,7 @@ def remove_duplicate_spans(
       twice; this one carries 7 (incl. scan-parallelism
       repartitions), none of which moves token text.
     """
-    base = df.select(F.col(id_col), _raw_tokens(text_col).alias("__toks"))
-    staged = base.select(
-        F.col(id_col),
-        F.transform(F.col("__toks"), lambda t: F.xxhash64(t)).alias("__th"),
-    )
-    # posexplode_outer + null filter, not posexplode: same
-    # InferFiltersFromGenerate pathology as _explode_grams (an inner
-    # generate clones the tokenize expression into a pushed-down
-    # size(...)>0 filter).
-    occ = staged.select(
-        F.col(id_col),
-        F.posexplode_outer(
-            _positional_gram_hashes(F.col("__th"), k)
-        ).alias("__pos", "__g"),
-    ).filter(F.col("__g").isNotNull())
+    base, occ = _span_base_and_occ(df, id_col, text_col, k)
 
     canon = (
         occ.groupBy("__g")
@@ -882,10 +868,38 @@ def remove_duplicate_spans(
         .groupBy(id_col)
         .agg(F.collect_set("__pos").alias("__starts"))
     )
+    return _apply_removal_starts(base, removal_starts, id_col, k, out_col)
 
-    # In-row: starts → covered-position set → positional token filter.
-    # Covered positions are sorted+distinct so the per-token
-    # array_contains probe is over a bounded, duplicate-free array.
+
+def _span_base_and_occ(df, id_col: str, text_col: str, k: int):
+    """(base, occ) for the span-removal family: ``base`` holds the
+    raw token array per document, ``occ`` the exploded positional
+    gram-hash occurrences. posexplode_outer + null filter, not
+    posexplode: same InferFiltersFromGenerate pathology as
+    _explode_grams (an inner generate clones the tokenize expression
+    into a pushed-down size(...)>0 filter)."""
+    base = df.select(F.col(id_col), _raw_tokens(text_col).alias("__toks"))
+    staged = base.select(
+        F.col(id_col),
+        F.transform(F.col("__toks"), lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    occ = staged.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            _positional_gram_hashes(F.col("__th"), k)
+        ).alias("__pos", "__g"),
+    ).filter(F.col("__g").isNotNull())
+    return base, occ
+
+
+def _apply_removal_starts(
+    base: DataFrame, removal_starts: DataFrame, id_col: str, k: int,
+    out_col: str,
+) -> DataFrame:
+    """Rewrite documents given per-doc removal-START arrays, all
+    in-row: starts → covered-position set → positional token filter.
+    Covered positions are sorted+distinct so the per-token
+    array_contains probe is over a bounded, duplicate-free array."""
     cover_arr = F.array_sort(
         F.array_distinct(
             F.flatten(
@@ -920,3 +934,47 @@ def remove_duplicate_spans(
         .cast("bigint")
         .alias("n_removed"),
     )
+
+
+def reference_span_grams(
+    ref: DataFrame, id_col: str, text_col: str, k: int = 13
+) -> DataFrame:
+    """Distinct positional k-gram hashes of a static REFERENCE corpus
+    (column ``__g``) — the static side of
+    :func:`remove_reference_spans`. Raw-token hashing (no lowercase),
+    consistent with the span family. Compute once and ``persist()``
+    when reused across micro-batches."""
+    _, occ = _span_base_and_occ(ref, id_col, text_col, k)
+    return occ.select("__g").distinct()
+
+
+def remove_reference_spans(
+    df: DataFrame,
+    ref_grams: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 13,
+    out_col: str = "text_dedup",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Scrub from ``df`` every ≥ k-token span that ALSO occurs in a
+    static reference corpus — the stream-vs-static variant of
+    :func:`remove_duplicate_spans` (reference occurrences are
+    canonical by definition, so every matching occurrence in ``df``
+    is removed; unlike :func:`decontaminate`, the document survives
+    with the span cut out rather than being dropped whole).
+
+    Shape at scale: the reference gram-hash set joins map-side
+    (broadcast by default — pass ``broadcast=False`` for an oversized
+    reference, where AQE plans a keyed shuffle join); removal starts
+    aggregate per doc and reconstruction is the shared in-row
+    positional filter. The incoming corpus side never shuffles token
+    text, same as the batch operator."""
+    base, occ = _span_base_and_occ(df, id_col, text_col, k)
+    gram_side = F.broadcast(ref_grams) if broadcast else ref_grams
+    removal_starts = (
+        occ.join(gram_side, "__g", "semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__starts"))
+    )
+    return _apply_removal_starts(base, removal_starts, id_col, k, out_col)
