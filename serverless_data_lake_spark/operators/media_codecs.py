@@ -14,8 +14,14 @@ decode the uncompressed/stdlib-compressed formats:
   spec §6). Sub/up/average are vectorized; paeth falls back to a
   per-pixel loop — correctness over speed; at production scale a
   real codec library replaces this module entirely.
+- **JPEG** (baseline sequential DCT per ITU-T T.81): full marker
+  parse, canonical Huffman decode, dequant + numpy IDCT, 4:4:4/
+  4:2:2/4:2:0 chroma upsampling, restart intervals, JFIF BT.601
+  color. Progressive/arithmetic/12-bit modes raise ``ValueError``.
+  The entropy decode is a per-bit Python loop — correct and
+  deterministic, not fast; same production caveat as PNG paeth.
 
-Formats that require actual codec libraries (JPEG, MP3, H.264/MP4)
+Formats that require actual codec libraries (MP3, H.264/MP4)
 remain stubbed in :mod:`operators.multimodal` with
 ``NotImplementedError`` under ``strict=True`` — that boundary is now
 *format-based*, not blanket.
@@ -317,3 +323,339 @@ def audio_features(rate: int, samples: np.ndarray) -> list[float]:
         zc,
         float(np.max(np.abs(mono))),
     ]
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, 8-bit Huffman)
+# ---------------------------------------------------------------------------
+# Raster index for each zigzag position (ITU-T T.81 figure A.6).
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Orthonormal 8-point DCT-II matrix: spatial = C.T @ coeffs @ C.
+_DCT_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _jpeg_build_huffman(counts: list[int], symbols: list[int]) -> dict:
+    """Canonical JPEG Huffman table → {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over de-stuffed entropy bytes."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy data")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(value: int, t: int) -> int:
+    if t == 0:
+        return 0
+    if value < (1 << (t - 1)):
+        return value - (1 << t) + 1
+    return value
+
+
+def _jpeg_entropy_segments(data: bytes, start: int) -> list[bytes]:
+    """De-stuffed entropy data split at restart markers. Scans from
+    ``start`` to the next non-RST marker."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = data[i + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            break  # real marker: end of scan
+    segments.append(bytes(cur))
+    return segments
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """Decode baseline sequential JPEG (SOF0/SOF1, 8-bit, Huffman) to
+    ``(H, W, 3)`` uint8 RGB — pure stdlib/numpy, per ITU-T T.81.
+
+    Supports 1- or 3-component images, arbitrary h/v sampling factors
+    whose maxima are integer multiples of each component's (covers
+    4:4:4, 4:2:2, 4:2:0), restart intervals, and 16-bit quant tables.
+    Progressive (SOF2), arithmetic coding, hierarchical and 12-bit
+    modes raise ``ValueError`` — never a silent wrong answer.
+    Chroma upsampling is sample replication; color conversion is the
+    JFIF full-range BT.601 matrix."""
+    data = bytes(content)
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i + 1 < len(data):
+        if data[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        m = data[i + 1]
+        i += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:
+            break
+        if i + 2 > len(data):
+            raise ValueError("truncated JPEG segment header")
+        (length,) = struct.unpack(">H", data[i : i + 2])
+        seg = data[i + 2 : i + length]
+        i += length
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(
+                        seg[p : p + 64], dtype=np.uint8
+                    ).astype(np.int32)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(
+                        seg[p : p + 128], dtype=">u2"
+                    ).astype(np.int32)
+                    p += 128
+                if tbl.size != 64:
+                    raise ValueError("truncated JPEG DQT")
+                qt[tq] = tbl
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                p += 1
+                counts = list(seg[p : p + 16])
+                p += 16
+                nsym = sum(counts)
+                symbols = list(seg[p : p + nsym])
+                if len(symbols) != nsym:
+                    raise ValueError("truncated JPEG DHT")
+                p += nsym
+                huff[(tc, th)] = _jpeg_build_huffman(counts, symbols)
+        elif m in (0xC0, 0xC1):  # SOF0 / SOF1
+            if seg[0] != 8:
+                raise ValueError("unsupported JPEG sample precision")
+            hh, ww = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = {"h": hh, "w": ww, "comps": comps}
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported JPEG mode (progressive/arithmetic/"
+                "hierarchical) — baseline sequential only"
+            )
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scomp = []
+            for c in range(ns):
+                scomp.append(
+                    {"id": seg[1 + 2 * c], "dc": seg[2 + 2 * c] >> 4,
+                     "ac": seg[2 + 2 * c] & 15}
+                )
+            segments = _jpeg_entropy_segments(data, i)
+            return _jpeg_decode_scan(
+                frame, scomp, qt, huff, restart_interval, segments
+            )
+        # APPn / COM: skipped
+    raise ValueError("no scan data in JPEG")
+
+
+def _jpeg_decode_block(reader, dc_table, ac_table, quant):
+    """One 8×8 block: Huffman-decode, dequantize, de-zigzag, IDCT.
+    Returns (dc_diff_applied_externally) spatial block WITHOUT the DC
+    predictor — caller adds pred via the returned dc coefficient."""
+    coeffs = np.zeros(64, dtype=np.int64)
+    t = reader.read_symbol(dc_table)
+    coeffs[0] = _jpeg_extend(reader.read_bits(t), t)
+    k = 1
+    while k < 64:
+        rs = reader.read_symbol(ac_table)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        s = rs & 15
+        if k > 63:
+            raise ValueError("JPEG AC coefficient index out of range")
+        coeffs[k] = _jpeg_extend(reader.read_bits(s), s)
+        k += 1
+    return coeffs
+
+
+def _jpeg_decode_scan(frame, scomp, qt, huff, restart_interval, segments):
+    hh, ww = frame["h"], frame["w"]
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    maxh = max(c["h"] for c in comps)
+    maxv = max(c["v"] for c in comps)
+    for c in comps:
+        if maxh % c["h"] or maxv % c["v"]:
+            raise ValueError("unsupported JPEG sampling factors")
+    mcux = -(-ww // (8 * maxh))
+    mcuy = -(-hh // (8 * maxv))
+    planes = {}
+    for sc in scomp:
+        fc = by_id.get(sc["id"])
+        if fc is None:
+            raise ValueError("JPEG scan references unknown component")
+        planes[sc["id"]] = np.zeros(
+            (mcuy * 8 * fc["v"], mcux * 8 * fc["h"]), dtype=np.float64
+        )
+    preds = {sc["id"]: 0 for sc in scomp}
+    seg_idx = 0
+    reader = _JpegBitReader(segments[0])
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing JPEG restart segment")
+                reader = _JpegBitReader(segments[seg_idx])
+                preds = {sc["id"]: 0 for sc in scomp}
+            for sc in scomp:
+                fc = by_id[sc["id"]]
+                dc_tbl = huff.get((0, sc["dc"]))
+                ac_tbl = huff.get((1, sc["ac"]))
+                quant = qt.get(fc["tq"])
+                if dc_tbl is None or ac_tbl is None or quant is None:
+                    raise ValueError("JPEG references undefined table")
+                for by in range(fc["v"]):
+                    for bx in range(fc["h"]):
+                        coeffs = _jpeg_decode_block(
+                            reader, dc_tbl, ac_tbl, quant
+                        )
+                        preds[sc["id"]] += int(coeffs[0])
+                        coeffs[0] = preds[sc["id"]]
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_JPEG_ZIGZAG] = coeffs * quant
+                        spatial = (
+                            _DCT_C.T @ block.reshape(8, 8) @ _DCT_C + 128.0
+                        )
+                        y0 = (my * fc["v"] + by) * 8
+                        x0 = (mx * fc["h"] + bx) * 8
+                        planes[sc["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu_count += 1
+    out_planes = []
+    for sc in scomp:
+        fc = by_id[sc["id"]]
+        pl = planes[sc["id"]]
+        pl = pl.repeat(maxv // fc["v"], axis=0).repeat(
+            maxh // fc["h"], axis=1
+        )
+        out_planes.append(pl[:hh, :ww])
+    if len(out_planes) == 1:
+        y = out_planes[0]
+        rgb = np.stack([y, y, y], axis=2)
+    elif len(out_planes) == 3:
+        y, cb, cr = out_planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
+    else:
+        raise ValueError("unsupported JPEG component count")
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Image dispatch
+# ---------------------------------------------------------------------------
+_IMAGE_DECODERS = {
+    "image/bmp": decode_bmp,
+    "image/x-ms-bmp": decode_bmp,
+    "image/png": decode_png,
+    "image/jpeg": decode_jpeg,
+    "image/jpg": decode_jpeg,
+}
+
+
+def decode_image(content: bytes, mime: str) -> np.ndarray:
+    """Route to the pure-python decoder for ``mime``. Raises
+    ``KeyError`` for formats with no codec-less decoder (the caller
+    owns the strict/fallback policy)."""
+    return _IMAGE_DECODERS[mime](bytes(content))

@@ -80,29 +80,29 @@ def _fake_decode(content: bytes, dim: int) -> list[float]:
 
 
 # Mime types the pure stdlib/numpy decoders handle for real.
-_DECODABLE_IMAGE = {"image/bmp", "image/png", "image/x-ms-bmp"}
+_DECODABLE_IMAGE = {
+    "image/bmp",
+    "image/x-ms-bmp",
+    "image/png",
+    "image/jpeg",
+    "image/jpg",
+}
 _DECODABLE_AUDIO = {"audio/wav", "audio/x-wav", "audio/wave"}
 
 
 def _image_feature(content, mime, dim: int, strict: bool) -> list[float]:
     from serverless_data_lake_spark.operators.media_codecs import (
-        decode_bmp,
-        decode_png,
+        decode_image,
         image_features,
     )
 
     if content is not None and mime in _DECODABLE_IMAGE:
-        pixels = (
-            decode_png(bytes(content))
-            if mime == "image/png"
-            else decode_bmp(bytes(content))
-        )
-        return image_features(pixels, dim)
+        return image_features(decode_image(content, mime), dim)
     if strict:
         raise NotImplementedError(
-            f"decode for {mime!r} requires a codec library "
-            "(PIL/torchvision) not shipped in this environment; "
-            "only BMP/PNG decode without one"
+            f"decode for {mime!r} requires a codec library not "
+            "shipped in this environment; only BMP/PNG/baseline-JPEG "
+            "decode without one"
         )
     return _fake_decode(content, dim)
 
@@ -116,7 +116,8 @@ def extract_image_features(
 
     The UDF receives Arrow batches (pandas DataFrames) and yields
     result batches — constant memory per task regardless of partition
-    size. BMP and non-interlaced 8-bit PNG are REALLY decoded
+    size. BMP, non-interlaced 8-bit PNG, and baseline-sequential JPEG
+    are REALLY decoded
     (operators/media_codecs.py, no codec library needed); features
     are grid-pooled luminance means. Other image formats raise
     ``NotImplementedError`` by default, or fall back to the
@@ -222,7 +223,8 @@ def resize_images(
     """Decode → nearest-neighbor resize → re-encode via
     ``mapInPandas``.
 
-    REAL for BMP/PNG inputs (operators/media_codecs.py): pixels are
+    REAL for BMP/PNG/baseline-JPEG inputs
+    (operators/media_codecs.py): pixels are
     index-mapped in numpy (deterministic, no interpolation library)
     and re-encoded as 24-bit BMP — the uniform-size preprocessing
     step a training pipeline runs before batching images into
@@ -233,17 +235,12 @@ def resize_images(
         import numpy as np
 
         from serverless_data_lake_spark.operators.media_codecs import (
-            decode_bmp,
-            decode_png,
+            decode_image,
             encode_bmp,
         )
 
         if content is not None and mime in _DECODABLE_IMAGE:
-            px = (
-                decode_png(bytes(content))
-                if mime == "image/png"
-                else decode_bmp(bytes(content))
-            )
+            px = decode_image(content, mime)
             if px.shape[2] < 3:  # grayscale PNG -> replicate channels
                 px = np.repeat(px[:, :, :1], 3, axis=2)
             h0, w0 = px.shape[:2]
@@ -256,8 +253,8 @@ def resize_images(
         if strict:
             raise NotImplementedError(
                 f"resize for {mime!r} requires a codec library not "
-                "shipped in this environment; only BMP/PNG resize "
-                "without one"
+                "shipped in this environment; only BMP/PNG/"
+                "baseline-JPEG resize without one"
             )
         return mime, None, None, content
 

@@ -367,9 +367,32 @@ class TestKernelRouting:
             extract_image_features,
         )
 
-        df = _media_df(spark, [(1, "image/jpeg", b"\xff\xd8fakejpeg")])
+        # webp: still codec-bound (JPEG graduated to a real decoder).
+        df = _media_df(spark, [(1, "image/webp", b"RIFFxxxxWEBP")])
         with pytest.raises(Exception, match="NotImplementedError|codec"):
             extract_image_features(df, dim=4, strict=True).collect()
+
+    def test_real_jpeg_decode_matches_bmp(self, spark):
+        # The same pixels through BMP (lossless) and baseline JPEG
+        # (all-ones quant ⇒ ±2) must land on ~identical features.
+        from test_jpeg_codec import make_jpeg
+
+        from serverless_data_lake_spark.operators.multimodal import (
+            extract_image_features,
+        )
+
+        px = np.zeros((8, 8, 3), dtype=np.uint8)
+        px[:4, :4] = 250
+        df = _media_df(
+            spark,
+            [(1, "image/bmp", bytearray(make_bmp(px))),
+             (2, "image/jpeg", bytearray(make_jpeg(px)))],
+        )
+        rows = {
+            r["media_id"]: r["feature"]
+            for r in extract_image_features(df, dim=4, strict=True).collect()
+        }
+        assert rows[2] == pytest.approx(rows[1], abs=0.02)
 
     def test_real_audio_decode(self, spark):
         from serverless_data_lake_spark.operators.multimodal import (
@@ -414,7 +437,7 @@ class TestKernelRouting:
             resize_images,
         )
 
-        df = _media_df(spark, [(1, "image/jpeg", b"\xff\xd8nope")])
+        df = _media_df(spark, [(1, "image/webp", b"RIFFnopeWEBP")])
         with pytest.raises(Exception, match="NotImplementedError|codec"):
             resize_images(df, 4, 4, strict=True).collect()
 
@@ -426,7 +449,7 @@ class TestKernelRouting:
             extract_image_features,
         )
 
-        df = _media_df(spark, [(1, "image/jpeg", b"\xff\xd8junk")])
+        df = _media_df(spark, [(1, "image/webp", b"RIFFjunkWEBP")])
         with pytest.raises(Exception, match="NotImplementedError|codec"):
             extract_image_features(df, dim=4).collect()
 
@@ -435,9 +458,9 @@ class TestKernelRouting:
             resize_images,
         )
 
-        df = _media_df(spark, [(1, "image/jpeg", b"\xff\xd8keep")])
+        df = _media_df(spark, [(1, "image/webp", b"RIFFkeepWEBP")])
         row = resize_images(df, 4, 4, strict=False).collect()[0]
-        assert bytes(row["content"]) == b"\xff\xd8keep"
+        assert bytes(row["content"]) == b"RIFFkeepWEBP"
         assert row["width"] is None
 
     def test_real_video_frame_sampling(self, spark):
