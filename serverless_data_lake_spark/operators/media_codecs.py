@@ -219,13 +219,15 @@ def decode_png(content: bytes) -> np.ndarray:
 # AVI (RIFF container, uncompressed DIB video stream)
 # ---------------------------------------------------------------------------
 def decode_avi_frames(content: bytes) -> tuple[float, list[np.ndarray]]:
-    """Decode an uncompressed (BI_RGB) video AVI.
+    """Decode an uncompressed (BI_RGB) or Motion-JPEG video AVI.
 
     Returns ``(fps, frames)`` with each frame ``(H, W, 3)`` uint8
-    RGB. Only the codec-less case is handled: ``biCompression=0``
-    DIB frames (bottom-up BGR rows, 4-byte stride padding — the same
-    pixel layout BMP uses). Compressed streams (MJPG/H.264) raise
-    ``ValueError`` — those need a real codec library.
+    RGB. Two codec-less cases are handled: ``biCompression=0`` DIB
+    frames (bottom-up BGR rows, 4-byte stride padding — the same
+    pixel layout BMP uses) and ``biCompression='MJPG'``, where every
+    ``..dc``/``..db`` chunk is an independent baseline JPEG decoded
+    via :func:`decode_jpeg`. Other compressed streams (H.264 etc.)
+    raise ``ValueError`` — those need a real codec library.
     """
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
         raise ValueError("not an AVI file")
@@ -267,10 +269,16 @@ def decode_avi_frames(content: bytes) -> tuple[float, list[np.ndarray]]:
     walk(12, len(content))
     if width is None or not frames:
         raise ValueError("AVI missing video stream headers or frames")
+    if compression == struct.unpack("<I", b"MJPG")[0]:
+        out = [decode_jpeg(raw) for raw in frames]
+        for px in out:
+            if px.shape[:2] != (abs(height), width):
+                raise ValueError("MJPG frame size disagrees with header")
+        return fps, out
     if compression != 0 or bpp not in (24, 32):
         raise ValueError(
             f"unsupported AVI: bpp={bpp} compression={compression} "
-            "(only uncompressed DIB decodes without a codec)"
+            "(only uncompressed DIB and MJPG decode without a codec)"
         )
     bottom_up = height > 0
     h = abs(height)

@@ -291,11 +291,12 @@ def sample_video_frames(
 
     Timestamps are derived from metadata (``duration_ms``) JVM-side
     with ``sequence`` + ``explode`` — the binary only flows into the
-    decode kernel. Uncompressed DIB AVI is REALLY decoded
-    (operators/media_codecs.py — pure RIFF container parse): the
-    frame nearest each sampled timestamp is emitted re-encoded as a
-    24-bit BMP. Codec-bound containers (MP4/H.264, MJPG) raise by
-    default or produce the deterministic fake under an explicit
+    decode kernel. Uncompressed DIB and Motion-JPEG AVI are REALLY
+    decoded (operators/media_codecs.py — pure RIFF container parse;
+    MJPG frames through the baseline JPEG decoder): the frame
+    nearest each sampled timestamp is emitted re-encoded as a 24-bit
+    BMP. Codec-bound containers (MP4/H.264) raise by default or
+    produce the deterministic fake under an explicit
     ``strict=False``."""
     frames = df.withColumn(
         "frame_ts_ms",

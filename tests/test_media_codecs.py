@@ -328,6 +328,52 @@ class TestAvi:
         with pytest.raises(ValueError):
             decode_avi_frames(b"RIFFxxxxWAVE")
 
+    def test_mjpg_frames(self):
+        # Motion-JPEG: each frame chunk is an independent baseline
+        # JPEG (encoded by the independent fixture encoder).
+        from test_jpeg_codec import make_jpeg
+
+        from serverless_data_lake_spark.operators.media_codecs import (
+            decode_avi_frames,
+        )
+
+        frames = [
+            np.full((8, 16, 3), v, dtype=np.uint8) for v in (40, 90, 180)
+        ]
+        jpegs = [make_jpeg(f) for f in frames]
+        avi = make_avi(frames, fps=12)
+        # Rewrite the fixture AVI into an MJPG one: swap compression
+        # fourcc in strf and replace each 00db payload with the JPEG.
+        strf_old = struct.pack("<IiiHHIIiiII", 40, 16, 8, 1, 24, 0,
+                               ((16 * 3 + 3) & ~3) * 8, 0, 0, 0, 0)
+        strf_new = struct.pack("<IiiHHIIiiII", 40, 16, 8, 1, 24,
+                               struct.unpack("<I", b"MJPG")[0],
+                               0, 0, 0, 0, 0)
+        assert strf_old in avi
+        avi = avi.replace(strf_old, strf_new)
+        # Rebuild movi with JPEG chunks.
+        # The movi LIST layout is LIST<size>movi…: its header starts
+        # 8 bytes before the "movi" tag.
+        hdr_end = avi.rindex(b"movi") - 8
+
+        def chunk(cid, body):
+            pad = b"\x00" if len(body) % 2 else b""
+            return cid + struct.pack("<I", len(body)) + body + pad
+
+        movi_body = b"movi" + b"".join(chunk(b"00dc", j) for j in jpegs)
+        movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+        riff_body = avi[12:hdr_end] + movi
+        mjpg_avi = (
+            b"RIFF" + struct.pack("<I", len(riff_body) + 4) + b"AVI "
+            + riff_body
+        )
+        fps, out = decode_avi_frames(mjpg_avi)
+        assert fps == pytest.approx(12.0)
+        assert len(out) == 3
+        for got, want in zip(out, frames):
+            assert got.shape == want.shape
+            assert np.abs(got.astype(int) - want.astype(int)).max() <= 2
+
 
 # ---------------------------------------------------------------------------
 # Spark-side routing
