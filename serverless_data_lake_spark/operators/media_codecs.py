@@ -20,6 +20,8 @@ decode the uncompressed/stdlib-compressed formats:
   color. Progressive/arithmetic/12-bit modes raise ``ValueError``.
   The entropy decode is a per-bit Python loop — correct and
   deterministic, not fast; same production caveat as PNG paeth.
+- **GIF** (87a/89a): LZW decompression, global/local color
+  tables, interlace reordering; first frame of animations.
 
 Formats that require actual codec libraries (MP3, H.264/MP4)
 remain stubbed in :mod:`operators.multimodal` with
@@ -650,6 +652,143 @@ def _jpeg_decode_scan(frame, scomp, qt, huff, restart_interval, segments):
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a, LZW)
+# ---------------------------------------------------------------------------
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list[int]:
+    """GIF-variant LZW: LSB-first bitstream, clear/end codes, table
+    grows to 4096 entries."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def reset_table():
+        return {i: (i,) for i in range(clear)}
+
+    table = reset_table()
+    next_code = end + 1
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = reset_table()
+            next_code = end + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("invalid first GIF LZW code")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:n_pixels]
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(content: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to ``(H, W, 3)`` uint8
+    RGB — pure stdlib/numpy: logical-screen parse, global/local color
+    tables, LZW decompression, interlace reordering. Extensions
+    (including animation control) are skipped; the first image
+    descriptor wins. Raises ``ValueError`` on malformed input."""
+    data = bytes(content)
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    flags = data[10]
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        global_pal = np.frombuffer(
+            data, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError("unexpected GIF block")
+        left, top, w, h = struct.unpack_from("<HHHH", data, pos)
+        iflags = data[pos + 8]
+        pos += 9
+        pal = global_pal
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(
+                data, dtype=np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos]:
+            cnt = data[pos]
+            lzw += data[pos + 1 : pos + 1 + cnt]
+            pos += 1 + cnt
+        pos += 1
+        idx = np.array(
+            _gif_lzw_decode(min_code, bytes(lzw), w * h), dtype=np.int64
+        )
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("GIF pixel index outside color table")
+        rows = idx.reshape(h, w)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            order = [
+                y
+                for start, step in _GIF_INTERLACE_PASSES
+                for y in range(start, h, step)
+            ]
+            un = np.empty_like(rows)
+            un[order] = rows
+            rows = un
+        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+        canvas[top : top + h, left : left + w] = pal[rows]
+        return canvas
+    raise ValueError("GIF contains no image data")
+
+
 # ---------------------------------------------------------------------------
 # Image dispatch
 # ---------------------------------------------------------------------------
@@ -659,6 +798,7 @@ _IMAGE_DECODERS = {
     "image/png": decode_png,
     "image/jpeg": decode_jpeg,
     "image/jpg": decode_jpeg,
+    "image/gif": decode_gif,
 }
 
 

@@ -7,10 +7,12 @@ frame-sampling as **Arrow-batched Pandas functions over
 are the real production plumbing.
 
 Decoding is REAL for the formats pure stdlib/numpy can parse —
-BMP, non-interlaced 8-bit PNG, RIFF-PCM WAV
+BMP, non-interlaced 8-bit PNG, baseline-sequential JPEG, GIF,
+RIFF-PCM WAV, uncompressed/MJPG AVI
 (:mod:`operators.media_codecs`) — and stubbed only for formats that
 genuinely require codec libraries this container does not ship
-(JPEG, MP3, H.264/MP4): those raise ``NotImplementedError`` by
+(MP3, H.264/MP4, webp, progressive JPEG): those raise
+``NotImplementedError`` by
 default (``strict=True``) — a pipeline must never silently ship fake
 features — or, under an explicit ``strict=False``, produce a
 deterministic fake so the Spark-side contract stays testable without
@@ -86,6 +88,7 @@ _DECODABLE_IMAGE = {
     "image/png",
     "image/jpeg",
     "image/jpg",
+    "image/gif",
 }
 _DECODABLE_AUDIO = {"audio/wav", "audio/x-wav", "audio/wave"}
 
@@ -101,7 +104,7 @@ def _image_feature(content, mime, dim: int, strict: bool) -> list[float]:
     if strict:
         raise NotImplementedError(
             f"decode for {mime!r} requires a codec library not "
-            "shipped in this environment; only BMP/PNG/baseline-JPEG "
+            "shipped in this environment; only BMP/PNG/GIF/baseline-JPEG "
             "decode without one"
         )
     return _fake_decode(content, dim)

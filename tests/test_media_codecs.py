@@ -550,6 +550,19 @@ class TestKernelRouting:
         with pytest.raises(Exception, match="NotImplementedError|codec"):
             sample_video_frames(df, strict=True).collect()
 
+    def test_decodable_set_matches_dispatcher(self):
+        # Every mime the kernels claim decodable must have a real
+        # decoder registered — a drifted set would raise KeyError
+        # inside an executor instead of the strict fence.
+        from serverless_data_lake_spark.operators.media_codecs import (
+            _IMAGE_DECODERS,
+        )
+        from serverless_data_lake_spark.operators.multimodal import (
+            _DECODABLE_IMAGE,
+        )
+
+        assert _DECODABLE_IMAGE == set(_IMAGE_DECODERS)
+
     # (Binary-column pruning for metadata-only ops is asserted on a
     # parquet scan in tests/test_plan_quality.py — a LocalTableScan
     # here would list every column regardless.)
