@@ -719,14 +719,30 @@ _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 def decode_gif(content: bytes) -> np.ndarray:
     """Decode the FIRST frame of a GIF87a/89a to ``(H, W, 3)`` uint8
     RGB — pure stdlib/numpy: logical-screen parse, global/local color
-    tables, LZW decompression, interlace reordering. Extensions
-    (including animation control) are skipped; the first image
-    descriptor wins. Raises ``ValueError`` on malformed input."""
+    tables, LZW decompression, interlace reordering. Delegates to
+    :func:`decode_gif_frames` and returns the composed first frame.
+    Raises ``ValueError`` on malformed input."""
+    return decode_gif_frames(content)[1][0]
+
+
+def decode_gif_frames(content: bytes) -> tuple[float, list[np.ndarray]]:
+    """Decode ALL frames of a GIF87a/89a with full animation
+    composition — graphic-control delays, disposal methods 0-3
+    (none/keep, restore-to-background, restore-to-previous) and
+    transparency masking, per the GIF89a spec §23.
+
+    Returns ``(fps, frames)`` in the same contract as
+    :func:`decode_avi_frames` so animated GIFs ride the video
+    frame-sampling kernel. ``fps`` derives from the mean per-frame
+    delay (a 0 delay counts as 10 cs, the conventional browser
+    treatment); the canvas initializes to the logical-screen
+    background color (black when absent)."""
     data = bytes(content)
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh = struct.unpack_from("<HH", data, 6)
     flags = data[10]
+    bg_idx = data[11]
     pos = 13
     global_pal = None
     if flags & 0x80:
@@ -735,13 +751,32 @@ def decode_gif(content: bytes) -> np.ndarray:
             data, dtype=np.uint8, count=3 * n, offset=pos
         ).reshape(n, 3)
         pos += 3 * n
+    bg_color = (
+        global_pal[bg_idx]
+        if global_pal is not None and bg_idx < len(global_pal)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg_color
+    frames: list[np.ndarray] = []
+    delays_cs: list[int] = []
+    # Graphic-control state: applies to the NEXT image, then resets.
+    delay_cs, transparent, disposal = 0, None, 0
     while pos < len(data):
         b = data[pos]
         pos += 1
         if b == 0x3B:  # trailer
             break
-        if b == 0x21:  # extension: label + sub-blocks
+        if b == 0x21:  # extension
+            label = data[pos]
             pos += 1
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                gflags = data[pos + 1]
+                delay_cs = struct.unpack_from("<H", data, pos + 2)[0]
+                transparent = (
+                    data[pos + 4] if gflags & 1 else None
+                )
+                disposal = (gflags >> 2) & 7
             while pos < len(data) and data[pos]:
                 pos += 1 + data[pos]
             pos += 1
@@ -783,10 +818,25 @@ def decode_gif(content: bytes) -> np.ndarray:
             un = np.empty_like(rows)
             un[order] = rows
             rows = un
-        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
-        canvas[top : top + h, left : left + w] = pal[rows]
-        return canvas
-    raise ValueError("GIF contains no image data")
+        prev = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        colors = pal[rows]
+        if transparent is not None:
+            mask = rows != transparent
+            region[mask] = colors[mask]
+        else:
+            region[:] = colors
+        frames.append(canvas.copy())
+        delays_cs.append(delay_cs or 10)
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg_color
+        elif disposal == 3 and prev is not None:
+            canvas = prev
+        delay_cs, transparent, disposal = 0, None, 0
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    fps = 100.0 / (sum(delays_cs) / len(delays_cs))
+    return fps, frames
 
 
 # ---------------------------------------------------------------------------
@@ -807,3 +857,19 @@ def decode_image(content: bytes, mime: str) -> np.ndarray:
     ``KeyError`` for formats with no codec-less decoder (the caller
     owns the strict/fallback policy)."""
     return _IMAGE_DECODERS[mime](bytes(content))
+
+
+_VIDEO_DECODERS = {
+    "video/avi": decode_avi_frames,
+    "video/x-msvideo": decode_avi_frames,
+    "image/gif": decode_gif_frames,  # animated GIF as a video source
+}
+
+
+def decode_video_frames(
+    content: bytes, mime: str
+) -> tuple[float, list[np.ndarray]]:
+    """Route to the pure-python frame decoder for ``mime`` —
+    ``(fps, frames)``. Raises ``KeyError`` for codec-bound
+    containers."""
+    return _VIDEO_DECODERS[mime](bytes(content))

@@ -282,7 +282,7 @@ def resize_images(
     )
 
 
-_DECODABLE_VIDEO = {"video/avi", "video/x-msvideo"}
+_DECODABLE_VIDEO = {"video/avi", "video/x-msvideo", "image/gif"}
 
 
 def sample_video_frames(
@@ -294,12 +294,13 @@ def sample_video_frames(
 
     Timestamps are derived from metadata (``duration_ms``) JVM-side
     with ``sequence`` + ``explode`` — the binary only flows into the
-    decode kernel. Uncompressed DIB and Motion-JPEG AVI are REALLY
-    decoded (operators/media_codecs.py — pure RIFF container parse;
-    MJPG frames through the baseline JPEG decoder): the frame
-    nearest each sampled timestamp is emitted re-encoded as a 24-bit
-    BMP. Codec-bound containers (MP4/H.264) raise by default or
-    produce the deterministic fake under an explicit
+    decode kernel. Uncompressed DIB AVI, Motion-JPEG AVI, and
+    animated GIF are REALLY decoded (operators/media_codecs.py —
+    pure RIFF/GIF container parse; MJPG frames through the baseline
+    JPEG decoder; GIF frames composed with disposal+transparency):
+    the frame nearest each sampled timestamp is emitted re-encoded
+    as a 24-bit BMP. Codec-bound containers (MP4/H.264) raise by
+    default or produce the deterministic fake under an explicit
     ``strict=False``."""
     frames = df.withColumn(
         "frame_ts_ms",
@@ -322,7 +323,7 @@ def sample_video_frames(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from serverless_data_lake_spark.operators.media_codecs import (
-            decode_avi_frames,
+            decode_video_frames,
             encode_bmp,
         )
 
@@ -336,15 +337,15 @@ def sample_video_frames(
             if content is not None and mime in _DECODABLE_VIDEO:
                 if mid not in decoded:
                     decoded.clear()
-                    decoded[mid] = decode_avi_frames(bytes(content))
+                    decoded[mid] = decode_video_frames(content, mime)
                 fps, fr = decoded[mid]
                 idx = min(int(round(ts / 1000.0 * fps)), len(fr) - 1)
                 return encode_bmp(fr[idx])
             if strict:
                 raise NotImplementedError(
                     f"frame decode for {mime!r} requires ffmpeg-class "
-                    "codecs not shipped here; only uncompressed AVI "
-                    "decodes without one"
+                    "codecs not shipped here; only uncompressed/MJPG "
+                    "AVI and animated GIF decode without one"
                 )
             return f"frame:{mid}:{ts}".encode()
 
