@@ -148,40 +148,20 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> channels
 
 
-def decode_png(content: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit PNG to ``(H, W, C)`` uint8.
-    Palette images (color type 3) are expanded to RGB via PLTE."""
-    if not content.startswith(_PNG_SIG):
-        raise ValueError("not a PNG file")
-    pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
-    while pos + 8 <= len(content):
-        length, ctype = struct.unpack_from(">I4s", content, pos)
-        body = content[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + crc
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat.append(body)
-        elif ctype == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    width, height, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
-        raise ValueError(
-            f"unsupported PNG: depth={depth} color={color} "
-            f"interlace={interlace}"
-        )
-    if color == 3 and plte is None:
-        raise ValueError("palette PNG missing PLTE chunk")
-    ch = _PNG_CHANNELS[color]
+# Adam7 pass grid: (x0, y0, dx, dy) per PNG spec §8.2.
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    raw: np.ndarray, width: int, height: int, ch: int
+) -> np.ndarray:
+    """Reverse PNG scanline filtering over one (sub-)image —
+    ``raw`` is the ``(height, width*ch + 1)`` filter-byte-prefixed
+    scanline matrix. Returns ``(height, width, ch)`` uint8."""
     stride = width * ch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG scanline data size mismatch")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     filters, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
     out = np.zeros((height, stride), dtype=np.int32)
     for y in range(height):
@@ -211,7 +191,67 @@ def decode_png(content: bytes) -> np.ndarray:
                 row[i] = (line[i] + pred) % 256
         else:
             raise ValueError(f"unknown PNG filter {f}")
-    px = out.astype(np.uint8).reshape(height, width, ch)
+    return out.astype(np.uint8).reshape(height, width, ch)
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Decode an 8-bit PNG (non-interlaced or Adam7) to ``(H, W, C)``
+    uint8. Palette images (color type 3) are expanded to RGB via
+    PLTE; Adam7 passes are each unfiltered as their own sub-image
+    (per spec §8.2) and scattered back onto the pixel grid."""
+    if not content.startswith(_PNG_SIG):
+        raise ValueError("not a PNG file")
+    pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
+    while pos + 8 <= len(content):
+        length, ctype = struct.unpack_from(">I4s", content, pos)
+        body = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace not in (0, 1) or color not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={color} "
+            f"interlace={interlace}"
+        )
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        stride = width * ch
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG scanline data size mismatch")
+        mat = np.frombuffer(raw, dtype=np.uint8).reshape(
+            height, stride + 1
+        )
+        px = _png_unfilter(mat, width, height, ch)
+    else:
+        px = np.zeros((height, width, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = -(-(width - x0) // dx) if width > x0 else 0
+            ph = -(-(height - y0) // dy) if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            need = (pw * ch + 1) * ph
+            if off + need > len(raw):
+                raise ValueError("PNG Adam7 pass data truncated")
+            mat = np.frombuffer(
+                raw[off : off + need], dtype=np.uint8
+            ).reshape(ph, pw * ch + 1)
+            off += need
+            px[y0::dy, x0::dx] = _png_unfilter(mat, pw, ph, ch)
+        if off != len(raw):
+            raise ValueError("PNG Adam7 trailing data")
     if color == 3:
         return plte[px[:, :, 0]]  # palette index -> RGB
     return px

@@ -281,6 +281,33 @@ class TestPng:
         )
         np.testing.assert_array_equal(out, expect)
 
+    def test_adam7_interlaced(self):
+        # Independent pass serializer: slice the image on the Adam7
+        # grid, emit each pass's scanlines (filter 0) in order. The
+        # decoder must reassemble the original; per-pass FILTERING
+        # shares the one unfilter path the parametrized roundtrip
+        # test already covers.
+        rng = np.random.default_rng(6)
+        px = rng.integers(0, 256, size=(13, 11, 3)).astype(np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for row in sub:
+                raw += b"\x00" + row.tobytes()
+        ihdr = struct.pack(">IIBBBBB", 11, 13, 8, 2, 0, 0, 1)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+        np.testing.assert_array_equal(decode_png(png), px)
+
     def test_image_features_deterministic_and_bounded(self):
         f1 = image_features(self.PX, 8)
         f2 = image_features(self.PX, 8)
