@@ -5,8 +5,9 @@ opaque ``binary`` columns and decode inside Arrow-batched
 ``mapInPandas``. Containers without PIL/ffmpeg can still REALLY
 decode the uncompressed/stdlib-compressed formats:
 
-- **WAV** (RIFF PCM): stdlib ``wave`` + ``numpy.frombuffer`` —
-  8/16/32-bit integer PCM, any channel count.
+- **WAV** (RIFF): stdlib ``wave`` + ``numpy.frombuffer`` —
+  8/16/24/32-bit integer PCM, any channel count — plus manual-parse
+  G.711 μ-law/A-law expansion (telephony speech corpora).
 - **BMP** (Windows DIB, 24/32-bit uncompressed): manual header
   parse + numpy row reshape (4-byte row padding, bottom-up rows).
 - **PNG** (non-interlaced, 8-bit gray/RGB/RGBA): stdlib ``zlib``
@@ -46,17 +47,72 @@ import numpy as np
 # ---------------------------------------------------------------------------
 # WAV (RIFF PCM)
 # ---------------------------------------------------------------------------
+def _decode_wav_companded(content: bytes) -> tuple[int, int, np.ndarray]:
+    """G.711 μ-law / A-law RIFF WAV (wFormatTag 7 / 6) — the
+    telephony/speech-corpus encodings stdlib ``wave`` rejects.
+    Manual RIFF parse + vectorized expansion tables (ITU-T G.711)."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAVE file")
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(content):
+        cid, size = content[pos : pos + 4], struct.unpack_from(
+            "<I", content, pos + 4
+        )[0]
+        body = content[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body)
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunks")
+    tag, channels, rate, _bps, _align, bits = fmt
+    if tag not in (6, 7) or bits != 8:
+        raise ValueError(f"unsupported WAVE format tag {tag}/{bits}-bit")
+    codes = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    if tag == 7:  # μ-law (G.711): invert, extract exponent/mantissa
+        u = ~codes & 0xFF
+        sign = np.where(u & 0x80, -1, 1)
+        exp = (u >> 4) & 7
+        mant = u & 0x0F
+        mag = ((mant << 1) + 33) * (1 << exp) - 33
+        lin = sign * mag * 4  # 14-bit -> 16-bit range
+    else:  # A-law: even-bit inversion, segment expansion. NB the
+        # sign convention is OPPOSITE μ-law: after the 0x55 XOR a set
+        # 0x80 bit means POSITIVE (G.711 / classic g711.c).
+        a = codes ^ 0x55
+        sign = np.where(a & 0x80, 1, -1)
+        seg = (a >> 4) & 7
+        mant = a & 0x0F
+        mag = np.where(
+            seg == 0,
+            (mant << 1) + 1,
+            ((mant << 1) + 33) * (1 << (seg - 1)),
+        )
+        lin = sign * mag * 8  # 13-bit -> 16-bit range
+    arr = (lin / 32768.0).astype(np.float32)
+    arr = arr.reshape(-1, channels) if channels > 1 else arr.reshape(-1, 1)
+    return rate, channels, arr
+
+
 def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode RIFF PCM audio.
+    """Decode RIFF audio: integer PCM (8/16/24/32-bit via stdlib
+    ``wave``) plus G.711 μ-law / A-law companded streams.
 
     Returns ``(sample_rate, n_channels, samples)`` where ``samples``
     is float32 in [-1, 1], shape ``(n_frames, n_channels)``.
     """
-    with wave.open(io.BytesIO(content), "rb") as w:
-        rate = w.getframerate()
-        channels = w.getnchannels()
-        width = w.getsampwidth()
-        frames = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            rate = w.getframerate()
+            channels = w.getnchannels()
+            width = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except wave.Error:
+        # stdlib wave only reads format-1 PCM; G.711 goes manual.
+        return _decode_wav_companded(content)
     if width == 1:
         # 8-bit WAV is unsigned.
         arr = np.frombuffer(frames, dtype=np.uint8).astype(np.float32)

@@ -593,3 +593,50 @@ class TestKernelRouting:
     # (Binary-column pruning for metadata-only ops is asserted on a
     # parquet scan in tests/test_plan_quality.py — a LocalTableScan
     # here would list every column regardless.)
+
+
+class TestG711Wav:
+    """μ-law/A-law WAV against the stdlib audioop reference tables."""
+
+    @staticmethod
+    def _wav(tag: int, payload: bytes, rate=8000, channels=1) -> bytes:
+        fmt = struct.pack("<HHIIHH", tag, channels, rate,
+                          rate * channels, channels, 8)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    @pytest.mark.parametrize("law,tag", [("ulaw", 7), ("alaw", 6)])
+    def test_matches_audioop_reference(self, law, tag):
+        audioop = pytest.importorskip("audioop")
+        from serverless_data_lake_spark.operators.media_codecs import (
+            decode_wav,
+        )
+
+        rng = np.random.default_rng(13)
+        pcm = rng.integers(-32768, 32768, size=512).astype("<i2")
+        enc = getattr(audioop, f"lin2{law}")(pcm.tobytes(), 2)
+        rate, channels, out = decode_wav(self._wav(tag, enc))
+        assert (rate, channels) == (8000, 1)
+        ref = np.frombuffer(
+            getattr(audioop, f"{law}2lin")(enc, 2), dtype="<i2"
+        ).astype(np.float32) / 32768.0
+        np.testing.assert_allclose(out[:, 0], ref, atol=1e-6)
+
+    def test_stereo_and_rejections(self):
+        audioop = pytest.importorskip("audioop")
+        from serverless_data_lake_spark.operators.media_codecs import (
+            decode_wav,
+        )
+
+        pcm = np.arange(-200, 200, dtype="<i2")
+        enc = audioop.lin2ulaw(pcm.tobytes(), 2)
+        _, channels, out = decode_wav(
+            self._wav(7, enc, channels=2)
+        )
+        assert channels == 2 and out.shape == (200, 2)
+        with pytest.raises(ValueError):
+            decode_wav(self._wav(2, b"\x00" * 16))  # ADPCM: unsupported
