@@ -22,7 +22,11 @@ decode the uncompressed/stdlib-compressed formats:
   The entropy decode is a per-bit Python loop — correct and
   deterministic, not fast; same production caveat as PNG paeth.
 - **GIF** (87a/89a): LZW decompression, global/local color
-  tables, interlace reordering; first frame of animations.
+  tables, interlace reordering; first frame of animations
+  (:func:`decode_gif_frames` composes all of them).
+- **TIFF** (baseline 8-bit, both byte orders): strip layout,
+  compression none/LZW (early-change, predictor 2)/PackBits;
+  gray, white-is-zero, RGB(A), palette.
 
 Formats that require actual codec libraries (MP3, H.264/MP4)
 remain stubbed in :mod:`operators.multimodal` with
@@ -935,6 +939,184 @@ def decode_gif_frames(content: bytes) -> tuple[float, list[np.ndarray]]:
     return fps, frames
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline: uncompressed / LZW / PackBits, 8-bit)
+# ---------------------------------------------------------------------------
+def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first bit packing, 256=Clear,
+    257=EOI, EARLY code-width change (one code before the table
+    fills — unlike GIF)."""
+    CLEAR, EOI = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while len(out) < max_out:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError("invalid first TIFF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt TIFF LZW code")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        # Early change (the TIFF spec §13 off-by-one): the ENCODER
+        # widens when its next code hits 2^width - 1; the decoder's
+        # table runs one entry behind, so it must widen at
+        # 2^width - 2 (510/1022/2046) to stay in step.
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < max_out:
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            if pos >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def decode_tiff(content: bytes) -> np.ndarray:
+    """Decode a baseline 8-bit TIFF (first IFD) to ``(H, W, 3)``
+    uint8 RGB — both byte orders, strip layout, compression none (1),
+    LZW (5, incl. horizontal-differencing predictor), or PackBits
+    (32773); photometric gray (0/1, incl. white-is-zero inversion),
+    RGB(A) (2), and palette (3). Tiled, 16-bit, CMYK and JPEG-in-TIFF
+    raise ``ValueError``."""
+    data = bytes(content)
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF")
+    bo = "<" if data[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(bo + "HI", data, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF (bad magic)")
+    n_entries = struct.unpack_from(bo + "H", data, ifd_off)[0]
+    tags: dict[int, tuple] = {}
+    _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    for i in range(n_entries):
+        tag, typ, cnt = struct.unpack_from(
+            bo + "HHI", data, ifd_off + 2 + 12 * i
+        )
+        if typ not in _TYPE_SIZE:
+            continue
+        size = _TYPE_SIZE[typ] * cnt
+        voff = ifd_off + 2 + 12 * i + 8
+        if size > 4:
+            voff = struct.unpack_from(bo + "I", data, voff)[0]
+        if typ == 3:
+            vals = struct.unpack_from(bo + f"{cnt}H", data, voff)
+        elif typ == 4:
+            vals = struct.unpack_from(bo + f"{cnt}I", data, voff)
+        elif typ == 1:
+            vals = tuple(data[voff : voff + cnt])
+        else:
+            continue  # ASCII/RATIONAL irrelevant here
+        tags[tag] = vals
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    width, height = one(256), one(257)
+    if not width or not height:
+        raise ValueError("TIFF missing dimensions")
+    compression = one(259, 1)
+    photometric = one(262, 1)
+    spp = one(277, 1)
+    bits = tags.get(258, (8,) * spp)
+    rows_per_strip = one(278, height)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    predictor = one(317, 1)
+    if any(b != 8 for b in bits):
+        raise ValueError(f"unsupported TIFF bit depth {bits}")
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF unsupported")
+    if offsets is None or counts is None:
+        raise ValueError("TIFF missing strip offsets/counts")
+    if compression not in (1, 5, 32773):
+        raise ValueError(
+            f"unsupported TIFF compression {compression} "
+            "(none/LZW/PackBits decode without a codec)"
+        )
+    if photometric not in (0, 1, 2, 3):
+        raise ValueError(f"unsupported TIFF photometric {photometric}")
+
+    stride = width * spp
+    rows = []
+    for s, (off, cnt) in enumerate(zip(offsets, counts)):
+        nrows = min(rows_per_strip, height - s * rows_per_strip)
+        raw = data[off : off + cnt]
+        if compression == 5:
+            raw = _tiff_lzw_decode(raw, stride * nrows)
+        elif compression == 32773:
+            raw = _packbits_decode(raw, stride * nrows)
+        if len(raw) < stride * nrows:
+            raise ValueError("truncated TIFF strip")
+        strip = np.frombuffer(
+            raw, dtype=np.uint8, count=stride * nrows
+        ).reshape(nrows, width, spp)
+        if predictor == 2:  # horizontal differencing per sample
+            strip = np.cumsum(strip.astype(np.int64), axis=1) % 256
+            strip = strip.astype(np.uint8)
+        rows.append(strip)
+    px = np.concatenate(rows, axis=0)
+    if photometric == 3:  # palette: 16-bit RGB colormap
+        cmap = tags.get(320)
+        if cmap is None or len(cmap) < 3 * 256:
+            raise ValueError("palette TIFF missing colormap")
+        n = len(cmap) // 3
+        pal = (
+            np.array(cmap, dtype=np.uint32).reshape(3, n).T // 257
+        ).astype(np.uint8)
+        return pal[px[:, :, 0]]
+    if photometric in (0, 1):
+        g = px[:, :, 0]
+        if photometric == 0:  # white-is-zero
+            g = 255 - g
+        return np.stack([g, g, g], axis=2)
+    return px[:, :, :3].copy()
+
+
 # ---------------------------------------------------------------------------
 # Image dispatch
 # ---------------------------------------------------------------------------
@@ -945,6 +1127,8 @@ _IMAGE_DECODERS = {
     "image/jpeg": decode_jpeg,
     "image/jpg": decode_jpeg,
     "image/gif": decode_gif,
+    "image/tiff": decode_tiff,
+    "image/tif": decode_tiff,
 }
 
 

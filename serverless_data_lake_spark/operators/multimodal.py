@@ -89,6 +89,8 @@ _DECODABLE_IMAGE = {
     "image/jpeg",
     "image/jpg",
     "image/gif",
+    "image/tiff",
+    "image/tif",
 }
 _DECODABLE_AUDIO = {"audio/wav", "audio/x-wav", "audio/wave"}
 
