@@ -1,0 +1,246 @@
+"""Declarative corpus-curation pipeline with an audit manifest.
+
+A 100 TB training-data release is not one operator — it is a CHAIN
+(dedup → span removal → decontamination → quality gates → sampling →
+splits), and the release review needs to know exactly how many
+documents each stage dropped. This module composes the operator
+families into one declarative builder:
+
+    pipe = (
+        CurationPipeline("doc_id", "text")
+        .exact_dedup()
+        .near_dedup(method="minhash")
+        .remove_duplicate_spans(k=13)
+        .decontaminate(eval_df, n=13)
+        .quality_filter(min_score=0.5)
+        .length_filter(min_tokens=10)
+        .sample(rate=0.9, salt="release-1")
+        .assign_splits({"train": 0.9, "val": 0.05, "test": 0.05})
+    )
+    out, report = pipe.execute(spark_df)
+
+Audit counting rides ``observe()``: each stage boundary carries an
+Observation node filled by the SAME action that materializes the
+result — zero dedicated count jobs, the pattern the silver/gold
+paths already use (pipeline/silver.py). Stages whose operators run
+eager work during construction (the connected-components closure
+inside ``near_dedup``) may fill their upstream observations from
+those intermediate actions; the counts are identical either way
+because the same rows flow.
+
+Scale shape: every stage is one of the already-certified operators —
+the chain introduces NO new shuffles beyond what each operator
+declares, and the lazily-composed plan lets Catalyst pipeline
+adjacent narrow stages (quality/length/sample collapse into one
+WholeStageCodegen filter over the corpus scan).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+@dataclass
+class StageReport:
+    """Rows in/out of one stage (dropped = in − out)."""
+
+    stage: str
+    rows_in: int
+    rows_out: int
+
+    @property
+    def rows_dropped(self) -> int:
+        return self.rows_in - self.rows_out
+
+
+class CurationPipeline:
+    """Builder over the curation operator families. Each ``.stage()``
+    call appends a transformation; :meth:`execute` runs the composed
+    plan once and returns the result plus per-stage counts."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+        self._stages: list[tuple[str, Callable[[DataFrame], DataFrame]]] = []
+
+    def _add(self, name: str, fn) -> "CurationPipeline":
+        self._stages.append((name, fn))
+        return self
+
+    # -- dedup family --------------------------------------------------
+    def exact_dedup(self) -> "CurationPipeline":
+        from serverless_data_lake_spark.operators.dedup import dedup_exact
+
+        return self._add(
+            "exact_dedup",
+            lambda df: dedup_exact(df, [self.text_col], id_col=self.id_col),
+        )
+
+    def near_dedup(
+        self,
+        method: str = "minhash",
+        threshold: float = 0.8,
+        **kwargs,
+    ) -> "CurationPipeline":
+        """Near-duplicate removal: candidate pairs via ``minhash``
+        (banded LSH) or ``jaccard`` (PPJoin prefix), transitively
+        closed, min-id representative kept."""
+        from serverless_data_lake_spark.operators.components import (
+            dedup_corpus,
+        )
+        from serverless_data_lake_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_prefix,
+        )
+
+        def run(df: DataFrame) -> DataFrame:
+            if method == "minhash":
+                pairs = minhash_lsh_pairs(
+                    df, self.id_col, self.text_col,
+                    verify_threshold=threshold, **kwargs,
+                )
+            elif method == "jaccard":
+                pairs = ngram_jaccard_prefix(
+                    df, self.id_col, self.text_col,
+                    threshold=threshold, **kwargs,
+                )
+            else:
+                raise ValueError(f"unknown near-dedup method {method!r}")
+            return dedup_corpus(df, pairs, self.id_col)
+
+        return self._add(f"near_dedup[{method}]", run)
+
+    def remove_duplicate_spans(
+        self, k: int = 13, drop_empty: bool = True
+    ) -> "CurationPipeline":
+        """Exact-substring dedup: rewrite documents with duplicated
+        ≥k-token spans cut (first occurrence kept); optionally drop
+        documents left empty."""
+        from serverless_data_lake_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        def run(df: DataFrame) -> DataFrame:
+            extra = [
+                c for c in df.columns
+                if c not in (self.id_col, self.text_col)
+            ]
+            rewritten = remove_duplicate_spans(
+                df, self.id_col, self.text_col, k=k
+            )
+            if drop_empty:
+                rewritten = rewritten.filter(F.col("n_kept") > 0)
+            out = rewritten.select(
+                self.id_col,
+                F.col("text_dedup").alias(self.text_col),
+            )
+            if extra:
+                out = out.join(
+                    df.select(self.id_col, *extra), self.id_col, "left"
+                )
+            return out
+
+        return self._add(f"span_dedup[k={k}]", run)
+
+    def decontaminate(
+        self, test: DataFrame, n: int = 13, min_shared: int = 1
+    ) -> "CurationPipeline":
+        from serverless_data_lake_spark.operators.dedup import decontaminate
+
+        return self._add(
+            "decontaminate",
+            lambda df: decontaminate(
+                df, test, self.id_col, self.text_col,
+                n=n, min_shared=min_shared,
+            ),
+        )
+
+    # -- quality / size gates ------------------------------------------
+    def quality_filter(self, min_score: float) -> "CurationPipeline":
+        from serverless_data_lake_spark.operators.text import quality_score
+
+        return self._add(
+            f"quality>={min_score}",
+            lambda df: df.filter(
+                quality_score(F.col(self.text_col)) >= min_score
+            ),
+        )
+
+    def length_filter(
+        self, min_tokens: int = 0, max_tokens: int | None = None
+    ) -> "CurationPipeline":
+        from serverless_data_lake_spark.operators.text import token_count
+
+        def run(df: DataFrame) -> DataFrame:
+            n = token_count(F.col(self.text_col))
+            out = df.filter(n >= min_tokens)
+            if max_tokens is not None:
+                out = out.filter(n <= max_tokens)
+            return out
+
+        return self._add("length_filter", run)
+
+    # -- selection ------------------------------------------------------
+    def sample(self, rate: float, salt: str = "") -> "CurationPipeline":
+        from serverless_data_lake_spark.operators.sampling import (
+            deterministic_sample,
+        )
+
+        return self._add(
+            f"sample[{rate}]",
+            lambda df: deterministic_sample(df, self.id_col, rate, salt),
+        )
+
+    def assign_splits(
+        self, splits: dict[str, float], salt: str = ""
+    ) -> "CurationPipeline":
+        from serverless_data_lake_spark.operators.sampling import (
+            assign_splits,
+        )
+
+        return self._add(
+            "assign_splits",
+            lambda df: assign_splits(df, self.id_col, splits, salt=salt),
+        )
+
+    # -- execution ------------------------------------------------------
+    def build(
+        self, df: DataFrame
+    ) -> tuple[DataFrame, list[tuple[str, Observation]]]:
+        """Compose the lazy plan with an Observation per stage
+        boundary. Returned observations fill when the caller runs ANY
+        action over the result."""
+        obs_in = Observation("curation_input")
+        cur = df.observe(obs_in, F.count(F.lit(1)).alias("n"))
+        taps: list[tuple[str, Observation]] = [("input", obs_in)]
+        for i, (name, fn) in enumerate(self._stages):
+            cur = fn(cur)
+            ob = Observation(f"curation_{i}_{name}")
+            cur = cur.observe(ob, F.count(F.lit(1)).alias("n"))
+            taps.append((name, ob))
+        return cur, taps
+
+    def execute(
+        self,
+        df: DataFrame,
+        sink: Callable[[DataFrame], None] | None = None,
+    ) -> tuple[DataFrame, list[StageReport]]:
+        """Run the pipeline once. ``sink`` materializes the result
+        (defaults to a ``noop``-format write — full computation, no
+        driver transfer); the audit manifest is harvested from the
+        same action."""
+        out, taps = self.build(df)
+        if sink is None:
+            out.write.format("noop").mode("overwrite").save()
+        else:
+            sink(out)
+        counts = [int(ob.get["n"]) for _name, ob in taps]
+        reports = [
+            StageReport(name, counts[i], counts[i + 1])
+            for i, (name, _ob) in enumerate(taps[1:])
+        ]
+        return out, reports

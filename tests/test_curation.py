@@ -1,0 +1,118 @@
+"""Declarative curation pipeline (pipeline/curation.py): stage
+composition, observe()-based audit counts, end-state correctness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_data_lake_spark.pipeline.curation import CurationPipeline
+
+SCHEMA = "doc_id long, text string"
+
+UNIQUE = "the weather over the northern valley stayed calm and clear today"
+NEAR = "the weather over the northern valley stayed calm and clear tonight"
+LEAK = "secret eval answer forty two hidden phrase"
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, UNIQUE),
+        (2, UNIQUE),                      # exact dup of 1
+        (3, NEAR),                        # near dup of 1 (1 token off)
+        (4, f"prefix words ahead {UNIQUE} trailing tail words here"),
+        (5, f"totally different document mentioning {LEAK} inline"),
+        (6, "@@ ## $$ %% ^^ && ** (( ))"),  # junk quality
+        (7, "too short"),
+        (8, "a perfectly ordinary document about cooking rice slowly "
+            "with plenty of water and patience for dinner"),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_full_chain_counts_and_endstate(spark, corpus):
+    eval_df = spark.createDataFrame([(100, f"prompt: {LEAK}?")], SCHEMA)
+    pipe = (
+        CurationPipeline("doc_id", "text")
+        .exact_dedup()
+        # 0.7: catches doc 3 (J=0.8 vs doc 1, one token changed)
+        # while doc 4 (J=0.6 — the span sits among flank tokens)
+        # survives for the span-removal stage to rewrite.
+        .near_dedup(method="jaccard", threshold=0.7)
+        .remove_duplicate_spans(k=5)
+        .decontaminate(eval_df, n=5)
+        .quality_filter(min_score=0.4)
+        .length_filter(min_tokens=4)
+        .sample(rate=1.0, salt="t")
+        .assign_splits({"train": 0.5, "val": 0.25, "test": 0.25})
+    )
+    collected = {}
+    out, report = pipe.execute(
+        corpus, sink=lambda df: collected.update(
+            {r["doc_id"]: r.asDict() for r in df.collect()}
+        )
+    )
+    by_name = {r.stage: r for r in report}
+
+    # exact: doc 2 collapses into 1.
+    assert by_name["exact_dedup"].rows_in == 8
+    assert by_name["exact_dedup"].rows_out == 7
+    # near (jaccard >= .5): doc 3 collapses into 1.
+    assert by_name["near_dedup[jaccard]"].rows_out == 6
+    # span removal rewrites doc 4 (its embedded copy of UNIQUE is
+    # cut; doc 1 is the canonical occurrence) but drops nothing.
+    assert by_name["span_dedup[k=5]"].rows_out == 6
+    # decontamination drops doc 5 (shares >=1 5-gram with eval).
+    assert by_name["decontaminate"].rows_out == 5
+    # quality gate drops the symbol-soup doc 6.
+    assert by_name["quality>=0.4"].rows_out == 4
+    # length gate drops doc 7 ("too short": 2 tokens).
+    assert by_name["length_filter"].rows_out == 3
+    assert by_name["sample[1.0]"].rows_out == 3
+    assert by_name["assign_splits"].rows_out == 3
+
+    assert sorted(collected) == [1, 4, 8]
+    # doc 4's embedded duplicated span is gone, flanks survive.
+    assert collected[4]["text"] == (
+        "prefix words ahead trailing tail words here"
+    )
+    # every surviving row got a split assignment.
+    assert all(
+        r["split"] in ("train", "val", "test") for r in collected.values()
+    )
+    # dropped accounting is internally consistent.
+    assert sum(r.rows_dropped for r in report) == 8 - 3
+
+
+def test_default_noop_sink_and_builder_reuse(spark, corpus):
+    pipe = CurationPipeline().exact_dedup().length_filter(min_tokens=3)
+    out, report = pipe.execute(corpus)  # noop sink
+    assert [r.stage for r in report] == ["exact_dedup", "length_filter"]
+    assert report[0].rows_in == 8
+    assert report[-1].rows_out == 6  # docs 2 and 7 gone
+    # The returned DataFrame stays usable for further actions.
+    assert out.count() == 6
+
+
+def test_unknown_near_dedup_method(spark, corpus):
+    pipe = CurationPipeline().near_dedup(method="nope")
+    with pytest.raises(ValueError, match="near-dedup method"):
+        pipe.execute(corpus)
+
+
+def test_real_documents_smoke(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    pipe = (
+        CurationPipeline("doc_id", "text")
+        .exact_dedup()
+        .quality_filter(min_score=0.1)
+        .sample(rate=0.5, salt="smoke")
+    )
+    out, report = pipe.execute(docs)
+    assert report[0].rows_in == n
+    # monotone non-increasing flow
+    flows = [report[0].rows_in] + [r.rows_out for r in report]
+    assert all(a >= b for a, b in zip(flows, flows[1:]))
+    assert report[-1].rows_out == out.count()
