@@ -116,3 +116,54 @@ def test_real_documents_smoke(spark, sf_dir):
     flows = [report[0].rows_in] + [r.rows_out for r in report]
     assert all(a >= b for a, b in zip(flows, flows[1:]))
     assert report[-1].rows_out == out.count()
+
+
+def test_curate_into_partitioned_table(spark, tmp_path):
+    # Release flow: curate -> overwrite a split-partitioned catalog
+    # table; the manifest comes from the same write action, and split
+    # filters prune partitions on read-back.
+    from serverless_data_lake_spark.catalog import TableStore
+    from serverless_data_lake_spark.config import LakeConfig
+
+    store = TableStore(spark, LakeConfig(root=str(tmp_path / "lake")))
+    rows = [
+        (i, f"document number {i} about topic {i % 7} with several "
+            f"unique words tail{i}")
+        for i in range(60)
+    ] + [(100, "document number 1 about topic 1 with several unique "
+               "words tail1")]  # byte-identical to doc 1's text
+    docs = spark.createDataFrame(rows, SCHEMA)
+
+    pipe = (
+        CurationPipeline("doc_id", "text")
+        .exact_dedup()
+        .length_filter(min_tokens=5)
+        .assign_splits({"train": 0.8, "val": 0.1, "test": 0.1}, salt="w")
+    )
+    out, report = pipe.execute(
+        docs,
+        sink=lambda df: store.create_or_replace(
+            "corpus_gold", "curated", df, [], ["split"]
+        ),
+    )
+    assert report[0].rows_in == 61
+    assert report[-1].rows_out == 60  # doc 100 = exact dup, dropped
+
+    back = store.read("corpus_gold", "curated")
+    assert back.count() == 60
+    splits = {
+        r["split"]: r["n"]
+        for r in back.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(splits.values()) == 60 and set(splits) <= {
+        "train", "val", "test",
+    }
+    # Partition pruning: a split filter must reach the scan as a
+    # partition filter, not a post-scan predicate.
+    plan = (
+        back.filter(F.col("split") == "train")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "split" in plan.split(
+        "PartitionFilters:"
+    )[1][:120]
