@@ -42,6 +42,11 @@ from serverless_data_lake_spark.operators.similarity import (
     ivf_topk,
     lsh_bucketed_topk,
 )
+from serverless_data_lake_spark.operators.lm import (
+    NGramLM,
+    perplexity_score,
+    train_bigram_lm,
+)
 from serverless_data_lake_spark.operators.profile import profile_table
 from serverless_data_lake_spark.operators.sampling import (
     assign_splits,
@@ -76,6 +81,9 @@ __all__ = [
     "keep_one_per_key",
     "lsh_bucketed_topk",
     "minhash_lsh_pairs",
+    "NGramLM",
+    "perplexity_score",
+    "train_bigram_lm",
     "ngram_jaccard_pairs",
     "ngram_jaccard_prefix",
     "reference_span_grams",

@@ -170,6 +170,32 @@ class CurationPipeline:
             ),
         )
 
+    def perplexity_filter(
+        self, lm, max_perplexity: float, alpha: float = 0.1
+    ) -> "CurationPipeline":
+        """CCNet-style LM filter: drop documents whose bigram-LM
+        perplexity under a reference model exceeds the cut (docs with
+        no bigram evidence are kept — length gates own that case)."""
+        from serverless_data_lake_spark.operators.lm import (
+            perplexity_score,
+        )
+
+        def run(df: DataFrame) -> DataFrame:
+            scored = perplexity_score(
+                df, self.id_col, lm, text_col=self.text_col, alpha=alpha
+            ).select(
+                F.col(self.id_col).alias("__pid"), "perplexity"
+            )
+            keep = scored.filter(
+                F.col("perplexity").isNull()
+                | (F.col("perplexity") <= max_perplexity)
+            ).select("__pid")
+            return df.join(
+                keep, df[self.id_col] == keep["__pid"], "left_semi"
+            )
+
+        return self._add(f"perplexity<={max_perplexity:g}", run)
+
     def length_filter(
         self, min_tokens: int = 0, max_tokens: int | None = None
     ) -> "CurationPipeline":
