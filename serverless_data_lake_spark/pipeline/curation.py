@@ -66,10 +66,22 @@ class CurationPipeline:
         self.id_col = id_col
         self.text_col = text_col
         self._stages: list[tuple[str, Callable[[DataFrame], DataFrame]]] = []
+        # Stages that reason across the WHOLE corpus (global dedup)
+        # cannot stream; per-document stages can. Tracked so the
+        # streaming twin can refuse unsound pipelines loudly.
+        self._corpus_global: set[str] = set()
 
-    def _add(self, name: str, fn) -> "CurationPipeline":
+    def _add(
+        self, name: str, fn, stream_safe: bool = True
+    ) -> "CurationPipeline":
         self._stages.append((name, fn))
+        if not stream_safe:
+            self._corpus_global.add(name)
         return self
+
+    @property
+    def corpus_global_stages(self) -> list[str]:
+        return [n for n, _f in self._stages if n in self._corpus_global]
 
     # -- dedup family --------------------------------------------------
     def exact_dedup(self) -> "CurationPipeline":
@@ -78,6 +90,7 @@ class CurationPipeline:
         return self._add(
             "exact_dedup",
             lambda df: dedup_exact(df, [self.text_col], id_col=self.id_col),
+            stream_safe=False,
         )
 
     def near_dedup(
@@ -112,7 +125,7 @@ class CurationPipeline:
                 raise ValueError(f"unknown near-dedup method {method!r}")
             return dedup_corpus(df, pairs, self.id_col)
 
-        return self._add(f"near_dedup[{method}]", run)
+        return self._add(f"near_dedup[{method}]", run, stream_safe=False)
 
     def remove_duplicate_spans(
         self, k: int = 13, drop_empty: bool = True
@@ -144,7 +157,51 @@ class CurationPipeline:
                 )
             return out
 
-        return self._add(f"span_dedup[k={k}]", run)
+        return self._add(f"span_dedup[k={k}]", run, stream_safe=False)
+
+    def scrub_reference_spans(
+        self,
+        ref: DataFrame,
+        k: int = 13,
+        drop_empty: bool = True,
+        broadcast: bool = True,
+    ) -> "CurationPipeline":
+        """Cut every ≥k-token span that also occurs in a static
+        reference corpus (span-granular decontamination — the
+        document survives with the passage excised)."""
+        from serverless_data_lake_spark.operators.dedup import (
+            reference_span_grams,
+            remove_reference_spans,
+        )
+
+        grams = None
+
+        def run(df: DataFrame) -> DataFrame:
+            nonlocal grams
+            if grams is None:
+                grams = reference_span_grams(
+                    ref, self.id_col, self.text_col, k
+                )
+            extra = [
+                c for c in df.columns
+                if c not in (self.id_col, self.text_col)
+            ]
+            rewritten = remove_reference_spans(
+                df, grams, self.id_col, self.text_col,
+                k=k, broadcast=broadcast,
+            )
+            if drop_empty:
+                rewritten = rewritten.filter(F.col("n_kept") > 0)
+            out = rewritten.select(
+                self.id_col, F.col("text_dedup").alias(self.text_col)
+            )
+            if extra:
+                out = out.join(
+                    df.select(self.id_col, *extra), self.id_col, "left"
+                )
+            return out
+
+        return self._add(f"ref_span_scrub[k={k}]", run)
 
     def decontaminate(
         self, test: DataFrame, n: int = 13, min_shared: int = 1
@@ -209,6 +266,32 @@ class CurationPipeline:
             return out
 
         return self._add("length_filter", run)
+
+    def repetition_filter(
+        self,
+        max_dup_gram_frac: float = 1.0,
+        max_top_gram_frac: float = 1.0,
+        n: int = 2,
+    ) -> "CurationPipeline":
+        """Gopher-style repetition gates: drop documents whose
+        duplicated-n-gram fraction or top-n-gram dominance exceeds
+        the cuts (both computed in-row — the stage is a pure filter,
+        no join)."""
+        from serverless_data_lake_spark.operators.text import (
+            repetition_stats,
+        )
+
+        def run(df: DataFrame) -> DataFrame:
+            stats = repetition_stats(df, self.id_col, self.text_col, n=n)
+            keep = stats.filter(
+                (F.col("dup_gram_frac") <= max_dup_gram_frac)
+                & (F.col("top_gram_frac") <= max_top_gram_frac)
+            ).select(F.col(self.id_col).alias("__rid"))
+            return df.join(
+                keep, df[self.id_col] == keep["__rid"], "left_semi"
+            )
+
+        return self._add("repetition_filter", run)
 
     # -- selection ------------------------------------------------------
     def sample(self, rate: float, salt: str = "") -> "CurationPipeline":
