@@ -47,6 +47,13 @@ from serverless_data_lake_spark.operators.lm import (
     perplexity_score,
     train_bigram_lm,
 )
+from serverless_data_lake_spark.operators.mixing import (
+    cap_per_group,
+    extract_domain,
+    normalize_url,
+    rebalance_sources,
+    source_mix_report,
+)
 from serverless_data_lake_spark.operators.profile import profile_table
 from serverless_data_lake_spark.operators.sampling import (
     assign_splits,
@@ -82,6 +89,11 @@ __all__ = [
     "lsh_bucketed_topk",
     "minhash_lsh_pairs",
     "NGramLM",
+    "cap_per_group",
+    "extract_domain",
+    "normalize_url",
+    "rebalance_sources",
+    "source_mix_report",
     "perplexity_score",
     "train_bigram_lm",
     "ngram_jaccard_pairs",

@@ -293,6 +293,46 @@ class CurationPipeline:
 
         return self._add("repetition_filter", run)
 
+    # -- origin mixing ---------------------------------------------------
+    def cap_per_source(
+        self,
+        group_col: str,
+        max_rows: int,
+        priority_col: str | None = None,
+    ) -> "CurationPipeline":
+        """Keep at most ``max_rows`` documents per origin group
+        (domain/source) — skew-resilient two-phase top-N."""
+        from serverless_data_lake_spark.operators.mixing import (
+            cap_per_group,
+        )
+
+        return self._add(
+            f"cap_per[{group_col}<={max_rows}]",
+            lambda df: cap_per_group(
+                df, group_col, self.id_col, max_rows,
+                priority_col=priority_col,
+            ),
+            # Per-batch caps would re-admit max_rows per batch.
+            stream_safe=False,
+        )
+
+    def rebalance_sources(
+        self, group_col: str, max_frac: float, salt: str = ""
+    ) -> "CurationPipeline":
+        """Downsample any origin group above ``max_frac`` of the
+        corpus (corpus-global by definition)."""
+        from serverless_data_lake_spark.operators.mixing import (
+            rebalance_sources,
+        )
+
+        return self._add(
+            f"rebalance[{group_col}<={max_frac:g}]",
+            lambda df: rebalance_sources(
+                df, group_col, self.id_col, max_frac, salt=salt
+            ),
+            stream_safe=False,
+        )
+
     # -- selection ------------------------------------------------------
     def sample(self, rate: float, salt: str = "") -> "CurationPipeline":
         from serverless_data_lake_spark.operators.sampling import (
