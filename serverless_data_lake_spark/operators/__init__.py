@@ -15,6 +15,10 @@
   nulls, exact or HLL distinct, min/max).
 - ``sampling``   — deterministic hash sampling and leakage-safe
   train/val/test splits.
+- ``lm``         — bigram-LM perplexity scoring (CCNet-style filter
+  signal; Witten-Bell-weighted interpolation).
+- ``mixing``     — URL/domain helpers, skew-resilient per-origin
+  caps, corpus rebalancing to a max origin share.
 
 All operators are Column-expression / DataFrame compositions (JVM
 whole-stage-codegen path); Python appears only inside Arrow-batched

@@ -188,7 +188,24 @@ def repetition_stats(
     documents chunk first with :func:`chunk_documents`).
     Zero-gram documents report 0 for both fractions.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+    total, dup, top = repetition_columns(F.col(text_col), n=n)
+    return df.select(
+        F.col(id_col),
+        total.alias("n_grams"),
+        dup.alias("dup_gram_frac"),
+        top.alias("top_gram_frac"),
+    )
+
+
+def repetition_columns(
+    text: Column, n: int = 2
+) -> tuple[Column, Column, Column]:
+    """The :func:`repetition_stats` signals as PURE Column
+    expressions ``(n_grams, dup_gram_frac, top_gram_frac)`` — usable
+    directly in a ``filter`` so a repetition gate adds zero joins
+    (the curation pipeline's repetition stage composes this into the
+    same WholeStageCodegen span as the other narrow gates)."""
+    toks = F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != "")
     if n <= 1:
         grams = toks
     else:
@@ -203,24 +220,20 @@ def repetition_stats(
             )
         )
     grams = F.filter(grams, lambda g: g != "")
-    base = df.select(F.col(id_col), grams.alias("__g"))
-    total = F.size("__g")
-    distinct = F.size(F.array_distinct("__g"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
     top = F.array_max(
         F.transform(
-            F.array_distinct("__g"),
-            lambda g: F.size(F.filter(F.col("__g"), lambda x: x == g)),
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
         )
     )
-    return base.select(
-        F.col(id_col),
-        total.cast("bigint").alias("n_grams"),
-        F.when(total == 0, F.lit(0.0))
-        .otherwise(F.lit(1.0) - distinct / total)
-        .alias("dup_gram_frac"),
-        F.when(total == 0, F.lit(0.0))
-        .otherwise(top / total)
-        .alias("top_gram_frac"),
+    return (
+        total.cast("bigint"),
+        F.when(total == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - distinct / total
+        ),
+        F.when(total == 0, F.lit(0.0)).otherwise(top / total),
     )
 
 

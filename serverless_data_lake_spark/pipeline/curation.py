@@ -22,11 +22,28 @@ families into one declarative builder:
 Audit counting rides ``observe()``: each stage boundary carries an
 Observation node filled by the SAME action that materializes the
 result — zero dedicated count jobs, the pattern the silver/gold
-paths already use (pipeline/silver.py). Stages whose operators run
-eager work during construction (the connected-components closure
-inside ``near_dedup``) may fill their upstream observations from
-those intermediate actions; the counts are identical either way
-because the same rows flow.
+paths already use (pipeline/silver.py).
+
+Two stage classes would make a lazily-composed chain super-linear,
+so ``build()`` persists and fully materializes their INPUT (one
+``noop``-format write — a full pass, so the upstream observations
+fill with COMPLETE counts; an operator's own first action may be a
+``limit()`` probe, which would fill them partially):
+
+- stages whose operator runs driver actions during construction
+  (``near_dedup``'s connected-components closure runs several;
+  ``rebalance_sources`` counts + collects its per-group sizes) —
+  each action would otherwise re-execute the whole upstream chain;
+- stages whose operator scans its input TWICE (span removal,
+  reference scrubbing, decontamination and the perplexity gate all
+  aggregate then join back) — lazily stacked, k such stages
+  duplicate the upstream plan 2^k times inside the final action.
+
+With the boundaries cached, each segment computes exactly once and
+the doublers read the cache; ``execute()`` unpersists everything
+after harvesting the manifest (the streaming twin does the same per
+micro-batch). Pure narrow gates (quality/length/repetition/sample)
+stay lazy and fuse into one codegen'd filter.
 
 Scale shape: every stage is one of the already-certified operators —
 the chain introduces NO new shuffles beyond what each operator
@@ -70,13 +87,24 @@ class CurationPipeline:
         # cannot stream; per-document stages can. Tracked so the
         # streaming twin can refuse unsound pipelines loudly.
         self._corpus_global: set[str] = set()
+        # Stages whose operator runs driver actions over its input
+        # during construction, or scans it more than once; build()
+        # materializes their input so neither re-executes upstream.
+        self._eager_input: set[str] = set()
+        self._persisted: list[DataFrame] = []
 
     def _add(
-        self, name: str, fn, stream_safe: bool = True
+        self,
+        name: str,
+        fn,
+        stream_safe: bool = True,
+        eager_input: bool = False,
     ) -> "CurationPipeline":
         self._stages.append((name, fn))
         if not stream_safe:
             self._corpus_global.add(name)
+        if eager_input:
+            self._eager_input.add(name)
         return self
 
     @property
@@ -125,7 +153,10 @@ class CurationPipeline:
                 raise ValueError(f"unknown near-dedup method {method!r}")
             return dedup_corpus(df, pairs, self.id_col)
 
-        return self._add(f"near_dedup[{method}]", run, stream_safe=False)
+        return self._add(
+            f"near_dedup[{method}]", run,
+            stream_safe=False, eager_input=True,
+        )
 
     def remove_duplicate_spans(
         self, k: int = 13, drop_empty: bool = True
@@ -157,7 +188,10 @@ class CurationPipeline:
                 )
             return out
 
-        return self._add(f"span_dedup[k={k}]", run, stream_safe=False)
+        return self._add(
+            f"span_dedup[k={k}]", run,
+            stream_safe=False, eager_input=True,
+        )
 
     def scrub_reference_spans(
         self,
@@ -201,7 +235,7 @@ class CurationPipeline:
                 )
             return out
 
-        return self._add(f"ref_span_scrub[k={k}]", run)
+        return self._add(f"ref_span_scrub[k={k}]", run, eager_input=True)
 
     def decontaminate(
         self, test: DataFrame, n: int = 13, min_shared: int = 1
@@ -214,6 +248,7 @@ class CurationPipeline:
                 df, test, self.id_col, self.text_col,
                 n=n, min_shared=min_shared,
             ),
+            eager_input=True,
         )
 
     # -- quality / size gates ------------------------------------------
@@ -251,7 +286,9 @@ class CurationPipeline:
                 keep, df[self.id_col] == keep["__pid"], "left_semi"
             )
 
-        return self._add(f"perplexity<={max_perplexity:g}", run)
+        return self._add(
+            f"perplexity<={max_perplexity:g}", run, eager_input=True
+        )
 
     def length_filter(
         self, min_tokens: int = 0, max_tokens: int | None = None
@@ -276,19 +313,17 @@ class CurationPipeline:
         """Gopher-style repetition gates: drop documents whose
         duplicated-n-gram fraction or top-n-gram dominance exceeds
         the cuts (both computed in-row — the stage is a pure filter,
-        no join)."""
+        no join; Catalyst folds it into the adjacent narrow gates)."""
         from serverless_data_lake_spark.operators.text import (
-            repetition_stats,
+            repetition_columns,
         )
 
         def run(df: DataFrame) -> DataFrame:
-            stats = repetition_stats(df, self.id_col, self.text_col, n=n)
-            keep = stats.filter(
-                (F.col("dup_gram_frac") <= max_dup_gram_frac)
-                & (F.col("top_gram_frac") <= max_top_gram_frac)
-            ).select(F.col(self.id_col).alias("__rid"))
-            return df.join(
-                keep, df[self.id_col] == keep["__rid"], "left_semi"
+            _n, dup, top = repetition_columns(
+                F.col(self.text_col), n=n
+            )
+            return df.filter(
+                (dup <= max_dup_gram_frac) & (top <= max_top_gram_frac)
             )
 
         return self._add("repetition_filter", run)
@@ -331,6 +366,7 @@ class CurationPipeline:
                 df, group_col, self.id_col, max_frac, salt=salt
             ),
             stream_safe=False,
+            eager_input=True,
         )
 
     # -- selection ------------------------------------------------------
@@ -360,18 +396,41 @@ class CurationPipeline:
     def build(
         self, df: DataFrame
     ) -> tuple[DataFrame, list[tuple[str, Observation]]]:
-        """Compose the lazy plan with an Observation per stage
-        boundary. Returned observations fill when the caller runs ANY
-        action over the result."""
+        """Compose the plan with an Observation per stage boundary.
+        Returned observations fill when the caller runs ANY action
+        over the result.
+
+        Mostly lazy — but the input of each ``eager_input`` stage is
+        persisted and materialized HERE (one full-pass noop write),
+        so the stage's internal driver actions (closure iterations,
+        per-group collects) hit the cache instead of re-executing the
+        upstream chain per action. Observations upstream of that
+        boundary fill during the materializing pass; the rest fill at
+        the caller's action. Call :meth:`unpersist_all` (``execute``
+        does) when done."""
         obs_in = Observation("curation_input")
         cur = df.observe(obs_in, F.count(F.lit(1)).alias("n"))
         taps: list[tuple[str, Observation]] = [("input", obs_in)]
         for i, (name, fn) in enumerate(self._stages):
+            if name in self._eager_input:
+                cur = cur.persist()
+                self._persisted.append(cur)
+                # Full pass: materializes the cache AND fills every
+                # observation upstream of this boundary completely
+                # (the operator's own first action may be a limit()
+                # probe, which would fill them partially).
+                cur.write.format("noop").mode("overwrite").save()
             cur = fn(cur)
             ob = Observation(f"curation_{i}_{name}")
             cur = cur.observe(ob, F.count(F.lit(1)).alias("n"))
             taps.append((name, ob))
         return cur, taps
+
+    def unpersist_all(self) -> None:
+        """Release the eager-stage input caches created by
+        :meth:`build` (idempotent)."""
+        while self._persisted:
+            self._persisted.pop().unpersist()
 
     def execute(
         self,
@@ -382,12 +441,15 @@ class CurationPipeline:
         (defaults to a ``noop``-format write — full computation, no
         driver transfer); the audit manifest is harvested from the
         same action."""
-        out, taps = self.build(df)
-        if sink is None:
-            out.write.format("noop").mode("overwrite").save()
-        else:
-            sink(out)
-        counts = [int(ob.get["n"]) for _name, ob in taps]
+        try:
+            out, taps = self.build(df)
+            if sink is None:
+                out.write.format("noop").mode("overwrite").save()
+            else:
+                sink(out)
+            counts = [int(ob.get["n"]) for _name, ob in taps]
+        finally:
+            self.unpersist_all()
         reports = [
             StageReport(name, counts[i], counts[i + 1])
             for i, (name, _ob) in enumerate(taps[1:])

@@ -51,9 +51,14 @@ def start_curation_stream(
         )
 
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        out, taps = pipe.build(batch_df)
-        out.write.mode("append").parquet(out_path)
-        counts = [int(ob.get["n"]) for _name, ob in taps]
+        try:
+            out, taps = pipe.build(batch_df)
+            out.write.mode("append").parquet(out_path)
+            counts = [int(ob.get["n"]) for _name, ob in taps]
+        finally:
+            # build() may have cached dual-scan stage inputs
+            # (decontaminate/scrub/perplexity); release per batch.
+            pipe.unpersist_all()
         if reports is not None:
             reports.append(
                 [

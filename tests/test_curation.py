@@ -285,3 +285,44 @@ def test_streaming_refuses_corpus_global_stages(spark, tmp_path):
         start_curation_stream(
             stream, pipe, str(tmp_path / "o"), str(tmp_path / "c")
         )
+
+
+def test_eager_stage_inputs_compute_once(spark):
+    """Stages whose operator runs driver actions over its input
+    (near_dedup's closure, rebalance's count+collect) must read a
+    materialized cache, not re-execute the upstream chain per
+    action. An accumulator inside a mapInPandas tap on the raw input
+    counts total row-consumptions across the whole execute()."""
+    rows = [
+        (i, f"document number {i} about topic {i % 3} with plenty of "
+            f"filler words to pass every quality and length gate",
+         f"https://site{i % 4}.example.com/p/{i}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    acc = spark.sparkContext.accumulator(0)
+
+    def tap(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    tapped = df.mapInPandas(tap, df.schema)
+    pipe = (
+        CurationPipeline("doc_id", "text")
+        .exact_dedup()
+        .near_dedup(method="minhash", threshold=0.8)
+        .length_filter(min_tokens=5)
+        .rebalance_sources("url", max_frac=0.5)
+        .assign_splits({"train": 0.5, "val": 0.5})
+    )
+    out, report = pipe.execute(tapped)
+    # Exactly ONE full pass over the raw input: the first eager
+    # boundary's materialization. Everything downstream reuses the
+    # caches (closure iterations, rebalance collect, final action).
+    assert acc.value == 40
+    assert report[0].stage == "exact_dedup" and report[0].rows_in == 40
+    assert report[-1].stage == "assign_splits"
+    assert report[-1].rows_out == 40  # nothing dropped in this corpus
+    # Caches released.
+    assert pipe._persisted == []
