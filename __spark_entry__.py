@@ -348,14 +348,21 @@ WHERE event_id < 100
 ORDER BY event_id
 """
 
-# Tumbling-window (hourly) event aggregation — the batch shape of a
-# streaming windowed agg (reference has none; parity-plus).
+# Hourly event-time windows through the ENGINE path (3-part name
+# rewrite + date_trunc dialect); merged into the
+# ``tumbling_window_counts`` entry as its 1-hour grain (r6: the two
+# window entries consolidated to free a correctness-window slot for
+# ``pack_sequences`` — same precedent as rollup+cube and the UNION
+# leg of cte_semi_anti).
 _HOURLY_EVENTS = """
-SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
-       COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS win_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+       '1h-engine' AS grain
 FROM tpch.silver.events
-GROUP BY 1, 2
+GROUP BY 1, 2, 3
 """
 
 # DuckDB spellings (array_length/string_split/list_contains —
@@ -1030,23 +1037,29 @@ FROM q
 
 
 def _q_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch twin of the streaming windowed aggregation (one
-    declaration, two runtimes — streaming/windowed.py); the oracle
-    reproduces Spark's epoch-aligned tumbling windows with floor
-    arithmetic."""
+    """Event-time windowed aggregation at two grains in one entry:
+    the 15-minute leg is the batch twin of the streaming windowed
+    aggregation (one declaration, two runtimes —
+    streaming/windowed.py; the oracle reproduces Spark's
+    epoch-aligned tumbling windows with floor arithmetic), and the
+    1-hour leg runs through the ENGINE path (3-part name rewrite +
+    ``date_trunc`` dialect — the former ``hourly_event_windows``
+    entry, folded in to free a driver-window slot)."""
     from serverless_data_lake_spark.streaming.windowed import (
         windowed_event_counts,
     )
 
     events = _read(spark, sf_dir, "events")
-    out = windowed_event_counts(events, "15 minutes")
-    return out.select(
+    fifteen = windowed_event_counts(events, "15 minutes").select(
         F.col("win_start").cast("timestamp").alias("win_start"),
         F.col("win_end").cast("timestamp").alias("win_end"),
         "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
         "total_value",
+        F.lit("15m-stream").alias("grain"),
     )
+    hourly = _engine_query(_HOURLY_EVENTS)(spark, sf_dir)
+    return fifteen.unionByName(hourly)
 
 
 _TUMBLING_ORACLE = """
@@ -1054,9 +1067,61 @@ SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900) AS TIMEST
        CAST(to_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) + 1) * 900) AS TIMESTAMP) AS win_end,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+       '15m-stream' AS grain
 FROM events
 GROUP BY 1, 2, 3
+UNION ALL
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS win_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+       '1h-engine' AS grain
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing
+    (operators/packing.py): every document's start offset in the
+    packed token stream and its 512-token training-sequence
+    assignment. The Spark side is a distributed prefix sum (quantile
+    bucket split points → per-bucket totals prefix-summed on the
+    driver → bucket-partitioned running-sum window; no global-order
+    window ever serializes the corpus through one task —
+    tests/test_packing.py gates the plan). The oracle is the naive
+    single-window spelling, which DuckDB can afford at sf0.01."""
+    from serverless_data_lake_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = _read_parallel(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", 512, buckets=64)
+
+
+_PACK_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) AS start_offset
+  FROM t
+  WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / 512.0) AS BIGINT) AS chunk_id,
+       CAST(start_offset % 512 AS BIGINT) AS chunk_offset,
+       CAST(floor((start_offset + n_tokens - 1) / 512.0) AS BIGINT) AS chunk_last,
+       CAST(floor((start_offset + n_tokens - 1) / 512.0)
+            - floor(start_offset / 512.0) + 1 AS BIGINT) AS n_chunks
+FROM c
 """
 
 
@@ -1842,7 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "from_json_unnest": _engine_query(_FROM_JSON_UNNEST),
         "star_replace_orders": _engine_query(_STAR_REPLACE),
         "nonequi_price_pairs": _engine_query(_NONEQUI),
-        "hourly_event_windows": _engine_query(_HOURLY_EVENTS),
+        "pack_sequences": _q_pack_sequences,
         # Pipeline / training-data operators
         "tumbling_window_counts": _q_tumbling_windows,
         "merge_upsert_endstate": _q_merge_endstate,
@@ -1884,6 +1949,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for simhash_hamming_histogram (r4 advisory rename; same
         # callable, same pinned oracle — fully checked, not rows-only).
         "simhash_near_duplicates": _q_simhash,
+        # hourly_event_windows = continuity alias for the merged
+        # tumbling_window_counts (r6: folded in as its 1-hour grain
+        # to free a driver-window slot for pack_sequences).
+        "hourly_event_windows": _q_tumbling_windows,
     }
     return q
 
@@ -1908,7 +1977,7 @@ def oracle_sql() -> dict[str, str]:
         "from_json_unnest": _strip(_FROM_JSON_UNNEST),
         "star_replace_orders": _strip(_STAR_REPLACE),
         "nonequi_price_pairs": _strip(_NONEQUI),
-        "hourly_event_windows": _strip(_HOURLY_EVENTS),
+        "pack_sequences": _PACK_ORACLE,
         "tumbling_window_counts": _TUMBLING_ORACLE,
         "merge_upsert_endstate": _MERGE_ENDSTATE_ORACLE,
         "partitioned_merge_endstate": _PARTITIONED_MERGE_ORACLE,
@@ -1943,4 +2012,7 @@ def oracle_sql() -> dict[str, str]:
         # Continuity alias (r4 advisory rename): identical callable,
         # identical pinned oracle as simhash_hamming_histogram.
         "simhash_near_duplicates": _SIMHASH_GATE_ORACLE,
+        # Continuity alias (r6 merge): identical callable, identical
+        # oracle as tumbling_window_counts.
+        "hourly_event_windows": _TUMBLING_ORACLE,
     }

@@ -38,7 +38,7 @@ BENCH_QUERIES = [
     "monthly_revenue",
     "ann_topk_gates",
     "nonequi_price_pairs",
-    "hourly_event_windows",
+    "pack_sequences",
     "list_agg_segments",
     "dialect_text_funcs",
     "top_tokens",
@@ -80,12 +80,13 @@ BENCH_QUERIES = [
 
 # Entries whose DuckDB oracle replays work the Spark side performs
 # EAGERLY at construction time (the connected-components closure runs
-# localCheckpoint during query construction). For these, construct
+# localCheckpoint during query construction; pack_sequences runs its
+# quantile sketch + per-bucket micro-collect). For these, construct
 # time is folded INTO the reported per-query seconds so paired
 # Spark-vs-oracle comparisons measure the same work on both sides
 # (r5 advisory: the closure was excluded from the headline while the
 # oracle's recursive CTE paid it).
-EAGER_CONSTRUCT = {"dedup_corpus_survivors"}
+EAGER_CONSTRUCT = {"dedup_corpus_survivors", "pack_sequences"}
 
 
 def main() -> None:

@@ -1,0 +1,139 @@
+"""Sequence packing — mapping a curated corpus onto fixed-capacity
+training sequences (context windows).
+
+The last step of a pre-training data pipeline: documents are
+concatenated in a deterministic order and the token stream is cut
+every ``capacity`` tokens (GPT-2/3-style concat-and-chunk packing;
+Brown et al. 2020 §2.3 train on such packed sequences, documents
+separated by an EOT token and windows filled to capacity). The
+engine-side job is the offset arithmetic: each document's START
+position in the global token stream, from which its chunk
+assignment, intra-chunk offset and boundary spans all follow in-row.
+
+Scale shape — the global running sum is THE trap here. The naive
+spelling, ``SUM(n_tokens) OVER (ORDER BY id)`` with no PARTITION BY,
+serializes the whole corpus through ONE window task; at 10⁹
+documents that is the job. This implementation is a distributed
+prefix sum instead:
+
+1. ``approxQuantile`` picks ``buckets`` id-range split points (one
+   cheap sketch pass — any split set gives IDENTICAL offsets, the
+   quantiles only balance the buckets);
+2. per-bucket token totals — a tiny ``groupBy`` (≤ ``buckets``
+   rows) collected once and prefix-summed on the driver;
+3. the within-bucket running sum is a window PARTITIONED BY bucket —
+   ``buckets``-way parallel, bounded rows per task — plus the
+   broadcast per-bucket base.
+
+Total cost: one sketch pass, one map-side-combined micro-aggregate,
+one keyed window. No global ordering ever materializes on a single
+task. Offsets depend only on (id order, token counts), so the result
+is deterministic under any partitioning or cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from serverless_data_lake_spark.operators.text import token_count
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    capacity: int,
+    text_col: str | None = "text",
+    n_tokens_col: str | None = None,
+    buckets: int = 256,
+) -> DataFrame:
+    """Assign every document its position in the packed token
+    stream: documents are laid out in ascending ``id_col`` order
+    (ids must be unique — they define the canonical corpus order)
+    and cut into ``capacity``-token training sequences.
+
+    Token counts come from ``n_tokens_col`` if given, else
+    whitespace :func:`~operators.text.token_count` over ``text_col``.
+    Zero-token documents occupy no stream positions and are dropped.
+
+    Returns one row per surviving document::
+
+        (id, n_tokens, start_offset, chunk_id, chunk_offset,
+         chunk_last, n_chunks)
+
+    ``chunk_id`` is the training sequence containing the document's
+    first token, ``chunk_offset`` its position inside it,
+    ``chunk_last`` the sequence containing its final token, and
+    ``n_chunks`` how many sequences it spans (>1 = the document
+    crosses a context-window boundary and will be split).
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    if n_tokens_col is not None:
+        n = F.col(n_tokens_col).cast("bigint")
+    else:
+        n = token_count(F.col(text_col)).cast("bigint")
+    base = (
+        df.select(F.col(id_col), n.alias("__n"))
+        .filter(F.col("__n") > 0)
+    )
+
+    # 1. Split points: any set yields the same offsets; quantiles
+    # only balance bucket sizes. Duplicates (skewed ids) collapse.
+    splits: list[float] = []
+    if buckets > 1:
+        probs = [i / buckets for i in range(1, buckets)]
+        qs = base.approxQuantile(id_col, probs, 0.001)
+        splits = sorted(set(qs))
+    if splits:
+        split_arr = F.array(*[F.lit(float(s)) for s in splits])
+        bucket = F.size(
+            F.filter(
+                split_arr, lambda s: s < F.col(id_col).cast("double")
+            )
+        )
+    else:
+        bucket = F.lit(0)
+    bucketed = base.withColumn("__b", bucket)
+
+    # 2. Per-bucket totals -> driver-side exclusive prefix ->
+    # broadcast base table (<= buckets rows).
+    totals = (
+        bucketed.groupBy("__b").agg(F.sum("__n").alias("__t")).collect()
+    )
+    acc = 0
+    bases = []
+    for row in sorted(totals, key=lambda r: r["__b"]):
+        bases.append((row["__b"], acc))
+        acc += row["__t"]
+    base_df = df.sparkSession.createDataFrame(
+        bases, "__b int, __base bigint"
+    )
+
+    # 3. Within-bucket running sum, buckets-way parallel.
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("__n").over(w)
+    start = (F.col("__base") + cum - F.col("__n")).alias("start_offset")
+    out = (
+        bucketed.join(F.broadcast(base_df), "__b")
+        .select(F.col(id_col), F.col("__n").alias("n_tokens"), start)
+    )
+    cap = F.lit(int(capacity))
+    last_tok = F.col("start_offset") + F.col("n_tokens") - 1
+    return out.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / cap).cast("bigint").alias("chunk_id"),
+        F.pmod(F.col("start_offset"), cap).cast("bigint").alias("chunk_offset"),
+        F.floor(last_tok / cap).cast("bigint").alias("chunk_last"),
+        (
+            F.floor(last_tok / cap) - F.floor(F.col("start_offset") / cap) + 1
+        ).cast("bigint").alias("n_chunks"),
+    )

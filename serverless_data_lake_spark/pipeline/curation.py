@@ -369,6 +369,32 @@ class CurationPipeline:
             eager_input=True,
         )
 
+    def pack_sequences(
+        self, capacity: int, buckets: int = 256
+    ) -> "CurationPipeline":
+        """Append packed-stream position columns (start_offset /
+        chunk_id / chunk_offset / chunk_last / n_chunks) mapping each
+        surviving document onto fixed-``capacity`` training
+        sequences; zero-token documents drop. Corpus-global (offsets
+        depend on every earlier document) and the operator runs a
+        sketch + micro-collect over its input, so the stage is an
+        eager boundary."""
+        from serverless_data_lake_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        def run(df: DataFrame) -> DataFrame:
+            meta = pack_sequences(
+                df, self.id_col, capacity,
+                text_col=self.text_col, buckets=buckets,
+            ).drop("n_tokens")
+            return df.join(meta, self.id_col)
+
+        return self._add(
+            f"pack[{capacity}]", run,
+            stream_safe=False, eager_input=True,
+        )
+
     # -- selection ------------------------------------------------------
     def sample(self, rate: float, salt: str = "") -> "CurationPipeline":
         from serverless_data_lake_spark.operators.sampling import (

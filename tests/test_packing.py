@@ -1,0 +1,126 @@
+"""Sequence packing (operators/packing.py): offset arithmetic vs a
+python reference, partitioning invariance, and the no-global-window
+plan shape."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_data_lake_spark.operators.packing import pack_sequences
+
+
+def _corpus(spark, n_docs=300, seed=11, max_len=40):
+    rng = random.Random(seed)
+    rows = [
+        (i, " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(0, max_len))))
+        for i in range(n_docs)
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _reference(rows, capacity):
+    acc, ref = 0, {}
+    for i, t in rows:
+        n = len([x for x in t.split() if x])
+        if n == 0:
+            continue
+        start = acc
+        acc += n
+        first, last = start // capacity, (start + n - 1) // capacity
+        ref[i] = (n, start, first, start % capacity, last, last - first + 1)
+    return ref
+
+
+def test_matches_reference_exactly(spark):
+    rows, df = _corpus(spark)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_offset"], r["chunk_id"],
+            r["chunk_offset"], r["chunk_last"], r["n_chunks"],
+        )
+        for r in pack_sequences(df.repartition(7), "doc_id", 64, buckets=8).collect()
+    }
+    assert got == _reference(rows, 64)
+
+
+def test_zero_token_docs_occupy_no_stream_positions(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "   "), (3, ""), (4, "d e")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, "doc_id", 4).collect()}
+    assert set(out) == {1, 4}
+    assert out[4]["start_offset"] == 3  # doc 2/3 contributed nothing
+
+
+def test_boundary_spanning_document(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(["x"] * 10)), (2, " ".join(["y"] * 10))],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, "doc_id", 16).collect()}
+    assert out[1]["n_chunks"] == 1 and out[1]["chunk_id"] == 0
+    # doc 2: tokens 10..19 -> spans chunks 0 and 1
+    assert (out[2]["chunk_id"], out[2]["chunk_last"], out[2]["n_chunks"]) == (0, 1, 2)
+    assert out[2]["chunk_offset"] == 10
+
+
+def test_invariant_to_partitioning_and_buckets(spark):
+    _rows, df = _corpus(spark, n_docs=200, seed=3)
+    a = sorted(pack_sequences(df.repartition(11), "doc_id", 32, buckets=3).collect())
+    b = sorted(pack_sequences(df.coalesce(1), "doc_id", 32, buckets=64).collect())
+    assert a == b
+
+
+def test_input_order_insensitive(spark):
+    rows, df = _corpus(spark, n_docs=150, seed=5)
+    shuffled = spark.createDataFrame(
+        sorted(rows, key=lambda r: (r[0] * 2654435761) % 97),
+        "doc_id long, text string",
+    )
+    a = sorted(pack_sequences(df, "doc_id", 48).collect())
+    b = sorted(pack_sequences(shuffled, "doc_id", 48).collect())
+    assert a == b
+
+
+def test_no_global_window_in_plan(spark):
+    """The running sum must be partitioned by bucket — a global
+    ORDER BY window would serialize the corpus through one task."""
+    _rows, df = _corpus(spark, n_docs=100)
+    out = pack_sequences(df, "doc_id", 64, buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    import re
+    for m in re.finditer(r"Window \[.*", plan):
+        assert "__b" in m.group(0)  # every window keyed by bucket
+
+
+def test_rejects_bad_params(spark):
+    _rows, df = _corpus(spark, n_docs=5)
+    with pytest.raises(ValueError, match="capacity"):
+        pack_sequences(df, "doc_id", 0)
+    with pytest.raises(ValueError, match="buckets"):
+        pack_sequences(df, "doc_id", 8, buckets=0)
+
+
+def test_pipeline_stage_appends_columns(spark):
+    from serverless_data_lake_spark.pipeline.curation import (
+        CurationPipeline,
+    )
+
+    rows, df = _corpus(spark, n_docs=60, seed=9)
+    pipe = (
+        CurationPipeline("doc_id", "text")
+        .length_filter(min_tokens=1)
+        .pack_sequences(capacity=32, buckets=4)
+    )
+    out, report = pipe.execute(df)
+    assert "chunk_id" in out.columns and "start_offset" in out.columns
+    ref = _reference([r for r in rows if len(r[1].split()) >= 1], 32)
+    got = {r["doc_id"]: r["start_offset"] for r in out.collect()}
+    assert got == {i: v[1] for i, v in ref.items()}
+    assert report[-1].stage == "pack[32]"
+    assert pipe._persisted == []
