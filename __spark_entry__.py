@@ -1448,16 +1448,22 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``deterministic_sample``: the ~10% md5(doc_id) sample rows —
       reproducible on any run, partitioning, or engine;
     - ``assign_splits``: leakage-safe train/val/test assignment,
-      aggregated to per-split counts.
+      aggregated to per-split counts;
+    - ``stratified_sample`` (r6): per-source keep rates (src0
+      thinned to 2%, src1 boosted to 40%, everything else 10%),
+      aggregated to per-source survivor counts.
 
-    The two legs union with a ``part`` marker; the oracle replays the
+    The legs union with a ``part`` marker; the oracle replays the
     identical md5 hash-bound arithmetic in DuckDB."""
     from serverless_data_lake_spark.operators.sampling import (
         assign_splits,
         deterministic_sample,
+        stratified_sample,
     )
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "source"
+    )
     sample = deterministic_sample(docs, "doc_id", 0.1).select(
         F.lit("sample").alias("part"),
         F.col("doc_id").cast("string").alias("key"),
@@ -1469,7 +1475,16 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
         .select(F.lit("split").alias("part"), F.col("split").alias("key"), "n")
     )
-    return sample.unionAll(splits)
+    strat = (
+        stratified_sample(
+            docs, "doc_id", "source",
+            {"src0": 0.02, "src1": 0.4}, default_rate=0.1,
+        )
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.lit("strat").alias("part"), F.col("source").alias("key"), "n")
+    )
+    return sample.unionAll(splits).unionAll(strat)
 
 
 _SAMPLING_SPLITS_ORACLE = """
@@ -1489,6 +1504,15 @@ FROM (
          / 4294967296.0 AS unit
   FROM documents
 ) GROUP BY 2
+UNION ALL
+SELECT 'strat' AS part, source AS key, COUNT(*) AS n
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      / 4294967296.0
+      < CASE source WHEN 'src0' THEN 0.02
+                    WHEN 'src1' THEN 0.4
+                    ELSE 0.1 END
+GROUP BY 2
 """
 
 

@@ -134,3 +134,59 @@ class TestLM:
         )
         assert sorted(kept) == [1]
         assert report[-1].rows_out == 1
+
+
+class TestDSIR:
+    def test_lm_ratio_importance_sampling_enriches_target_domain(self, spark):
+        """The DSIR composition (operators/sampling.importance_sample
+        docstring): weight = exp(avg_logp_target − avg_logp_general);
+        sampling a mixed corpus with that weight keeps target-domain
+        documents at a far higher rate than off-domain ones."""
+        from pyspark.sql import functions as F
+
+        from serverless_data_lake_spark.operators.sampling import (
+            importance_sample,
+        )
+
+        legal = [
+            f"the court held that the contract clause {i} was void"
+            for i in range(30)
+        ]
+        chat = [
+            f"lol ok see you later number {i} haha sounds good"
+            for i in range(30)
+        ]
+        target_lm = train_bigram_lm(
+            spark.createDataFrame(list(enumerate(legal)), SCHEMA)
+        ).persist()
+        general_lm = train_bigram_lm(
+            spark.createDataFrame(
+                list(enumerate(legal[:5] + chat)), SCHEMA
+            )
+        ).persist()
+
+        mixed = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(legal)]
+            + [(1000 + i, t) for i, t in enumerate(chat)],
+            SCHEMA,
+        )
+        t = perplexity_score(mixed, "doc_id", target_lm).select(
+            F.col("doc_id").alias("tid"), F.col("avg_logp").alias("lp_t")
+        )
+        g = perplexity_score(mixed, "doc_id", general_lm).select(
+            F.col("doc_id").alias("gid"), F.col("avg_logp").alias("lp_g")
+        )
+        scored = mixed.join(t, mixed.doc_id == t.tid).join(
+            g, mixed.doc_id == g.gid
+        )
+        kept = {
+            r["doc_id"]
+            for r in importance_sample(
+                scored, "doc_id",
+                F.exp(F.col("lp_t") - F.col("lp_g")), scale=0.5,
+            ).collect()
+        }
+        n_target = sum(1 for k in kept if k < 1000)
+        n_off = sum(1 for k in kept if k >= 1000)
+        assert n_target >= 15          # target docs kept aggressively
+        assert n_off <= n_target // 3  # off-domain heavily thinned

@@ -1080,6 +1080,81 @@ class TestSampling:
         with pytest.raises(ValueError, match="sum to 1"):
             assign_splits(df, "k", {"a": 0.5, "b": 0.2})
 
+    def test_stratified_rates_and_nesting(self, spark):
+        from pyspark.sql import functions as F
+
+        from serverless_data_lake_spark.operators.sampling import (
+            deterministic_sample,
+            stratified_sample,
+        )
+
+        df = spark.range(3000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("g"),
+        )
+        out = stratified_sample(
+            df, "k", "g", {"g0": 0.5, "g1": 0.05}, default_rate=0.2
+        )
+        counts = {
+            r.g: r.n
+            for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()
+        }
+        assert 400 < counts["g0"] < 600       # ~50% of 1000
+        assert 20 < counts["g1"] < 90         # ~5%
+        assert 140 < counts["g2"] < 260       # default ~20%
+        # Nested: each group's survivors are exactly the flat-sample
+        # survivors at that rate — rates don't perturb selection.
+        flat = {
+            r.k
+            for r in deterministic_sample(df, "k", 0.05).collect()
+        }
+        g1 = {r.k for r in out.filter(F.col("g") == "g1").collect()}
+        assert g1 == {k for k in flat if k % 3 == 1}
+
+    def test_importance_sample_monotone_in_scale(self, spark):
+        from pyspark.sql import functions as F
+
+        from serverless_data_lake_spark.operators.sampling import (
+            importance_sample,
+        )
+
+        df = spark.range(2000).select(
+            F.col("id").alias("k"),
+            # weights in (0, 1]: heavier for larger ids
+            ((F.col("id") + 1) / 2000.0).alias("w"),
+        )
+        small = {
+            r.k
+            for r in importance_sample(df, "k", F.col("w"), scale=0.3).collect()
+        }
+        big = {
+            r.k
+            for r in importance_sample(df, "k", F.col("w"), scale=0.9).collect()
+        }
+        assert small < big  # strictly nested selections
+        # Acceptance tracks the weight: top-decile rows survive far
+        # more often than bottom-decile ones.
+        top = sum(1 for k in small if k >= 1800)
+        bottom = sum(1 for k in small if k < 200)
+        assert top > 3 * max(bottom, 1)
+
+    def test_importance_sample_null_weights_drop(self, spark):
+        from pyspark.sql import functions as F
+
+        from serverless_data_lake_spark.operators.sampling import (
+            importance_sample,
+        )
+
+        df = spark.range(100).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 50, 1.0).alias("w"),  # NULL for id>=50
+        )
+        kept = {
+            r.k
+            for r in importance_sample(df, "k", F.col("w"), scale=1.0).collect()
+        }
+        assert kept == set(range(50))
+
 
 class TestRedactPii:
     def test_all_kinds(self, spark):
