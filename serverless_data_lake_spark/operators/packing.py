@@ -75,9 +75,18 @@ def pack_sequences(
         n = F.col(n_tokens_col).cast("bigint")
     else:
         n = token_count(F.col(text_col)).cast("bigint")
+    # Tokenize ONCE: the operator runs three jobs over this
+    # projection (quantile sketch, per-bucket totals, final window);
+    # without the checkpoint each would re-parse every document's
+    # text. The checkpointed rows are 16 bytes each — at 10⁹ docs
+    # that is ~16 GB across the cluster, the deliberate trade
+    # against 3× the corpus tokenization (same lineage-truncation
+    # pattern as the components.py closure; blocks release when the
+    # DataFrame is garbage-collected).
     base = (
         df.select(F.col(id_col), n.alias("__n"))
         .filter(F.col("__n") > 0)
+        .localCheckpoint(eager=True)
     )
 
     # 1. Split points: any set yields the same offsets; quantiles
