@@ -33,6 +33,8 @@ compositions so Catalyst plans the shuffles:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -397,6 +399,50 @@ def _signature_expr(bases, num_hashes: int):
     )
 
 
+def _band_hash_arr(bases, bands: int, rows: int):
+    """Column: per-band LSH bucket hashes — band b's hash is one
+    multi-argument ``xxhash64`` over its ``rows`` minhash values,
+    all computed in-row from the gram-hash array."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            *[
+                F.array_min(
+                    F.transform(
+                        bases,
+                        lambda t, _j=j: F.xxhash64(
+                            t, b * F.lit(rows) + F.lit(_j)
+                        ),
+                    )
+                )
+                for j in range(rows)
+            ]
+        ),
+    )
+
+
+def _banded_rows(
+    gram_sets: DataFrame, bands: int, rows: int, id_out: str = "__id"
+) -> DataFrame:
+    """(id, band, band_hash) rows from an (id, __grams) projection
+    (id = first column, as in :func:`_explode_grams`).
+
+    posexplode_outer + null filter, NOT posexplode: the inner form
+    makes InferFiltersFromGenerate clone the full minhash band
+    expression into a pre-Generate filter, evaluating it twice per
+    row (see _explode_grams)."""
+    bases = F.col("__grams")
+    band_arr = _band_hash_arr(bases, bands, rows)
+    return gram_sets.select(
+        F.col(gram_sets.columns[0]).alias(id_out),
+        F.posexplode_outer(
+            F.when(
+                F.size(bases) == 0, F.array().cast("array<bigint>")
+            ).otherwise(band_arr)
+        ).alias("__band", "__bh"),
+    ).filter(F.col("__bh").isNotNull())
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -434,35 +480,7 @@ def minhash_lsh_pairs(
         .select(F.col(id_col).alias("__gid"), "__grams")
         .persist()
     )
-    bases = F.col("__grams")
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            *[
-                F.array_min(
-                    F.transform(
-                        bases,
-                        lambda t, _j=j: F.xxhash64(
-                            t, b * F.lit(rows) + F.lit(_j)
-                        ),
-                    )
-                )
-                for j in range(rows)
-            ]
-        ),
-    )
-    # posexplode_outer + null filter, NOT posexplode: the inner form
-    # makes InferFiltersFromGenerate clone the 128-minhash band
-    # expression into a pre-Generate filter, evaluating it twice per
-    # row (see _explode_grams).
-    banded = gram_sets.select(
-        F.col("__gid").alias("__id"),
-        F.posexplode_outer(
-            F.when(
-                F.size(bases) == 0, F.array().cast("array<bigint>")
-            ).otherwise(band_arr)
-        ).alias("__band", "__bh"),
-    ).filter(F.col("__bh").isNotNull())
+    banded = _banded_rows(gram_sets, bands, rows)
     left = banded.alias("l")
     right = banded.alias("r")
     candidates = (
@@ -503,6 +521,159 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) LSH dedup
+# ---------------------------------------------------------------------------
+@dataclass
+class LshIndex:
+    """A reusable MinHash-LSH index over a corpus: the banded bucket
+    rows plus the gram sets for exact verification — the state an
+    INCREMENTAL ingest pipeline keeps between batches (daily crawl
+    increments dedup against the standing corpus without ever
+    re-pairing the corpus with itself).
+
+    ``bands_df``: (__band, __bh, __cid); ``grams_df``:
+    (__cid, __grams). Both are plain DataFrames — persist() them for
+    multi-batch reuse, or write them to a table and reload (the
+    index is pure data; rebuilding from parquet is exact)."""
+
+    bands_df: DataFrame
+    grams_df: DataFrame
+    num_hashes: int
+    bands: int
+    shingle_size: int
+
+    def persist(self) -> "LshIndex":
+        self.bands_df.persist()
+        self.grams_df.persist()
+        return self
+
+    def unpersist(self) -> "LshIndex":
+        self.bands_df.unpersist()
+        self.grams_df.unpersist()
+        return self
+
+
+def build_lsh_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_size: int = 3,
+) -> LshIndex:
+    """Build the standing-corpus side of incremental LSH dedup: one
+    pass over the corpus computing gram sets and banded bucket
+    hashes IN-ROW (same zero-shuffle signature plan as
+    :func:`minhash_lsh_pairs`). O(corpus) once; every subsequent
+    batch pays only O(batch + matches)."""
+    rows = num_hashes // bands
+    grams = gram_hash_sets(df, id_col, text_col, shingle_size).select(
+        F.col(id_col).alias("__cid"), "__grams"
+    )
+    banded = _banded_rows(grams, bands, rows, id_out="__cid")
+    return LshIndex(
+        bands_df=banded,
+        grams_df=grams,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_size=shingle_size,
+    )
+
+
+def lsh_pairs_against_index(
+    new_df: DataFrame,
+    index: LshIndex,
+    id_col: str,
+    text_col: str,
+    verify_threshold: float | None = 0.8,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Near-duplicate matches of a NEW batch against an indexed
+    corpus: ``(new_id, corpus_id[, jaccard])``.
+
+    Scale shape — the asymmetry is the point: the corpus index is
+    large and stays put; the new batch is small, so its banded rows
+    (and gram sets, for verification) ship map-side
+    (``broadcast_new=True``, the default; flip off for a huge
+    backfill batch and AQE plans the shuffle join). The corpus never
+    self-joins, and corpus gram sets are only fetched for the
+    candidate ids."""
+    rows = index.num_hashes // index.bands
+    new_grams = gram_hash_sets(
+        new_df, id_col, text_col, index.shingle_size
+    ).select(F.col(id_col).alias("__gid"), "__grams").persist()
+    new_banded = _banded_rows(new_grams, index.bands, rows, id_out="__nid")
+    if broadcast_new:
+        new_banded = F.broadcast(new_banded)
+    candidates = (
+        new_banded.join(index.bands_df, ["__band", "__bh"])
+        .select(
+            F.col("__nid").alias("new_id"),
+            F.col("__cid").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    if verify_threshold is None:
+        return candidates
+    new_side = new_grams.select(
+        F.col("__gid").alias("new_id"), F.col("__grams").alias("__ga")
+    )
+    if broadcast_new:
+        new_side = F.broadcast(new_side)
+    return (
+        candidates.join(new_side, "new_id")
+        .join(
+            index.grams_df.select(
+                F.col("__cid").alias("corpus_id"),
+                F.col("__grams").alias("__gb"),
+            ),
+            "corpus_id",
+        )
+        .withColumn("__inter", F.size(F.array_intersect("__ga", "__gb")))
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / (F.size("__ga") + F.size("__gb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    index: LshIndex,
+    id_col: str,
+    text_col: str,
+    verify_threshold: float = 0.8,
+    within_batch: bool = True,
+) -> DataFrame:
+    """Survivors of a new batch against a standing corpus: drop
+    every new document that near-duplicates an indexed corpus
+    document, and (``within_batch``) also dedup the batch against
+    itself first — min-id wins inside the batch, the corpus always
+    wins across. The returned rows are exactly what an incremental
+    ingest appends to the corpus (and whose signatures it appends to
+    the index)."""
+    cur = new_df
+    if within_batch:
+        pairs = minhash_lsh_pairs(
+            cur, id_col, text_col,
+            num_hashes=index.num_hashes, bands=index.bands,
+            shingle_size=index.shingle_size,
+            verify_threshold=verify_threshold,
+        )
+        losers = pairs.select(F.col("id_b").alias("__loser")).distinct()
+        cur = cur.join(
+            losers, cur[id_col] == losers["__loser"], "left_anti"
+        )
+    matches = lsh_pairs_against_index(
+        cur, index, id_col, text_col, verify_threshold=verify_threshold
+    ).select(F.col("new_id").alias("__dup")).distinct()
+    return cur.join(matches, cur[id_col] == matches["__dup"], "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -114,3 +114,150 @@ def test_loop_keeps_representative_text_intact(pipeline_lake):
         .collect()
     )
     assert len(row) == 1 and row[0]["text"].startswith("f0word0 f0word1")
+
+
+class TestIncrementalLshDedup:
+    """Batch-vs-corpus near-dup dedup (operators/dedup.py LshIndex):
+    the daily-increment shape — new batches dedup against a standing
+    index without the corpus ever re-pairing with itself."""
+
+    CORPUS = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "completely unrelated text about cooking pasta with garlic and olive oil"),
+        (3, "a third corpus document describing mountain hiking trails in autumn"),
+    ]
+    SCHEMA = "doc_id long, text string"
+
+    def _index(self, spark):
+        from serverless_data_lake_spark.operators.dedup import (
+            build_lsh_index,
+        )
+
+        corpus = spark.createDataFrame(self.CORPUS, self.SCHEMA)
+        return build_lsh_index(corpus, "doc_id", "text").persist()
+
+    def test_matches_against_corpus(self, spark):
+        from serverless_data_lake_spark.operators.dedup import (
+            lsh_pairs_against_index,
+        )
+
+        idx = self._index(spark)
+        new = spark.createDataFrame(
+            [
+                # near-dup of corpus doc 1 (one word changed)
+                (101, "the quick brown fox jumps over the lazy cat near the river bank"),
+                (102, "a brand new document about submarine cable maintenance schedules"),
+            ],
+            self.SCHEMA,
+        )
+        got = {
+            (r.new_id, r.corpus_id)
+            for r in lsh_pairs_against_index(
+                new, idx, "doc_id", "text", verify_threshold=0.5
+            ).collect()
+        }
+        assert got == {(101, 1)}
+        idx.unpersist()
+
+    def test_incremental_dedup_survivors(self, spark):
+        from serverless_data_lake_spark.operators.dedup import (
+            incremental_dedup,
+        )
+
+        idx = self._index(spark)
+        new = spark.createDataFrame(
+            [
+                (101, "the quick brown fox jumps over the lazy cat near the river bank"),
+                (102, "a brand new document about submarine cable maintenance schedules"),
+                # within-batch near-dup pair; min id (103) survives
+                (103, "fresh snow fell on the quiet village square before dawn today"),
+                (104, "fresh snow fell on the quiet village square before dawn tonight"),
+            ],
+            self.SCHEMA,
+        )
+        kept = {
+            r.doc_id
+            for r in incremental_dedup(
+                new, idx, "doc_id", "text", verify_threshold=0.5
+            ).collect()
+        }
+        assert kept == {102, 103}
+        idx.unpersist()
+
+    def test_index_roundtrips_through_parquet(self, spark, tmp_path):
+        from serverless_data_lake_spark.operators.dedup import (
+            LshIndex,
+            build_lsh_index,
+            lsh_pairs_against_index,
+        )
+
+        idx = self._index(spark)
+        idx.bands_df.write.parquet(str(tmp_path / "bands"))
+        idx.grams_df.write.parquet(str(tmp_path / "grams"))
+        reloaded = LshIndex(
+            bands_df=spark.read.parquet(str(tmp_path / "bands")),
+            grams_df=spark.read.parquet(str(tmp_path / "grams")),
+            num_hashes=idx.num_hashes,
+            bands=idx.bands,
+            shingle_size=idx.shingle_size,
+        )
+        new = spark.createDataFrame(
+            [(201, "the quick brown fox jumps over the lazy dog near the river bank")],
+            self.SCHEMA,
+        )
+        got = {
+            (r.new_id, r.corpus_id)
+            for r in lsh_pairs_against_index(
+                new, reloaded, "doc_id", "text", verify_threshold=0.9
+            ).collect()
+        }
+        assert got == {(201, 1)}  # exact text -> jaccard 1.0
+        idx.unpersist()
+
+    def test_index_join_agrees_with_self_join(self, spark):
+        """Splitting a corpus into (index, batch) and matching must
+        find exactly the cross-split pairs the full self-join LSH
+        finds — the incremental path is a partition of the same
+        computation."""
+        import random
+
+        from serverless_data_lake_spark.operators.dedup import (
+            build_lsh_index,
+            lsh_pairs_against_index,
+            minhash_lsh_pairs,
+        )
+
+        rng = random.Random(4)
+        base = [
+            " ".join(f"tok{rng.randrange(30)}" for _ in range(25))
+            for _ in range(40)
+        ]
+        rows = []
+        for i, t in enumerate(base):
+            rows.append((i, t))
+            if i % 4 == 0:  # planted near-dup with higher id
+                toks = t.split()
+                toks[3] = "mutated"
+                rows.append((1000 + i, " ".join(toks)))
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        full = {
+            (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+            for r in minhash_lsh_pairs(
+                df, "doc_id", "text", verify_threshold=0.6
+            ).collect()
+        }
+        old = df.filter(F.col("doc_id") < 1000)
+        new = df.filter(F.col("doc_id") >= 1000)
+        idx = build_lsh_index(old, "doc_id", "text").persist()
+        cross = {
+            (min(r.new_id, r.corpus_id), max(r.new_id, r.corpus_id))
+            for r in lsh_pairs_against_index(
+                new, idx, "doc_id", "text", verify_threshold=0.6
+            ).collect()
+        }
+        expected = {
+            (a, b) for a, b in full
+            if (a < 1000) != (b < 1000)
+        }
+        assert cross == expected
+        idx.unpersist()
