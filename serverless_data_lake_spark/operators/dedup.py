@@ -670,9 +670,19 @@ def incremental_dedup(
         cur = cur.join(
             losers, cur[id_col] == losers["__loser"], "left_anti"
         )
-    matches = lsh_pairs_against_index(
-        cur, index, id_col, text_col, verify_threshold=verify_threshold
-    ).select(F.col("new_id").alias("__dup")).distinct()
+    matches = (
+        lsh_pairs_against_index(
+            cur, index, id_col, text_col,
+            verify_threshold=verify_threshold,
+        )
+        # A document is never a duplicate of ITSELF: when a replayed
+        # micro-batch's own rows are already in the index (failure
+        # recovery in the streaming twin), the identity match must
+        # not drop everything.
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select(F.col("new_id").alias("__dup"))
+        .distinct()
+    )
     return cur.join(matches, cur[id_col] == matches["__dup"], "left_anti")
 
 

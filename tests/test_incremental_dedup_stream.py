@@ -1,0 +1,146 @@
+"""Streaming incremental dedup (streaming/incremental_dedup_stream):
+stream == sequential batch application, index growth across
+micro-batches, and seeding from a batch-built corpus index."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from serverless_data_lake_spark.operators.dedup import (
+    build_lsh_index,
+    incremental_dedup,
+)
+from serverless_data_lake_spark.streaming.incremental_dedup_stream import (
+    read_lsh_index,
+    start_incremental_dedup_stream,
+    write_lsh_index,
+)
+
+SCHEMA = "doc_id long, text string"
+
+CORPUS = [
+    (1, "standing corpus entry about river navigation and lock systems today"),
+]
+BATCH1 = [
+    # near-dup of corpus doc 1 -> dropped
+    (10, "standing corpus entry about river navigation and lock systems tonight"),
+    (11, "first batch novel piece describing alpine railway construction in detail"),
+    # within-batch near-dup pair: 12 survives, 13 drops
+    (12, "two nearly identical rows planted inside the very same micro batch alpha"),
+    (13, "two nearly identical rows planted inside the very same micro batch beta"),
+]
+BATCH2 = [
+    # near-dup of batch-1 SURVIVOR 11 -> dropped (index grew)
+    (20, "first batch novel piece describing alpine railway construction in depth"),
+    (21, "second batch genuinely fresh text on desert irrigation channel design"),
+]
+THRESH = 0.5
+
+
+def _write_batches(tmp_path):
+    import os
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # Distinct mtimes pin the micro-batch ORDER: FileStreamSource
+    # sorts by modification time, and with equal stamps the file
+    # order — hence which document of a cross-batch near-dup pair
+    # survives — is arbitrary (incremental dedup is order-dependent
+    # by definition).
+    now = time.time()
+    for k, (name, rows) in enumerate(
+        (("b1.json", BATCH1), ("b2.json", BATCH2))
+    ):
+        p = src / name
+        with open(p, "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        os.utime(p, (now - 60 + 30 * k, now - 60 + 30 * k))
+    return src
+
+
+def test_stream_equals_sequential_batches(spark, tmp_path):
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    idx0 = build_lsh_index(corpus, "doc_id", "text")
+    index_dir = str(tmp_path / "index")
+    write_lsh_index(idx0, index_dir)
+
+    src = _write_batches(tmp_path)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_incremental_dedup_stream(
+        stream, index_dir, str(tmp_path / "out"), str(tmp_path / "ck"),
+        verify_threshold=THRESH,
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+
+    # Sequential batch replay: same index evolution, same survivors.
+    expected = []
+    idx = build_lsh_index(corpus, "doc_id", "text")
+    standing = corpus
+    for rows in (BATCH1, BATCH2):
+        batch = spark.createDataFrame(rows, SCHEMA)
+        surv = incremental_dedup(
+            batch, idx, "doc_id", "text", verify_threshold=THRESH
+        )
+        expected.extend(r.doc_id for r in surv.collect())
+        standing = standing.unionByName(surv)
+        idx = build_lsh_index(standing, "doc_id", "text")
+
+    assert got == sorted(expected)
+    assert got == [11, 12, 21]  # the planted outcome, spelled out
+
+
+def test_index_grew_with_survivors(spark, tmp_path):
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    index_dir = str(tmp_path / "index")
+    write_lsh_index(build_lsh_index(corpus, "doc_id", "text"), index_dir)
+    src = _write_batches(tmp_path)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_incremental_dedup_stream(
+        stream, index_dir, str(tmp_path / "out"), str(tmp_path / "ck"),
+        verify_threshold=THRESH,
+    )
+    q.awaitTermination(120)
+    idx = read_lsh_index(spark, index_dir)
+    indexed_ids = {
+        r["__cid"]
+        for r in idx.grams_df.select("__cid").distinct().collect()
+    }
+    assert indexed_ids == {1, 11, 12, 21}
+
+
+def test_fresh_stream_without_seed_index(spark, tmp_path):
+    """No standing corpus: first batch self-dedups and founds the
+    index; the second batch dedups against it."""
+    src = _write_batches(tmp_path)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_incremental_dedup_stream(
+        stream, str(tmp_path / "index"), str(tmp_path / "out"),
+        str(tmp_path / "ck"), verify_threshold=THRESH,
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    # Without the corpus, doc 10 survives batch 1; 20 still dups 11.
+    assert got == [10, 11, 12, 21]
