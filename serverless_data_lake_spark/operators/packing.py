@@ -146,3 +146,111 @@ def pack_sequences(
             F.floor(last_tok / cap) - F.floor(F.col("start_offset") / cap) + 1
         ).cast("bigint").alias("n_chunks"),
     )
+
+
+def assemble_sequences(
+    df: DataFrame,
+    id_col: str,
+    capacity: int,
+    text_col: str = "text",
+    sep: str = " ",
+    buckets: int = 256,
+) -> DataFrame:
+    """Materialize the packed training sequences themselves:
+    ``(chunk_id, text, n_tokens)`` where every chunk except the last
+    holds exactly ``capacity`` tokens of the concatenated corpus
+    (documents in ascending id order, whitespace normalized to
+    ``sep`` — the operator reassembles from tokens).
+
+    Shape at scale: each document emits one row PER SPANNED CHUNK
+    (almost always 1, sometimes 2 — never more than
+    ``len/capacity + 1``) carrying only its token SLICE for that
+    chunk; assembly is one ``groupBy(chunk_id)`` whose per-group
+    state is bounded by ``capacity`` tokens. Tokens shuffle exactly
+    once, each to exactly one sequence — there is no cheaper way to
+    co-locate a training sequence's bytes. In-chunk order comes from
+    ``array_sort`` over (position, slice) structs; positions are
+    disjoint by construction."""
+    meta = pack_sequences(
+        df, id_col, capacity,
+        text_col=text_col, buckets=buckets,
+    )
+    toks = F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+    docs = df.select(F.col(id_col), toks.alias("__toks"))
+    j = docs.join(meta, id_col)
+    cap = F.lit(int(capacity))
+    spans = j.select(
+        F.col(id_col),
+        "__toks",
+        "start_offset",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.col("chunk_id"), F.col("chunk_last"))
+        ).alias("__chunk"),
+    )
+    # Document-local token range landing in this chunk (0-based).
+    lo = F.greatest(F.col("__chunk") * cap - F.col("start_offset"), F.lit(0))
+    hi = F.least(
+        F.col("n_tokens"), (F.col("__chunk") + 1) * cap - F.col("start_offset")
+    )
+    pos = F.greatest(F.col("start_offset") - F.col("__chunk") * cap, F.lit(0))
+    sliced = spans.select(
+        F.col("__chunk").alias("chunk_id"),
+        pos.cast("bigint").alias("__pos"),
+        F.slice(
+            F.col("__toks"), (lo + 1).cast("int"), (hi - lo).cast("int")
+        ).alias("__slice"),
+    )
+    return (
+        sliced.groupBy("chunk_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__slice"))
+            ).alias("__parts")
+        )
+        .select(
+            "chunk_id",
+            F.array_join(
+                F.flatten(
+                    F.transform(F.col("__parts"), lambda p: p["__slice"])
+                ),
+                sep,
+            ).alias("text"),
+            F.aggregate(
+                F.col("__parts"),
+                F.lit(0).cast("bigint"),
+                lambda acc, p: acc + F.size(p["__slice"]),
+            ).alias("n_tokens"),
+        )
+    )
+
+
+def export_packed(
+    df: DataFrame,
+    id_col: str,
+    capacity: int,
+    path: str,
+    text_col: str = "text",
+    chunks_per_file: int = 10_000,
+    buckets: int = 256,
+    file_partitions: int | None = None,
+) -> None:
+    """Write the assembled training sequences as parquet, globally
+    ordered by ``chunk_id`` and size-bounded: range-partitioned on
+    ``chunk_id`` (sorted within partitions) with
+    ``maxRecordsPerFile = chunks_per_file`` — so a trainer streams
+    files in name order and sees the corpus in packed order, every
+    file a bounded number of fixed-size sequences."""
+    seqs = assemble_sequences(
+        df, id_col, capacity, text_col=text_col, buckets=buckets
+    )
+    n_parts = file_partitions or max(
+        1, df.sparkSession.sparkContext.defaultParallelism
+    )
+    (
+        seqs.repartitionByRange(n_parts, "chunk_id")
+        .sortWithinPartitions("chunk_id")
+        .write.option("maxRecordsPerFile", chunks_per_file)
+        .mode("overwrite")
+        .parquet(path)
+    )

@@ -9,7 +9,11 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from serverless_data_lake_spark.operators.packing import pack_sequences
+from serverless_data_lake_spark.operators.packing import (
+    assemble_sequences,
+    export_packed,
+    pack_sequences,
+)
 
 
 def _corpus(spark, n_docs=300, seed=11, max_len=40):
@@ -124,3 +128,57 @@ def test_pipeline_stage_appends_columns(spark):
     assert got == {i: v[1] for i, v in ref.items()}
     assert report[-1].stage == "pack[32]"
     assert pipe._persisted == []
+
+
+def test_assemble_sequences_reconstructs_corpus(spark):
+    rows, df = _corpus(spark, n_docs=120, seed=21)
+    out = assemble_sequences(df, "doc_id", 64, buckets=8).collect()
+    by_chunk = sorted(out, key=lambda r: r["chunk_id"])
+    # Every chunk except the last is exactly full.
+    assert all(r["n_tokens"] == 64 for r in by_chunk[:-1])
+    assert 0 < by_chunk[-1]["n_tokens"] <= 64
+    # Chunk ids are dense from 0.
+    assert [r["chunk_id"] for r in by_chunk] == list(range(len(by_chunk)))
+    # Concatenating all chunks reproduces the corpus token stream
+    # in doc_id order exactly.
+    stream = " ".join(r["text"] for r in by_chunk).split()
+    expected = [
+        t for _i, txt in sorted(rows) for t in txt.split() if t
+    ]
+    assert stream == expected
+
+
+def test_assemble_boundary_spanning_doc_splits_cleanly(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(10))),
+         (2, " ".join(f"b{i}" for i in range(10)))],
+        "doc_id long, text string",
+    )
+    out = {r["chunk_id"]: r for r in assemble_sequences(df, "doc_id", 16).collect()}
+    assert out[0]["text"].split() == [f"a{i}" for i in range(10)] + [f"b{i}" for i in range(6)]
+    assert out[1]["text"].split() == [f"b{i}" for i in range(6, 10)]
+
+
+def test_export_packed_files_are_ordered(spark, tmp_path):
+    import glob
+    import pyarrow.parquet as pq
+
+    _rows, df = _corpus(spark, n_docs=200, seed=2)
+    path = str(tmp_path / "packed")
+    export_packed(
+        df, "doc_id", 32, path,
+        chunks_per_file=5, file_partitions=4,
+    )
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) > 1
+    seen = []
+    for f in files:
+        t = pq.read_table(f, columns=["chunk_id"])
+        ids = t.column("chunk_id").to_pylist()
+        assert ids == sorted(ids)          # ordered within file
+        assert len(ids) <= 5               # size bound respected
+        seen.extend(ids)
+    # Global coverage: all chunks exactly once; files in name order
+    # give non-decreasing ranges.
+    assert sorted(seen) == list(range(len(seen)))
+    assert seen == sorted(seen)
