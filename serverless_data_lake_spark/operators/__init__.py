@@ -19,6 +19,11 @@
   signal; Witten-Bell-weighted interpolation).
 - ``mixing``     — URL/domain helpers, skew-resilient per-origin
   caps, corpus rebalancing to a max origin share.
+- ``classifier`` — trainable quality classifier (hashed
+  token+bigram features → logistic regression, JVM-side via
+  pyspark.ml) + the GPT-3 Pareto keep rule.
+- ``packing``    — GPT-style sequence packing via distributed
+  prefix sum; sequence assembly and ordered training export.
 
 All operators are Column-expression / DataFrame compositions (JVM
 whole-stage-codegen path); Python appears only inside Arrow-batched

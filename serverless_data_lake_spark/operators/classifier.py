@@ -83,9 +83,26 @@ def train_quality_classifier(
             ),
         ]
     )
-    return pipeline.fit(
+    model = pipeline.fit(
         labeled.withColumn(label_col, F.col(label_col).cast("double"))
     )
+    # Round-trip the fitted model through disk to DROP the training
+    # summary: LogisticRegressionModel.trainingSummary holds the
+    # SparkSession (whose ObservationManager is not serializable),
+    # and the scoring UDF's closure captures the model — so a plan
+    # containing any observe() node would fail task serialization
+    # (seen from CurationPipeline audit taps). Persistence never
+    # writes the summary, so the reloaded model is closure-clean.
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sdls_qc_model_")
+    try:
+        model.write().overwrite().save(tmp)
+        model = PipelineModel.load(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return model
 
 
 def score_quality(

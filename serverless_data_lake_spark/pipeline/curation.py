@@ -28,7 +28,10 @@ Two stage classes would make a lazily-composed chain super-linear,
 so ``build()`` persists and fully materializes their INPUT (one
 ``noop``-format write — a full pass, so the upstream observations
 fill with COMPLETE counts; an operator's own first action may be a
-``limit()`` probe, which would fill them partially):
+``limit()`` probe, which would fill them partially). Persist+noop,
+NOT ``localCheckpoint``: the checkpoint's DataFrame→RDD conversion
+drops out of the codegen'd columnar path and measured 6× slower
+over the same 12-stage sf0.1 chain (233 s vs 39 s):
 
 - stages whose operator runs driver actions during construction
   (``near_dedup``'s connected-components closure runs several;
@@ -290,6 +293,69 @@ class CurationPipeline:
             f"perplexity<={max_perplexity:g}", run, eager_input=True
         )
 
+    def classifier_filter(
+        self, model, min_prob: float | None = None, alpha: float | None = None,
+        salt: str = "",
+    ) -> "CurationPipeline":
+        """Gate on a trained quality classifier
+        (:mod:`operators.classifier`): either a hard cut
+        (``min_prob``) or GPT-3's Pareto score-dependent keep rule
+        (``alpha`` — deterministic via the hash coin). Exactly one
+        of the two must be given. Scoring is a JVM-side model
+        transform (the trainer launders the model's training summary
+        so its closure can share a plan with the audit taps'
+        Observation nodes — see
+        :func:`operators.classifier.train_quality_classifier`).
+
+        Shape: score a projected (id, score) side, PERSIST it,
+        filter, semi-join back — never a direct ``filter`` on the
+        score column: a filter predicate evaluates the whole
+        model-UDF chain per row on the interpreted path (pushdown
+        inlines the chain into the predicate; measured 20× the cost
+        of the same chain in a projection at sf0.1). The cache node
+        pins the chain inside a projection evaluated once; the
+        semi-join back makes the stage dual-scan, hence an eager
+        boundary, like the perplexity gate."""
+        if (min_prob is None) == (alpha is None):
+            raise ValueError("pass exactly one of min_prob / alpha")
+        from serverless_data_lake_spark.operators.classifier import (
+            QUALITY_SCORE_COL,
+            pareto_keep_probability,
+            score_quality,
+        )
+
+        def run(df: DataFrame) -> DataFrame:
+            scored = score_quality(
+                df.select(self.id_col, self.text_col), model
+            ).select(
+                F.col(self.id_col).alias("__qid"),
+                F.col(QUALITY_SCORE_COL).alias("__qs"),
+            ).persist()
+            self._persisted.append(scored)
+            if min_prob is not None:
+                keep = scored.filter(F.col("__qs") >= min_prob)
+            else:
+                from serverless_data_lake_spark.operators.sampling import (
+                    importance_sample,
+                )
+
+                keep = importance_sample(
+                    scored, "__qid",
+                    pareto_keep_probability(F.col("__qs"), alpha=alpha),
+                    salt=salt,
+                )
+            return df.join(
+                keep.select("__qid"),
+                df[self.id_col] == F.col("__qid"),
+                "left_semi",
+            )
+
+        name = (
+            f"classifier>={min_prob:g}" if min_prob is not None
+            else f"classifier_pareto[{alpha:g}]"
+        )
+        return self._add(name, run, eager_input=True)
+
     def length_filter(
         self, min_tokens: int = 0, max_tokens: int | None = None
     ) -> "CurationPipeline":
@@ -429,11 +495,12 @@ class CurationPipeline:
         Mostly lazy — but the input of each ``eager_input`` stage is
         persisted and materialized HERE (one full-pass noop write),
         so the stage's internal driver actions (closure iterations,
-        per-group collects) hit the cache instead of re-executing the
-        upstream chain per action. Observations upstream of that
-        boundary fill during the materializing pass; the rest fill at
-        the caller's action. Call :meth:`unpersist_all` (``execute``
-        does) when done."""
+        per-group collects) and dual scans hit the cache instead of
+        re-executing the upstream chain. Observations upstream of
+        that boundary fill during the materializing pass
+        (completely — an operator's own first action may be a
+        ``limit()`` probe); the rest fill at the caller's action.
+        Call :meth:`unpersist_all` (``execute`` does) when done."""
         obs_in = Observation("curation_input")
         cur = df.observe(obs_in, F.count(F.lit(1)).alias("n"))
         taps: list[tuple[str, Observation]] = [("input", obs_in)]
@@ -441,10 +508,6 @@ class CurationPipeline:
             if name in self._eager_input:
                 cur = cur.persist()
                 self._persisted.append(cur)
-                # Full pass: materializes the cache AND fills every
-                # observation upstream of this boundary completely
-                # (the operator's own first action may be a limit()
-                # probe, which would fill them partially).
                 cur.write.format("noop").mode("overwrite").save()
             cur = fn(cur)
             ob = Observation(f"curation_{i}_{name}")

@@ -125,3 +125,38 @@ def test_pareto_keep_rule_composes_with_importance_sample(spark, model):
     # (2 - s)^-9: s≈1 -> ~1.0 keep, s≈0 -> ~0.002 keep.
     assert n_clean >= 95
     assert n_junk <= 3
+
+
+def test_curation_stage_both_modes(spark, model):
+    from serverless_data_lake_spark.pipeline.curation import (
+        CurationPipeline,
+    )
+
+    rng = random.Random(7)
+    docs = spark.createDataFrame(
+        [
+            (i,
+             " ".join(
+                 rng.choice(CLEAN_WORDS if i % 2 == 0 else JUNK_WORDS)
+                 for _ in range(25)
+             ),
+             0.0)
+            for i in range(100)
+        ],
+        SCHEMA,
+    )
+    hard = CurationPipeline("doc_id", "text").classifier_filter(
+        model, min_prob=0.5
+    )
+    out, rep = hard.execute(docs)
+    assert rep[-1].rows_out == 50  # exactly the clean half
+    assert QUALITY_SCORE_COL not in out.columns
+
+    pareto = CurationPipeline("doc_id", "text").classifier_filter(
+        model, alpha=9.0
+    )
+    _out2, rep2 = pareto.execute(docs)
+    assert 45 <= rep2[-1].rows_out <= 55  # ~clean half + tiny junk tail
+
+    with pytest.raises(ValueError, match="exactly one"):
+        CurationPipeline().classifier_filter(model)
