@@ -1264,3 +1264,101 @@ class TestPrefixFilteredJaccard:
             for r in ngram_jaccard_prefix(df, "doc_id", "text").collect()
         }
         assert got == {(3, 4)}
+
+
+class TestEmbeddingUtilities:
+    def test_normalize(self, spark):
+        import numpy as np
+
+        from serverless_data_lake_spark.operators.similarity import (
+            normalize_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "id long, v array<double>"
+        )
+        out = {r.id: r.n for r in df.select(
+            "id", normalize_embeddings(F.col("v")).alias("n")
+        ).collect()}
+        assert np.allclose(out[1], [0.6, 0.8])
+        assert out[2] == [0.0, 0.0]  # zero vector untouched, no NaN
+
+    def test_random_projection_preserves_geometry(self, spark):
+        import numpy as np
+
+        from serverless_data_lake_spark.operators.similarity import (
+            random_projection,
+        )
+
+        rng = np.random.default_rng(17)
+        vecs = rng.normal(size=(60, 64))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "id long, v array<double>",
+        )
+        proj = {
+            r.id: np.array(r.p)
+            for r in df.select(
+                "id", random_projection(F.col("v"), 32, seed=7).alias("p")
+            ).collect()
+        }
+        # JL: squared norms preserved in expectation; check the
+        # distortion of pairwise distances stays moderate.
+        ratios = []
+        for i in range(0, 40, 3):
+            for j in range(i + 1, 40, 7):
+                d_in = np.linalg.norm(vecs[i] - vecs[j])
+                d_out = np.linalg.norm(proj[i] - proj[j])
+                ratios.append(d_out / d_in)
+        assert 0.55 < min(ratios) and max(ratios) < 1.6
+        assert abs(np.mean(ratios) - 1.0) < 0.15
+
+    def test_random_projection_deterministic_and_seeded(self, spark):
+        from serverless_data_lake_spark.operators.similarity import (
+            random_projection,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, -2.0, 0.5])], "id long, v array<double>"
+        )
+        a = df.select(random_projection(F.col("v"), 8, seed=1).alias("p")).first().p
+        b = df.repartition(3).select(
+            random_projection(F.col("v"), 8, seed=1).alias("p")
+        ).first().p
+        c = df.select(random_projection(F.col("v"), 8, seed=2).alias("p")).first().p
+        assert a == b      # layout-invariant
+        assert a != c      # seed changes the matrix
+
+    def test_quantize_roundtrip_error_bound(self, spark):
+        import numpy as np
+
+        from serverless_data_lake_spark.operators.similarity import (
+            dequantize_embeddings,
+            quantize_embeddings,
+        )
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(scale=2.0, size=(30, 16))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "id long, v array<double>",
+        )
+        q = quantize_embeddings(df, "v")
+        assert dict(q.dtypes)["q_codes"] == "array<tinyint>"
+        back = q.select(
+            "id", "v",
+            dequantize_embeddings(F.col("q_codes"), F.col("q_scale")).alias("d"),
+            "q_scale",
+        ).collect()
+        for r in back:
+            err = np.max(np.abs(np.array(r.v) - np.array(r.d)))
+            assert err <= r.q_scale / 2 + 1e-9
+
+    def test_quantize_zero_vector(self, spark):
+        from serverless_data_lake_spark.operators.similarity import (
+            quantize_embeddings,
+        )
+
+        df = spark.createDataFrame([(1, [0.0, 0.0])], "id long, v array<double>")
+        r = quantize_embeddings(df, "v").first()
+        assert list(r.q_codes) == [0, 0] and r.q_scale == 1.0
