@@ -182,3 +182,33 @@ def test_export_packed_files_are_ordered(spark, tmp_path):
     # give non-decreasing ranges.
     assert sorted(seen) == list(range(len(seen)))
     assert seen == sorted(seen)
+
+
+@pytest.mark.parametrize("seed,capacity", [(1, 1), (2, 7), (3, 64), (4, 1000)])
+def test_randomized_against_reference(spark, seed, capacity):
+    """Randomized differential sweep: arbitrary corpora (empty docs,
+    giant multi-chunk docs, sparse ids) must match the sequential
+    python reference at any capacity — including the degenerate
+    capacity=1 (every token its own chunk)."""
+    rng = random.Random(seed)
+    rows = []
+    next_id = 0
+    for _ in range(80):
+        next_id += rng.randrange(1, 50)  # sparse, non-dense ids
+        kind = rng.random()
+        if kind < 0.15:
+            text = ""  # empty
+        elif kind < 0.25:
+            text = " ".join(f"g{j}" for j in range(rng.randrange(200, 400)))  # giant
+        else:
+            text = " ".join(f"w{rng.randrange(30)}" for _ in range(rng.randrange(0, 40)))
+        rows.append((next_id, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_offset"], r["chunk_id"],
+            r["chunk_offset"], r["chunk_last"], r["n_chunks"],
+        )
+        for r in pack_sequences(df, "doc_id", capacity, buckets=8).collect()
+    }
+    assert got == _reference(rows, capacity)
