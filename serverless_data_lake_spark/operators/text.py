@@ -188,8 +188,11 @@ def repetition_stats(
     documents chunk first with :func:`chunk_documents`).
     Zero-gram documents report 0 for both fractions.
     """
-    total, dup, top = repetition_columns(F.col(text_col), n=n)
-    return df.select(
+    base = df.select(
+        F.col(id_col), repetition_gram_expr(F.col(text_col), n=n).alias("__g")
+    )
+    total, dup, top = repetition_columns(F.col("__g"))
+    return base.select(
         F.col(id_col),
         total.alias("n_grams"),
         dup.alias("dup_gram_frac"),
@@ -197,14 +200,16 @@ def repetition_stats(
     )
 
 
-def repetition_columns(
-    text: Column, n: int = 2
-) -> tuple[Column, Column, Column]:
-    """The :func:`repetition_stats` signals as PURE Column
-    expressions ``(n_grams, dup_gram_frac, top_gram_frac)`` — usable
-    directly in a ``filter`` so a repetition gate adds zero joins
-    (the curation pipeline's repetition stage composes this into the
-    same WholeStageCodegen span as the other narrow gates)."""
+def repetition_gram_expr(text: Column, n: int = 2) -> Column:
+    """The word n-gram array :func:`repetition_columns` consumes.
+    STAGE IT IN ITS OWN PROJECTION (``df.select(...,
+    expr.alias("__g"))``) before deriving the signals: the three
+    signal expressions reference the gram array ~6 times and
+    higher-order functions get no codegen subexpression elimination,
+    so inlined they re-tokenize per reference — an r6 refactor that
+    inlined exactly this measured the ``repetition_stats`` entry at
+    32× its staged cost (0.35 s → 11.2 s at sf0.1; same trap the
+    minhash signature stage documents)."""
     toks = F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != "")
     if n <= 1:
         grams = toks
@@ -219,7 +224,15 @@ def repetition_columns(
                 lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
             )
         )
-    grams = F.filter(grams, lambda g: g != "")
+    return F.filter(grams, lambda g: g != "")
+
+
+def repetition_columns(
+    grams: Column,
+) -> tuple[Column, Column, Column]:
+    """``(n_grams, dup_gram_frac, top_gram_frac)`` over a STAGED
+    gram-array column (see :func:`repetition_gram_expr` for why it
+    must be pre-bound, not inlined)."""
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
     top = F.array_max(

@@ -378,18 +378,30 @@ class CurationPipeline:
     ) -> "CurationPipeline":
         """Gopher-style repetition gates: drop documents whose
         duplicated-n-gram fraction or top-n-gram dominance exceeds
-        the cuts (both computed in-row — the stage is a pure filter,
-        no join; Catalyst folds it into the adjacent narrow gates)."""
+        the cuts. The per-doc stats (in-row over a STAGED gram
+        projection) are PERSISTED, filtered from the cache, and
+        semi-joined back — never filtered directly: filter pushdown
+        inlines aliases into the predicate through every projection,
+        and the signals reference the gram array ~6 times with no
+        HOF subexpression elimination (the direct-filter variant
+        measured 32× on the repetition_stats entry; same family of
+        trap as the classifier stage's 20×). The cache pins the
+        signal computation inside a projection evaluated once."""
         from serverless_data_lake_spark.operators.text import (
-            repetition_columns,
+            repetition_stats,
         )
 
         def run(df: DataFrame) -> DataFrame:
-            _n, dup, top = repetition_columns(
-                F.col(self.text_col), n=n
-            )
-            return df.filter(
-                (dup <= max_dup_gram_frac) & (top <= max_top_gram_frac)
+            stats = repetition_stats(
+                df, self.id_col, self.text_col, n=n
+            ).persist()
+            self._persisted.append(stats)
+            keep = stats.filter(
+                (F.col("dup_gram_frac") <= max_dup_gram_frac)
+                & (F.col("top_gram_frac") <= max_top_gram_frac)
+            ).select(F.col(self.id_col).alias("__rid"))
+            return df.join(
+                keep, df[self.id_col] == keep["__rid"], "left_semi"
             )
 
         return self._add("repetition_filter", run)
