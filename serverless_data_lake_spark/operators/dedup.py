@@ -379,11 +379,21 @@ def minhash_signatures(
     re-run per reference (CollapseProject keeps multi-referenced
     non-cheap aliases in their own project, making the materialization
     stick)."""
-    grams = gram_hash_sets(df, id_col, text_col, shingle_size)
-    sig = _signature_expr(F.col("__grams"), num_hashes)
-    return grams.select(F.col(id_col), sig.alias("signature")).filter(
-        F.size("signature") > 0
+    # Empty-doc drop on a CHEAP raw-token predicate BEFORE the
+    # signature projection: a post-projection
+    # ``filter(size(signature) > 0)`` gets pushed below the project
+    # and re-evaluates the whole H-minhash expression inside the
+    # predicate (filter pushdown inlines aliases; HOFs get no
+    # subexpression elimination — the repetition_stats incident,
+    # operators/text.py::repetition_gram_expr).
+    enough = (
+        F.size(_hashed_tokens(text_col)) >= shingle_size
     )
+    grams = gram_hash_sets(
+        df.filter(enough), id_col, text_col, shingle_size
+    )
+    sig = _signature_expr(F.col("__grams"), num_hashes)
+    return grams.select(F.col(id_col), sig.alias("signature"))
 
 
 def _signature_expr(bases, num_hashes: int):
@@ -724,7 +734,13 @@ def simhash_signatures(
     # Materialized in its own projection: the fold references the
     # array once per row, but keeping tokenization out of the fold
     # expression keeps the plan readable and the projection cached.
-    base = df.select(F.col(id_col), barr.alias("__b")).filter(F.size("__b") > 0)
+    # Empty-doc drop on the CHEAP raw-token predicate BEFORE the
+    # projection — a post-projection filter(size(__b) > 0) would be
+    # pushed below it and re-evaluate barr (distinct + bin + lpad
+    # per token) inside the predicate, doubling the signature pass.
+    base = df.filter(F.size(toks) > 0).select(
+        F.col(id_col), barr.alias("__b")
+    )
     counts = F.aggregate(
         F.col("__b"),
         F.array_repeat(F.lit(0), 64),

@@ -83,10 +83,14 @@ def pack_sequences(
     # against 3× the corpus tokenization (same lineage-truncation
     # pattern as the components.py closure; blocks release when the
     # DataFrame is garbage-collected).
+    # Zero-token drop AFTER the checkpoint: a filter on the __n
+    # alias would be pushed below the projection and re-evaluate the
+    # tokenization inside the predicate (2× the pass); filtering the
+    # checkpointed 16-byte rows costs nothing.
     base = (
         df.select(F.col(id_col), n.alias("__n"))
-        .filter(F.col("__n") > 0)
         .localCheckpoint(eager=True)
+        .filter(F.col("__n") > 0)
     )
 
     # 1. Split points: any set yields the same offsets; quantiles
