@@ -982,6 +982,64 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    min_shared: int = 1,
+    examples: int = 3,
+) -> DataFrame:
+    """The AUDIT side of decontamination: per EVAL document, how much
+    of the training corpus collides with it — ``(test_id,
+    n_contaminated, example_train_ids)``. :func:`decontaminate`
+    answers "give me the clean corpus"; a release review also needs
+    "which benchmarks leaked, how badly, show me some" (GPT-3's
+    appendix-C analysis tables are exactly this shape). Eval docs
+    with no collisions report a 0 row, so a fully-clean sweep is an
+    explicit all-zeros table, not an empty one.
+
+    Shape at scale: train grams explode once (the same single pass
+    :func:`decontaminate` does), join the small broadcast test-gram
+    side KEEPING the test id, then reduce per (test, train) pair and
+    per test — map-side combinable aggregates; example ids ride a
+    bounded ``slice(sort_array(collect_set))``."""
+    test_grams = _explode_grams(
+        gram_hash_sets(test, id_col, text_col, n), "__tid"
+    )
+    train_toks = _explode_grams(
+        gram_hash_sets(train, id_col, text_col, n), "__cid"
+    )
+    pair_hits = (
+        train_toks.join(F.broadcast(test_grams), "__tok")
+        .groupBy("__tid", "__cid")
+        .agg(F.count("*").alias("__shared"))
+        .filter(F.col("__shared") >= min_shared)
+    )
+    per_test = pair_hits.groupBy("__tid").agg(
+        F.count("*").cast("bigint").alias("n_contaminated"),
+        F.slice(
+            F.sort_array(F.collect_set("__cid")), 1, examples
+        ).alias("example_train_ids"),
+    )
+    return (
+        test.select(F.col(id_col).alias("__tid"))
+        .distinct()
+        .join(per_test, "__tid", "left")
+        .select(
+            F.col("__tid").alias("test_id"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias(
+                "n_contaminated"
+            ),
+            F.coalesce(
+                F.col("example_train_ids"),
+                F.array().cast("array<long>"),
+            ).alias("example_train_ids"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact substring (duplicated-span) removal
 # ---------------------------------------------------------------------------

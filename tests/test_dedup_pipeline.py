@@ -261,3 +261,69 @@ class TestIncrementalLshDedup:
         }
         assert cross == expected
         idx.unpersist()
+
+
+class TestContaminationReport:
+    def test_report_shape_and_counts(self, spark):
+        from serverless_data_lake_spark.operators.dedup import (
+            contamination_report,
+            decontaminate,
+        )
+
+        LEAK1 = "alpha beta gamma delta epsilon"
+        LEAK2 = "one two three four five"
+        train = spark.createDataFrame(
+            [
+                (1, f"intro {LEAK1} outro words here"),
+                (2, f"another doc also containing {LEAK1} inline"),
+                (3, f"this one carries {LEAK2} instead"),
+                (4, "completely clean training document with safe text"),
+            ],
+            "doc_id long, text string",
+        )
+        test = spark.createDataFrame(
+            [
+                (100, f"prompt: {LEAK1} thanks"),
+                (200, f"question about {LEAK2} please"),
+                (300, "an eval item nothing in train matches at all"),
+            ],
+            "doc_id long, text string",
+        )
+        rep = {
+            r.test_id: (r.n_contaminated, list(r.example_train_ids))
+            for r in contamination_report(
+                train, test, "doc_id", "text", n=5
+            ).collect()
+        }
+        assert rep[100] == (2, [1, 2])
+        assert rep[200] == (1, [3])
+        assert rep[300] == (0, [])  # explicit zero row, not absent
+
+        # Consistency with the filter: total contaminated train docs
+        # in the report == docs decontaminate() drops.
+        dropped = train.count() - decontaminate(
+            train, test, "doc_id", "text", n=5
+        ).count()
+        distinct_contaminated = {
+            i for v in rep.values() for i in v[1]
+        }
+        assert len(distinct_contaminated) == dropped == 3
+
+    def test_examples_bounded(self, spark):
+        from serverless_data_lake_spark.operators.dedup import (
+            contamination_report,
+        )
+
+        LEAK = "zero one two three four"
+        train = spark.createDataFrame(
+            [(i, f"doc {i} holds {LEAK} yes") for i in range(10)],
+            "doc_id long, text string",
+        )
+        test = spark.createDataFrame(
+            [(99, f"eval with {LEAK} inside")], "doc_id long, text string"
+        )
+        r = contamination_report(
+            train, test, "doc_id", "text", n=5, examples=3
+        ).first()
+        assert r.n_contaminated == 10
+        assert list(r.example_train_ids) == [0, 1, 2]  # bounded, sorted
