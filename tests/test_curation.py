@@ -352,6 +352,12 @@ def test_make_release_cli(spark, tmp_path):
     man = json.load(open(tmp_path / "rel" / "manifest.json"))
     stages = [s["stage"] for s in man["stages"]]
     assert stages[0] == "exact_dedup" and "decontaminate" in stages
+    # The audit table rode along: one row per eval doc, leak counts
+    # consistent with the decontaminate stage's drops.
+    cont = man["contamination"]
+    assert cont["eval_docs"] > 0
+    decon = next(s for s in man["stages"] if s["stage"] == "decontaminate")
+    assert cont["contaminated_pairs"] >= decon["dropped"]
     assert man["outputs"]["curated_rows"] > 0
     assert man["outputs"]["sequences"] > 0
     curated = spark.read.parquet(man["outputs"]["curated"])

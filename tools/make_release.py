@@ -81,7 +81,7 @@ def build_pipeline(args, spark, docs):
          "test": (1 - args.train_frac) / 2},
         salt=args.salt,
     )
-    return pipe, lm
+    return pipe, lm, eval_df
 
 
 def main(argv=None) -> int:
@@ -122,7 +122,7 @@ def main(argv=None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
-    pipe, lm = build_pipeline(args, spark, docs)
+    pipe, lm, eval_df = build_pipeline(args, spark, docs)
 
     curated_path = os.path.join(args.out, "curated")
     out, report = pipe.execute(
@@ -141,6 +141,30 @@ def main(argv=None) -> int:
     n_sequences = spark.read.parquet(packed_path).count()
     n_train = train.count()
 
+    contamination = None
+    if eval_df is not None:
+        from serverless_data_lake_spark.operators.dedup import (
+            contamination_report,
+        )
+
+        rep = contamination_report(
+            docs, eval_df, "doc_id", "text", n=args.decontaminate_n
+        )
+        rep_path = os.path.join(args.out, "contamination")
+        rep.write.mode("overwrite").parquet(rep_path)
+        rep_back = spark.read.parquet(rep_path)
+        agg = rep_back.agg(
+            F.count("*").alias("eval_docs"),
+            F.sum((F.col("n_contaminated") > 0).cast("int")).alias("leaked"),
+            F.sum("n_contaminated").alias("pairs"),
+        ).first()
+        contamination = {
+            "report": rep_path,
+            "eval_docs": int(agg["eval_docs"]),
+            "eval_docs_leaked": int(agg["leaked"]),
+            "contaminated_pairs": int(agg["pairs"]),
+        }
+
     manifest = {
         "sf_dir": args.sf_dir,
         "salt": args.salt,
@@ -149,6 +173,7 @@ def main(argv=None) -> int:
              "rows_out": r.rows_out, "dropped": r.rows_dropped}
             for r in report
         ],
+        "contamination": contamination,
         "outputs": {
             "curated": curated_path,
             "curated_rows": report[-1].rows_out,
