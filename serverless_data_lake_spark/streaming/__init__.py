@@ -13,6 +13,15 @@ streaming form (stream==batch agreement is asserted in tests).
   state.
 - ``join_stream``    — stream-stream interval join (attribution
   windows), state bounded by watermark + interval.
+- ``decontaminate_stream`` — GPT-3 n-gram decontamination at ingest
+  (foreachBatch over the once-persisted eval gram set).
+- ``span_dedup_stream``    — reference-span scrubbing at ingest.
+- ``curation_stream``      — the per-document subset of
+  ``CurationPipeline`` per micro-batch (corpus-global stages
+  refused loudly).
+- ``incremental_dedup_stream`` — near-dup dedup of each micro-batch
+  against a parquet-backed LSH corpus index that grows with every
+  batch's survivors.
 """
 
 from serverless_data_lake_spark.streaming.dedup_stream import (
