@@ -27,7 +27,13 @@ compositions so Catalyst plans the shuffles:
   occurrence (distributed k-gram analogue of suffix-array
   ExactSubstr, Lee et al. 2021).
 - ``decontaminate``       — GPT-3-style n-gram benchmark
-  decontamination against an eval corpus.
+  decontamination against an eval corpus;
+  ``contamination_report`` is its audit twin (per-eval-doc hit
+  counts + example train ids).
+- ``build_lsh_index`` / ``incremental_dedup`` — batch-vs-corpus
+  near-dup dedup against a standing, parquet-backed LSH index (the
+  daily-increment shape; streaming twin in
+  ``streaming/incremental_dedup_stream.py``).
 - embedding near-dup lives in ``operators/similarity.py``.
 """
 
