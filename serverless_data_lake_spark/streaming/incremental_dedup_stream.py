@@ -27,12 +27,17 @@ Semantics and caveats, stated honestly:
   the batch operator in the same order yields the same survivors —
   ``tests/test_incremental_dedup_stream.py`` asserts stream ==
   sequential-batch.
-- Failure replay: the checkpoint makes the SINK exactly-once, but a
-  batch replayed after appending its index rows would see its own
-  signatures in the index — the operator's identity-match guard
-  (``new_id != corpus_id``) keeps the replay from dropping the whole
-  batch; duplicate index rows are harmless for matching (candidates
-  are distinct-ed).
+- Failure replay: every write (corpus sink, band index, gram index)
+  is keyed by ``__batch_id`` and uses DYNAMIC partition overwrite, so
+  a replayed batch overwrites exactly its own partitions — the sink
+  is idempotent end-to-end, not merely at-least-once. A replayed
+  batch also sees its own signatures in the index (its previous
+  attempt's partitions are still there until the overwrite lands);
+  the operator's identity-match guard (``new_id != corpus_id``)
+  keeps that self-match from dropping the whole batch.
+- Per-batch cost is O(batch), not O(corpus): index rows derive from
+  re-reading only this batch's just-written partition
+  (``out_path/__batch_id=<k>``), never the accumulated corpus.
 """
 
 from __future__ import annotations
@@ -54,12 +59,40 @@ def _index_paths(index_dir: str) -> tuple[str, str]:
     return os.path.join(index_dir, "bands"), os.path.join(index_dir, "grams")
 
 
+#: Pseudo batch id for rows seeded by a batch-built index (keeps the
+#: on-disk layout uniformly ``__batch_id``-partitioned so streaming
+#: replays can dynamic-overwrite their own partition only).
+SEED_BATCH_ID = -1
+
+
+def _write_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent per-batch write: hive-partitioned by ``__batch_id``
+    with DYNAMIC overwrite, so a replay of batch k rewrites only
+    ``path/__batch_id=k`` and never duplicates rows."""
+    (
+        df.withColumn("__batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(path)
+    )
+
+
 def write_lsh_index(index: LshIndex, index_dir: str, mode: str = "overwrite") -> None:
     """Persist an index to its parquet layout (seed the stream from
-    a batch-built corpus index)."""
+    a batch-built corpus index). Seed rows land under the
+    ``__batch_id=-1`` partition so the layout matches the stream's."""
     bands_path, grams_path = _index_paths(index_dir)
-    index.bands_df.write.mode(mode).parquet(bands_path)
-    index.grams_df.write.mode(mode).parquet(grams_path)
+    if mode == "overwrite":
+        # A fresh seed replaces the whole index, including any prior
+        # stream-era partitions (dynamic overwrite would only touch
+        # the seed partition).
+        import shutil
+
+        for p in (bands_path, grams_path):
+            shutil.rmtree(p, ignore_errors=True)
+    _write_partition(index.bands_df, bands_path, SEED_BATCH_ID)
+    _write_partition(index.grams_df, grams_path, SEED_BATCH_ID)
 
 
 def read_lsh_index(
@@ -75,8 +108,8 @@ def read_lsh_index(
     if not os.path.exists(bands_path):
         return None
     return LshIndex(
-        bands_df=spark.read.parquet(bands_path),
-        grams_df=spark.read.parquet(grams_path),
+        bands_df=spark.read.parquet(bands_path).drop("__batch_id"),
+        grams_df=spark.read.parquet(grams_path).drop("__batch_id"),
         num_hashes=num_hashes,
         bands=bands,
         shingle_size=shingle_size,
@@ -101,7 +134,7 @@ def start_incremental_dedup_stream(
     spark = doc_stream.sparkSession
     rows = num_hashes // bands
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
         # Ids are the dedup identity — collapse exact id repeats
         # inside a batch before near-dup logic.
         batch_df = batch_df.dropDuplicates([id_col])
@@ -132,23 +165,23 @@ def start_incremental_dedup_stream(
                 verify_threshold=verify_threshold,
             )
         # Materialize ONCE: the parquet write is the single pass;
-        # index rows derive from the written files (re-read), so the
-        # dedup plan never executes twice per batch.
-        survivors.write.mode("append").parquet(out_path)
-        written = spark.read.parquet(out_path)
-        batch_ids = batch_df.select(F.col(id_col).alias("__bid"))
-        new_rows = written.join(
-            F.broadcast(batch_ids),
-            written[id_col] == F.col("__bid"),
-            "left_semi",
+        # index rows derive from re-reading ONLY this batch's own
+        # partition (O(batch) per batch, not O(corpus)), so the
+        # dedup plan never executes twice per batch. All three
+        # writes are __batch_id-keyed dynamic overwrites — a crash
+        # between them replays the batch and each write lands
+        # idempotently on its own partition.
+        _write_partition(survivors, out_path, batch_id)
+        new_rows = spark.read.parquet(
+            os.path.join(out_path, f"__batch_id={int(batch_id)}")
         )
         grams = gram_hash_sets(
             new_rows, id_col, text_col, shingle_size
         ).select(F.col(id_col).alias("__cid"), "__grams")
         banded = _banded_rows(grams, bands, rows, id_out="__cid")
         bands_path, grams_path = _index_paths(index_dir)
-        banded.write.mode("append").parquet(bands_path)
-        grams.write.mode("append").parquet(grams_path)
+        _write_partition(banded, bands_path, batch_id)
+        _write_partition(grams, grams_path, batch_id)
 
     return (
         doc_stream.writeStream.foreachBatch(handle)

@@ -144,3 +144,25 @@ def test_fresh_stream_without_seed_index(spark, tmp_path):
     )
     # Without the corpus, doc 10 survives batch 1; 20 still dups 11.
     assert got == [10, 11, 12, 21]
+
+
+def test_replayed_batch_write_is_idempotent(spark, tmp_path):
+    """A crash-replayed micro-batch must not duplicate survivor rows:
+    the __batch_id-keyed dynamic overwrite rewrites only its own
+    partition, so writing the same batch twice equals writing once."""
+    from serverless_data_lake_spark.streaming.incremental_dedup_stream import (
+        _write_partition,
+    )
+
+    out = str(tmp_path / "out")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA)
+    b2 = spark.createDataFrame([(3, "c")], SCHEMA)
+    _write_partition(b1, out, 0)
+    _write_partition(b2, out, 1)
+    # Replay batch 1 (same rows, e.g. after a crash mid-commit).
+    _write_partition(b2, out, 1)
+    rows = spark.read.parquet(out).select("doc_id").collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2, 3]
+    # Other batches' partitions were untouched by the replay.
+    p0 = spark.read.parquet(out + "/__batch_id=0")
+    assert sorted(r.doc_id for r in p0.collect()) == [1, 2]
