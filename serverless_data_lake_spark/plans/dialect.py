@@ -535,3 +535,35 @@ def transpile(sql: str) -> str:
         masked = _rewrite_qualify(masked)
     sql = unmask_literals(masked, lits)
     return _rewrite_from_json(sql)
+
+
+_EPOCH_MS_RE = re.compile(r"\bepoch_ms\s*\(", re.IGNORECASE)
+
+
+def reverse_epoch_ms(sql: str) -> str | None:
+    """DuckDB's ``epoch_ms`` is OVERLOADED: ``epoch_ms(BIGINT) →
+    TIMESTAMP`` and ``epoch_ms(TIMESTAMP) → BIGINT``. A static rename
+    can only pick one Spark target (``timestamp_millis``, the
+    integer→timestamp direction the reference's queries use); this
+    helper produces the alternate rewrite (``unix_millis``, the
+    timestamp→bigint direction) for the caller to retry when analysis
+    fails with a type mismatch on ``timestamp_millis``. Returns None
+    when the query has no ``epoch_ms`` call (nothing to flip).
+    Mixed-direction queries (both overloads in one statement) are not
+    resolvable by a homogeneous flip and keep their original error.
+    """
+    masked, lits = mask_literals(sql)
+    if not _EPOCH_MS_RE.search(masked):
+        return None
+    flipped = _EPOCH_MS_RE.sub("unix_millis(", masked)
+    return unmask_literals(flipped, lits)
+
+
+def is_epoch_ms_type_mismatch(exc: BaseException) -> bool:
+    """True when an analysis error is the timestamp-input-to-
+    ``timestamp_millis`` mismatch produced by the wrong ``epoch_ms``
+    overload choice."""
+    msg = str(exc)
+    return "timestamp_millis" in msg and (
+        "UNEXPECTED_INPUT_TYPE" in msg or "INTEGRAL" in msg
+    )

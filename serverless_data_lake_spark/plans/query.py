@@ -25,7 +25,11 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from serverless_data_lake_spark.config import LakeConfig
-from serverless_data_lake_spark.plans.dialect import transpile
+from serverless_data_lake_spark.plans.dialect import (
+    is_epoch_ms_type_mismatch,
+    reverse_epoch_ms,
+    transpile,
+)
 from serverless_data_lake_spark.plans.rewrite import (
     bronze_view_name,
     find_table_refs,
@@ -64,7 +68,20 @@ class QueryEngine:
             if layer == "bronze":
                 self._register_bronze_view(domain, table)
         rewritten = rewrite_query(sql)
-        return self.spark.sql(transpile(rewritten))
+        try:
+            return self.spark.sql(transpile(rewritten))
+        except Exception as exc:  # noqa: BLE001 — overload retry below
+            # DuckDB's epoch_ms is overloaded by argument type; the
+            # static rename picks the integer→timestamp direction.
+            # When analysis rejects a TIMESTAMP argument, retry the
+            # timestamp→bigint direction (unix_millis). See
+            # dialect.reverse_epoch_ms.
+            if not is_epoch_ms_type_mismatch(exc):
+                raise
+            alt = reverse_epoch_ms(rewritten)
+            if alt is None:
+                raise
+            return self.spark.sql(transpile(alt))
 
     # -- serving entry (capped, JSON-shaped) -----------------------
     def query(self, sql: str) -> QueryResult:

@@ -268,6 +268,52 @@ class TestDuckDBShims:
         assert rows[0].k == "7"
 
 
+class TestEpochMsOverload:
+    """DuckDB ``epoch_ms`` is overloaded by argument type; the engine
+    statically picks bigint→timestamp and retries timestamp→bigint on
+    analysis failure (dialect.reverse_epoch_ms + QueryEngine)."""
+
+    def test_bigint_direction_unchanged(self):
+        assert transpile("SELECT epoch_ms(1700000000000) AS t") == (
+            "SELECT timestamp_millis(1700000000000) AS t"
+        )
+
+    def test_reverse_flips_only_epoch_ms(self):
+        from serverless_data_lake_spark.plans.dialect import reverse_epoch_ms
+
+        out = reverse_epoch_ms(
+            "SELECT epoch_ms(ts) AS ms, timestamp_millis(n) AS t, "
+            "'epoch_ms(1)' AS lit FROM t"
+        )
+        assert "unix_millis(ts)" in out
+        assert "timestamp_millis(n)" in out  # user-written call untouched
+        assert "'epoch_ms(1)'" in out  # literal untouched
+        assert reverse_epoch_ms("SELECT x FROM t") is None
+
+    def test_timestamp_direction_via_engine(self, spark, tmp_path):
+        import duckdb
+
+        from serverless_data_lake_spark.config import LakeConfig
+        from serverless_data_lake_spark.plans.query import QueryEngine
+
+        eng = QueryEngine(spark, LakeConfig(root=str(tmp_path)))
+        df = eng.dataframe(
+            "SELECT epoch_ms(TIMESTAMP '2026-01-02 03:04:05.678') AS ms"
+        )
+        want = duckdb.sql(
+            "SELECT epoch_ms(TIMESTAMP '2026-01-02 03:04:05.678') AS ms"
+        ).fetchone()[0]
+        assert df.collect()[0].ms == want
+
+    def test_both_directions_still_usable_separately(self, spark, tmp_path):
+        from serverless_data_lake_spark.config import LakeConfig
+        from serverless_data_lake_spark.plans.query import QueryEngine
+
+        eng = QueryEngine(spark, LakeConfig(root=str(tmp_path)))
+        ts = eng.dataframe("SELECT epoch_ms(86400000) AS t").collect()[0].t
+        assert ts.year == 1970 and ts.day == 2
+
+
 class TestQualifyNested:
     def test_qualify_inside_cte(self, spark):
         from serverless_data_lake_spark.plans.dialect import transpile
