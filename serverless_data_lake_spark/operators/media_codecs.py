@@ -634,6 +634,17 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # A valid baseline file may carry one scan PER
+                # component (non-interleaved); decoding just the
+                # first scan would silently return grayscale from
+                # the Y plane alone. Fail loudly like the other
+                # unsupported modes — never a silent wrong answer.
+                raise ValueError(
+                    "unsupported JPEG scan layout: non-interleaved "
+                    f"scan covers {ns} of {len(frame['comps'])} "
+                    "components — single interleaved scan only"
+                )
             scomp = []
             for c in range(ns):
                 scomp.append(

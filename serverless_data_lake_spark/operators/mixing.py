@@ -173,11 +173,30 @@ def rebalance_sources(
         (g, min(1.0, cap_size / n) if n else 1.0)
         for g, n in sizes.items()
     ]
+    # The rate-table key mirrors df's own group-column type (group
+    # ids need not be strings), and the join is null-safe: a NULL
+    # source is a group like any other — an inner equi-join would
+    # silently drop every null-source row (NULL never equals NULL).
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     rate_df = df.sparkSession.createDataFrame(
-        rates, f"{group_col} string, __rate double"
+        rates,
+        StructType(
+            [
+                StructField("__g", df.schema[group_col].dataType, True),
+                StructField("__rate", DoubleType(), False),
+            ]
+        ),
     )
     return (
-        df.join(F.broadcast(rate_df), group_col)
-        .filter(hash_unit(F.col(id_col), salt) < F.col("__rate"))
-        .drop("__rate")
+        df.join(
+            F.broadcast(rate_df),
+            df[group_col].eqNullSafe(rate_df["__g"]),
+            "left",
+        )
+        .filter(
+            hash_unit(F.col(id_col), salt)
+            < F.coalesce(F.col("__rate"), F.lit(1.0))
+        )
+        .drop("__g", "__rate")
     )

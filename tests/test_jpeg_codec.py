@@ -292,6 +292,18 @@ class TestJpegRejection:
         with pytest.raises(ValueError, match="baseline"):
             decode_jpeg(bad)
 
+    def test_rejects_non_interleaved_scan(self):
+        """A 3-component frame whose first scan covers only one
+        component (non-interleaved layout) must fail loudly, not
+        silently decode grayscale from the Y scan alone."""
+        px = np.full((8, 8, 3), 120, dtype=np.uint8)
+        good = make_jpeg(px)
+        i = good.index(b"\xff\xda")
+        # SOS: marker, 2-byte length, ns at offset 4 — claim ns=1.
+        bad = good[: i + 4] + bytes([1]) + good[i + 5 :]
+        with pytest.raises(ValueError, match="non-interleaved"):
+            decode_jpeg(bad)
+
     def test_rejects_garbage_and_truncation(self):
         with pytest.raises(ValueError):
             decode_jpeg(b"not a jpeg")

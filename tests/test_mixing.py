@@ -125,6 +125,28 @@ class TestRebalance:
         )
         assert out.count() == 12
 
+    def test_null_group_rows_survive(self, spark):
+        """A NULL source is a group like any other: rows must not
+        vanish through the rate join (inner equi-join would drop
+        them — NULL never equals NULL)."""
+        df = spark.createDataFrame(
+            [(i, None if i < 3 else "a") for i in range(13)],
+            "id long, dom string",
+        )
+        out = rebalance_sources(df, "dom", "id", max_frac=0.9)
+        got = {r.dom: 1 for r in out.collect()}
+        assert None in got  # null-group rows kept
+        assert out.filter(F.col("dom").isNull()).count() == 3
+
+    def test_non_string_group_column(self, spark):
+        """The rate-table key follows df's own group-column type."""
+        df = spark.createDataFrame(
+            [(i, i % 2) for i in range(20)], "id long, src int"
+        )
+        out = rebalance_sources(df, "src", "id", max_frac=0.9)
+        assert out.count() == 20
+        assert dict(out.dtypes)["src"] == "int"
+
     def test_fixed_point_exact(self):
         # The solved cap must satisfy: capped groups contribute
         # max_frac of the FINAL total. Verify the arithmetic directly
