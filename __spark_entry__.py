@@ -1097,7 +1097,12 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_sequences,
     )
 
-    docs = _read_parallel(spark, sf_dir, "documents")
+    # Plain _read (no repartition shuffle): packing's per-row work is
+    # one whitespace split — the small-corpus fast path's single
+    # window is the bottleneck regardless of scan parallelism, and
+    # the parquet-footer count that picks the path stays metadata-
+    # only on an unshuffled scan.
+    docs = _read(spark, sf_dir, "documents")
     return pack_sequences(docs, "doc_id", 512, buckets=64)
 
 

@@ -29,14 +29,28 @@ Total cost: one sketch pass, one map-side-combined micro-aggregate,
 one keyed window. No global ordering ever materializes on a single
 task. Offsets depend only on (id order, token counts), so the result
 is deterministic under any partitioning or cluster size.
+
+Below :data:`SINGLE_WINDOW_MAX_ROWS` none of that machinery pays for
+itself: the projected rows are tiny, so a single global-order window
+(one job, no barrier, no sketch, no driver collect) wins outright —
+and yields bit-identical offsets by the split-set invariance above.
 """
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from serverless_data_lake_spark.operators.text import token_count
+
+#: Below this row count the whole prefix sum runs as ONE global-order
+#: window: the projected rows are ~24 bytes each, so a single task
+#: sorts ≤ ~50 MB — cheaper than the distributed path's extra jobs
+#: (quantile sketch + per-bucket totals + materialization barrier).
+#: Offsets are identical either way (the docstring's split-set
+#: invariance), so this is purely a job-count fast path.
+SINGLE_WINDOW_MAX_ROWS = 2_000_000
 
 
 def pack_sequences(
@@ -93,31 +107,60 @@ def pack_sequences(
         n = F.col(n_tokens_col).cast("bigint")
     else:
         n = token_count(F.col(text_col)).cast("bigint")
-    # Tokenize ONCE: the operator runs three jobs over this
-    # projection (quantile sketch, per-bucket totals, final window);
-    # without the checkpoint each would re-parse every document's
-    # text. The checkpointed rows are 16 bytes each — at 10⁹ docs
-    # that is ~16 GB across the cluster, the deliberate trade
-    # against 3× the corpus tokenization (same lineage-truncation
-    # pattern as the components.py closure; blocks release when the
-    # DataFrame is garbage-collected).
-    # Zero-token drop AFTER the checkpoint: a filter on the __n
-    # alias would be pushed below the projection and re-evaluate the
+    proj = df.select(F.col(id_col), order.alias("__o"), n.alias("__n"))
+
+    # Small-corpus fast path: ONE global-order window, zero extra
+    # jobs. The count is over the INPUT df (column-pruned — parquet
+    # scans answer it from footer stats); callers whose df hides an
+    # expensive lineage should persist upstream, as with any
+    # multi-action operator. Zero-token documents ride through the
+    # running sum (they add 0 — offsets are unchanged) and drop at
+    # the end, so tokenization stays single-evaluation: a filter on
+    # __n BEFORE the window would be pushed below the projection and
+    # re-evaluate token_count inside the predicate (measured 2×, see
+    # text.py:203 for the general trap); a filter on the window
+    # output cannot cross the window boundary.
+    if buckets == 1 or df.count() <= SINGLE_WINDOW_MAX_ROWS:
+        w1 = (
+            Window.orderBy(F.col("__o").asc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = (
+            proj.withColumn("__cum", F.sum("__n").over(w1))
+            .filter(F.col("__n") > 0)
+            .select(
+                F.col(id_col),
+                F.col("__n").alias("n_tokens"),
+                (F.col("__cum") - F.col("__n")).alias("start_offset"),
+            )
+        )
+        return _chunk_columns(out, id_col, capacity)
+
+    # Tokenize ONCE: the distributed path runs two jobs over this
+    # projection (per-bucket totals, final window); without a
+    # materialization barrier each would re-parse every document's
+    # text. persist() keeps the codegen'd columnar path — measured
+    # ~6× cheaper than an eager localCheckpoint's RDD round-trip
+    # (pipeline/curation.py:26). The persisted rows are ~24 bytes
+    # each — at 10⁹ docs ~24 GB across the cluster, the deliberate
+    # trade against 2× the corpus tokenization; blocks release when
+    # the DataFrame is garbage-collected (ContextCleaner), same
+    # lineage pattern as the components.py closure.
+    # Zero-token drop AFTER the barrier: a filter on the __n alias
+    # would be pushed below the projection and re-evaluate the
     # tokenization inside the predicate (2× the pass); filtering the
-    # checkpointed 16-byte rows costs nothing.
-    base = (
-        df.select(F.col(id_col), order.alias("__o"), n.alias("__n"))
-        .localCheckpoint(eager=True)
-        .filter(F.col("__n") > 0)
+    # persisted rows costs nothing.
+    base = proj.persist(StorageLevel.MEMORY_AND_DISK).filter(
+        F.col("__n") > 0
     )
 
     # 1. Split points: any set yields the same offsets; quantiles
     # only balance bucket sizes. Duplicates (skewed ids) collapse.
-    splits: list[float] = []
-    if buckets > 1:
-        probs = [i / buckets for i in range(1, buckets)]
-        qs = base.approxQuantile("__o", probs, 0.001)
-        splits = sorted(set(qs))
+    # __o is id-derived (never text), so this sketch pass prunes the
+    # text column entirely; it doubles as the persist materializer.
+    probs = [i / buckets for i in range(1, buckets)]
+    qs = base.approxQuantile("__o", probs, 0.001)
+    splits = sorted(set(qs))
     if splits:
         split_arr = F.array(*[F.lit(float(s)) for s in splits])
         bucket = F.size(
@@ -156,6 +199,13 @@ def pack_sequences(
         bucketed.join(F.broadcast(base_df), "__b")
         .select(F.col(id_col), F.col("__n").alias("n_tokens"), start)
     )
+    return _chunk_columns(out, id_col, capacity)
+
+
+def _chunk_columns(out: DataFrame, id_col: str, capacity: int) -> DataFrame:
+    """Derive the chunk-assignment columns from ``start_offset`` /
+    ``n_tokens`` — pure in-row arithmetic shared by both prefix-sum
+    paths."""
     cap = F.lit(int(capacity))
     last_tok = F.col("start_offset") + F.col("n_tokens") - 1
     return out.select(

@@ -90,9 +90,13 @@ def test_input_order_insensitive(spark):
     assert a == b
 
 
-def test_no_global_window_in_plan(spark):
-    """The running sum must be partitioned by bucket — a global
-    ORDER BY window would serialize the corpus through one task."""
+def test_no_global_window_in_plan(spark, monkeypatch):
+    """Above the fast-path threshold the running sum must be
+    partitioned by bucket — a global ORDER BY window would serialize
+    the corpus through one task."""
+    from serverless_data_lake_spark.operators import packing
+
+    monkeypatch.setattr(packing, "SINGLE_WINDOW_MAX_ROWS", 10)
     _rows, df = _corpus(spark, n_docs=100)
     out = pack_sequences(df, "doc_id", 64, buckets=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -100,6 +104,19 @@ def test_no_global_window_in_plan(spark):
     import re
     for m in re.finditer(r"Window \[.*", plan):
         assert "__b" in m.group(0)  # every window keyed by bucket
+
+
+def test_small_corpus_paths_agree(spark, monkeypatch):
+    """The single-window fast path and the distributed prefix sum
+    must produce bit-identical offsets (split-set invariance)."""
+    from serverless_data_lake_spark.operators import packing
+
+    _rows, df = _corpus(spark, n_docs=120, seed=3)
+    fast = pack_sequences(df, "doc_id", 64, buckets=8).collect()
+    monkeypatch.setattr(packing, "SINGLE_WINDOW_MAX_ROWS", 10)
+    dist = pack_sequences(df, "doc_id", 64, buckets=8).collect()
+    key = lambda r: r.doc_id  # noqa: E731
+    assert sorted(fast, key=key) == sorted(dist, key=key)
 
 
 def test_rejects_bad_params(spark):
