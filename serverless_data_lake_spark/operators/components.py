@@ -134,31 +134,45 @@ def connected_components(
     ``pairs``; ``component`` is the min id of the node's component
     (representatives therefore label themselves).
     """
+    # persist(), not an eager localCheckpoint: the pair computation
+    # feeding this is often the expensive part of the whole job, and
+    # a checkpoint boundary forces it through the RDD round-trip
+    # (measured ~6× slower than persist + action;
+    # pipeline/curation.py:26). The count() below materializes every
+    # partition into the cache AND is the data the two gates need —
+    # one job replaces the old checkpoint + isEmpty + limit-probe
+    # trio. A full count is not wasted at web scale either: the
+    # distributed rounds would materialize the edge set immediately
+    # anyway. Blocks release via ContextCleaner when the DataFrame
+    # is garbage-collected.
+    from pyspark import StorageLevel
+
     edges = (
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if edges.isEmpty():
+    n_edges = edges.count()
+    if n_edges == 0:
         schema = pairs.select(
             F.col(src).alias("id"), F.col(src).alias("component")
         ).schema
         return pairs.sparkSession.createDataFrame([], schema)
 
-    if small_graph_edges:
-        # One cheap scalar over the checkpointed edges decides the
-        # path; `limit(cap+1).count()` instead of a full count so a
-        # web-scale edge set never pays a complete scan just to learn
-        # it is large.
-        probe = edges.limit(small_graph_edges + 1).count()
-        if probe <= small_graph_edges:
-            return _components_local(
-                edges.collect(),
-                edges.schema["src"].dataType,
-                pairs.sparkSession,
-            )
+    if small_graph_edges and n_edges <= small_graph_edges:
+        rows = edges.collect()
+        # The cache served its two actions (count + collect);
+        # release it eagerly rather than waiting for GC — also keeps
+        # repeated invocations honest (no result-cache replay).
+        edges.unpersist()
+        return _components_local(
+            rows,
+            edges.schema["src"].dataType,
+            pairs.sparkSession,
+        )
 
+    edges0 = edges
     prev = _edge_checksum(edges)
     for _ in range(max_rounds):
         # --- large-star: for every node u, connect each STRICTLY
@@ -191,6 +205,9 @@ def connected_components(
         cur = _edge_checksum(edges)
         if cur == prev:
             # Converged: edges are (node → component-min) stars.
+            # Round 1 consumed the initial edge cache into its own
+            # checkpoint; release it.
+            edges0.unpersist()
             roots = edges.select(F.col("dst").alias("src"),
                                  F.col("dst").alias("dst"))
             return (

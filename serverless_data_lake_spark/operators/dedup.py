@@ -164,6 +164,7 @@ def gram_hash_sets(
     text_col: str,
     n: int,
     out_col: str = "__grams",
+    share: bool = False,
 ) -> DataFrame:
     """(id, distinct n-gram hash set) per document, all in-row (zero
     shuffle): stage the token-hash array in its own projection (kept
@@ -172,14 +173,31 @@ def gram_hash_sets(
     the 64-bit hash of the n token hashes — set-equivalent to
     distinct gram strings (tokens cannot contain the split
     whitespace, so the token-tuple → string mapping is injective;
-    64-bit collisions are negligible)."""
+    64-bit collisions are negligible).
+
+    ``share=True`` persists the (id, gram-set) projection so SEVERAL
+    analyses over the same corpus pay the tokenize+hash pass once:
+    Spark's CacheManager matches by canonicalized plan, so every
+    operator that builds this projection from the same input plan
+    (exact Jaccard, its capped/prefix variants, corpus dedup) reads
+    the one cached copy — the "shared gram projection" a production
+    pipeline would stage explicitly. Cached rows are (8-byte id,
+    gram-hash array) — ~8 bytes per corpus token, far smaller than
+    the text. Lifecycle: released via ContextCleaner on GC or
+    ``spark.catalog.clearCache()``; single-shot callers should leave
+    the default off."""
     staged = df.select(
         F.col(id_col), _hashed_tokens(text_col).alias("__th")
     )
-    return staged.select(
+    out = staged.select(
         F.col(id_col),
         _grams_from_hashes(F.col("__th"), n).alias(out_col),
     )
+    if share:
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    return out
 
 
 def _explode_grams(gram_df: DataFrame, id_out: str, grams_col: str = "__grams"):
@@ -211,8 +229,14 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
     max_doc_frac: float | None = None,
+    share_grams: bool = False,
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard ≥ threshold.
+
+    ``share_grams=True`` persists the per-document gram-set
+    projection so sibling analyses over the same corpus (the capped
+    and prefix variants, corpus dedup) reuse one tokenize+hash pass
+    — see :func:`gram_hash_sets`.
 
     Shape: inverted index (token → docs) self-joined on token, so the
     candidate set is only pairs sharing ≥1 n-gram; intersection sizes
@@ -266,7 +290,7 @@ def ngram_jaccard_pairs(
     # pathology _explode_grams documents for generator filters;
     # measured 12× slower at sf0.1). Provably non-null → no inferred
     # filter → the staged projections stay intact.
-    grams = gram_hash_sets(df, id_col, text_col, n).select(
+    grams = gram_hash_sets(df, id_col, text_col, n, share=share_grams).select(
         F.col(id_col),
         F.col("__grams"),
         F.coalesce(F.size("__grams"), F.lit(0)).alias("__n"),
@@ -811,6 +835,7 @@ def ngram_jaccard_prefix(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    share_grams: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via AllPairs/PPJoin **prefix
     filtering** — the candidate-pruned scale path for exact near-dup.
@@ -839,7 +864,7 @@ def ngram_jaccard_prefix(
     # (a count() window would sort the full token set by gram hash;
     # the combined frequency table is only |distinct grams| rows).
     toks = _explode_grams(
-        gram_hash_sets(df, id_col, text_col, n), "__id"
+        gram_hash_sets(df, id_col, text_col, n, share=share_grams), "__id"
     ).repartition(
         df.sparkSession.sparkContext.defaultParallelism, "__tok"
     )
