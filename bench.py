@@ -173,11 +173,17 @@ def main() -> None:
             constr[name].append(started - c0)
             df.write.format("noop").mode("overwrite").save()
             draws[name].append(time.time() - started)
-            # Hygiene between queries (untimed): operators that
-            # persist() intermediates (dedup family) would otherwise
-            # pin executor memory across the whole run and tax later
-            # queries with GC.
-            spark.catalog.clearCache()
+        # Hygiene at the REP boundary (untimed), not between
+        # queries: the exact-Jaccard family deliberately shares one
+        # persisted gram projection (gram_hash_sets(share=True)) —
+        # the shared staging a production pipeline would
+        # materialize once — and clearing per-query would force
+        # every sibling to re-tokenize. Remaining persists are
+        # small (the gram cache is ~8 bytes/token) and operators
+        # that cache large intermediates unpersist themselves
+        # (connected_components), so per-rep clearing keeps later
+        # queries untaxed without defeating the sharing.
+        spark.catalog.clearCache()
     timings = {
         name: round(
             min(ts)
@@ -194,10 +200,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # Two output lines (r5: the driver's tail-capture window truncated
-    # the single 3.5 kB record and lost the headline). The FULL record
-    # (construct detail, 3-decimal timings) goes first; the LAST line
-    # is the compact driver contract — headline + per-query at reduced
-    # precision — sized to survive the capture window.
+    # the single 3.5 kB record and lost the headline). The detail line
+    # goes first and carries ONLY the construct breakdown (the 3 dp
+    # per-query timings duplicated the compact line and pushed the
+    # combined output past the capture window — r6's tail still cut
+    # mid-dict); the LAST line is the compact driver contract —
+    # headline + per-query — sized to survive the window whole.
     print(
         json.dumps(
             {
@@ -206,7 +214,6 @@ def main() -> None:
                 "construct_total": round(
                     sum(min(ts) for ts in constr.values()), 3
                 ),
-                "queries_3dp": timings,
             }
         )
     )
