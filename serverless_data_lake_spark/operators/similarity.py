@@ -583,6 +583,12 @@ def embedding_near_duplicates(
     )
 
 
+#: Target in-task bytes for one semantic_dedup cell's unit-vector
+#: matrix (float64). Auto-nlist divides the corpus so the EXPECTED
+#: cell sits under this; the hard cap below catches skewed cells.
+SEMANTIC_CELL_TARGET_BYTES = 256 << 20
+
+
 def semantic_dedup(
     df: DataFrame,
     dim: int,
@@ -592,6 +598,7 @@ def semantic_dedup(
     nlist: int | None = None,
     sample_size: int = 10_000,
     seed: int = 42,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -607,10 +614,24 @@ def semantic_dedup(
       :func:`ivf_topk`) and ships as literal centroid arrays;
     - cell assignment is an in-row JVM argmax (zero shuffle);
     - the pairwise cosine check is a **cell-id equi-join** — cost is
-      Σ|cell|², bounded by the quantizer granularity (``nlist=None``
-      → √n_sample cells), never N²;
+      Σ|cell|², bounded by the quantizer granularity, never N²;
     - survivors come from ONE left-anti join of the corpus against
       the dropped-id set.
+
+    Cell-size safety: one task holds one WHOLE cell (the kernel
+    stacks the cell's vectors before the blocked matmul), so
+    per-task memory is ``|cell| × dim`` float64s — it must be
+    bounded deliberately, not hoped. ``nlist=None`` auto-sizes as
+    ``max(√min(n, sample_size), ceil(n / target_cell_rows))`` where
+    ``target_cell_rows`` keeps the expected cell matrix under
+    :data:`SEMANTIC_CELL_TARGET_BYTES` (one corpus count job;
+    capped at ``sample_size`` — more centroids than sample points
+    is degenerate, raise ``sample_size`` for corpora needing finer
+    quantization). Skew can still concentrate rows in one cell, so
+    the kernel REFUSES cells above ``max_cell_rows`` (default 4×
+    the target) with a loud error instead of OOMing an executor —
+    the same disclosed-cap pattern as ``REBALANCE_GROUP_CAP`` and
+    the exact-cosine kernel bound.
 
     Keep rule: deterministic min-id-wins (a row is dropped iff a
     similar same-cell row with a smaller id exists) — the same
@@ -624,6 +645,14 @@ def semantic_dedup(
     land in different cells are not compared — recall follows the
     quantizer, exactly like IVF probing.
     """
+    target_rows = max(1024, SEMANTIC_CELL_TARGET_BYTES // (dim * 8))
+    if nlist is None:
+        n_corpus = df.count()
+        by_sqrt = max(4, int(round(math.sqrt(min(n_corpus, sample_size)))))
+        by_mem = -(-n_corpus // target_rows)  # ceil
+        nlist = int(min(max(by_sqrt, by_mem), sample_size))
+    if max_cell_rows is None:
+        max_cell_rows = 4 * target_rows
     centroids = _train_spherical_kmeans(
         df, vec_col, nlist, sample_size, seed
     )
@@ -639,16 +668,27 @@ def semantic_dedup(
     # self-join: the HOF dot product costs ~1 µs/pair-element while
     # the numpy matmul does the identical arithmetic vectorized
     # (measured ~5× faster end-to-end at sf0.1). One shuffle on the
-    # 4-byte cell id; per-task memory is bounded by BLOCK×|cell|
-    # floats regardless of cell size (row-blocked matmul), and each
-    # task holds one cell — the same work unit a cell-partitioned
-    # storage layout would hand it.
+    # 4-byte cell id; each task holds ONE WHOLE cell (|cell| × dim
+    # float64s — the row-blocking below bounds the SIMS matrix, not
+    # the cell itself), which is why auto-nlist targets a cell byte
+    # budget and the kernel hard-refuses cells past max_cell_rows.
     BLOCK = 1024
+
+    cell_cap = int(max_cell_rows)
 
     def kernel(pdf):
         import numpy as np
         import pandas as pd
 
+        if len(pdf) > cell_cap:
+            raise ValueError(
+                f"semantic_dedup cell holds {len(pdf)} rows, above the "
+                f"per-task cap {cell_cap} (~4x the "
+                f"{SEMANTIC_CELL_TARGET_BYTES >> 20} MiB target at this "
+                "dim). The quantizer is too coarse or the cell is "
+                "skew-concentrated: raise nlist (and sample_size if "
+                "nlist is at its cap), or raise max_cell_rows knowingly."
+            )
         if len(pdf) < 2:
             return pd.DataFrame({"__dropped": np.array([], dtype=np.int64)})
         order = np.argsort(pdf["__id"].to_numpy())

@@ -447,6 +447,66 @@ class TestSemanticDedup:
         np.testing.assert_array_equal(a, b)
 
 
+class TestSemanticDedupCellSafety:
+    def test_oversized_cell_refused_loudly(self, spark):
+        """A cell above max_cell_rows must raise (the OOM guard), not
+        silently stack an unbounded matrix in one task."""
+        import numpy as np
+        import pytest
+
+        from serverless_data_lake_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        rng = np.random.RandomState(0)
+        base = rng.randn(4)
+        # 12 near-identical vectors -> one cell under nlist=1.
+        rows = [
+            (i, [float(x) for x in base + 0.001 * rng.randn(4)])
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        with pytest.raises(Exception, match="per-task cap"):
+            semantic_dedup(
+                df, dim=4, threshold=0.99, nlist=1,
+                sample_size=100, max_cell_rows=3,
+            ).collect()
+
+    def test_auto_nlist_scales_with_corpus(self, monkeypatch):
+        """nlist=None must grow ceil(n/target_cell_rows)-style with
+        the corpus, not stay pinned to sqrt(sample)."""
+        from serverless_data_lake_spark.operators import similarity
+
+        captured = {}
+
+        def fake_train(corpus, vec_col, nlist, sample_size, seed):
+            captured["nlist"] = nlist
+            raise _Stop()
+
+        class _Stop(Exception):
+            pass
+
+        class _FakeDF:
+            def count(self):
+                return 10_000_000
+
+        monkeypatch.setattr(
+            similarity, "_train_spherical_kmeans", fake_train
+        )
+        # Tiny target: 1024-row cells -> by_mem = ceil(1e7/1024) but
+        # clamped at sample_size.
+        monkeypatch.setattr(
+            similarity, "SEMANTIC_CELL_TARGET_BYTES", 1024 * 8 * 8
+        )
+        try:
+            similarity.semantic_dedup(_FakeDF(), dim=8, sample_size=10_000)
+        except _Stop:
+            pass
+        # 10M rows / 1024-row target = 9766 cells; sqrt rule alone
+        # would have said 100.
+        assert captured["nlist"] == 9766
+
+
 class TestText:
     def test_language_detection(self, spark):
         df = spark.createDataFrame(
