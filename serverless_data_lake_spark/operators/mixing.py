@@ -25,10 +25,10 @@ Scale notes:
   selection itself is a distributed hash filter over a broadcast
   rate table.
 - URL helpers are pure Column regexps (codegen'd, engine-portable).
-  ``extract_domain`` takes the last two host labels — a documented
-  approximation: a real public-suffix list (co.uk, com.au, …) is a
-  data file this environment doesn't ship; plug one in by joining
-  a suffix table instead when available.
+  ``extract_domain`` is public-suffix-aware: a shipped 2-label PSL
+  subset (``psl_data.py``) rides in the expression as a literal
+  array, so ``news.bbc.co.uk`` groups as ``bbc.co.uk`` with zero
+  joins; hosts under plain TLDs keep the last-two-labels rule.
 """
 
 from __future__ import annotations
@@ -59,13 +59,42 @@ def normalize_url(url: Column) -> Column:
 
 
 def extract_domain(url: Column) -> Column:
-    """Registrable-domain approximation: the last two labels of the
-    host (``a.b.example.com`` → ``example.com``). See module
-    docstring for the public-suffix caveat."""
+    """Registrable domain of a URL's host, public-suffix-aware.
+
+    When the host's last two labels form a 2-label public suffix
+    (``co.uk``, ``com.au``, … — the shipped
+    :data:`~operators.psl_data.PUBLIC_SUFFIXES_2LABEL` subset of
+    publicsuffix.org), the registrable domain is the last THREE
+    labels (``news.bbc.co.uk`` → ``bbc.co.uk``); otherwise the last
+    two (``a.b.example.com`` → ``example.com``). Pure in-row Column
+    logic: the suffix set ships as a literal array (~150 strings —
+    an equi-join against a suffix table would buy nothing at this
+    size and cost a broadcast), so the expression stays codegen'd
+    and shuffle-free. 3-label public suffixes (Japanese prefecture
+    domains etc.) fall back to the 2-label answer — see
+    ``psl_data.py``."""
+    from serverless_data_lake_spark.operators.psl_data import (
+        PUBLIC_SUFFIXES_2LABEL,
+    )
+
     no_scheme = F.regexp_replace(F.trim(url), r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     host = F.lower(F.regexp_extract(no_scheme, r"^([^/:?#]*)", 1))
     host = F.regexp_replace(host, r"^www\.", "")
-    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    psl = F.array(*[F.lit(s) for s in PUBLIC_SUFFIXES_2LABEL])
+    return (
+        F.when((n >= 3) & F.array_contains(psl, last2), last3)
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -42,7 +42,16 @@ class TestUrlHelpers:
             ("https://www.news.example.com/a", "example.com"),
             ("http://example.org:8080/x", "example.org"),
             ("sub.deep.host.net/path", "host.net"),
-            ("plainhost/x", ""),  # no dot: approximation yields empty
+            ("plainhost/x", "plainhost"),  # no dot: bare host
+            # Public-suffix-aware: last TWO labels are a public
+            # suffix -> registrable domain is the last THREE.
+            ("https://news.bbc.co.uk/politics", "bbc.co.uk"),
+            ("http://www.shop.example.com.au/", "example.com.au"),
+            ("https://blogs.unam.gob.mx/x", "unam.gob.mx"),
+            # The suffix alone (no registrable label) keeps 2 labels.
+            ("https://co.uk/", "co.uk"),
+            # ac.jp is a suffix; example.ac.jp is registrable.
+            ("user.pages.example.ac.jp", "example.ac.jp"),
         ]
         df = spark.createDataFrame(
             [(i, u) for i, (u, _e) in enumerate(cases)],
