@@ -375,3 +375,60 @@ def test_make_release_cli(spark, tmp_path):
     a = sorted(r.doc_id for r in curated.collect())
     b = sorted(r.doc_id for r in spark.read.parquet(out2 + "/curated").collect())
     assert a == b
+
+
+def test_make_release_external_eval_path(spark, tmp_path):
+    """--eval-path decontaminates against a SEPARATE eval corpus
+    file (the production shape) instead of the corpus-derived
+    --eval-frac slice: a planted eval doc sharing a 13-gram with a
+    training doc must remove that training doc from the release."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    from make_release import main
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    leaked = docs.orderBy("doc_id").limit(1).collect()[0]
+    eval_file = str(tmp_path / "eval.jsonl")
+    with open(eval_file, "w") as f:
+        f.write(json.dumps({"question": leaked.text}) + "\n")
+        f.write(json.dumps({"question": "benchmark question with no "
+                            "overlap whatsoever zq xv jk"}) + "\n")
+
+    out = str(tmp_path / "rel")
+    rc = main([
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out,
+        "--capacity", "128",
+        "--eval-path", eval_file,
+        "--eval-text-col", "question",
+        "--decontaminate-n", "13",
+        "--min-tokens", "3",
+    ])
+    assert rc == 0
+    man = json.load(open(tmp_path / "rel" / "manifest.json"))
+    decon = next(s for s in man["stages"] if s["stage"] == "decontaminate")
+    assert decon["dropped"] >= 1  # the leaked training doc went
+    curated = spark.read.parquet(man["outputs"]["curated"])
+    assert curated.filter(
+        F.col("doc_id") == leaked.doc_id
+    ).count() == 0
+    assert man["contamination"]["eval_docs"] == 2
+
+
+def test_make_release_eval_path_missing_column(spark, tmp_path):
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, "tools")
+    from make_release import main
+
+    eval_file = str(tmp_path / "eval.jsonl")
+    with open(eval_file, "w") as f:
+        f.write('{"prompt": "x"}\n')
+    with pytest.raises(SystemExit, match="eval-text-col"):
+        main(["--sf-dir", "/root/testdata/sf0.001",
+              "--out", str(tmp_path / "rel"),
+              "--eval-path", eval_file])

@@ -49,7 +49,26 @@ def build_pipeline(args, spark, docs):
     if args.span_dedup:
         pipe = pipe.remove_duplicate_spans(k=args.span_k)
     eval_df = None
-    if args.eval_frac:
+    if getattr(args, "eval_path", None):
+        # A REAL eval suite: any parquet/JSONL with a text column —
+        # the production decontamination shape (the corpus-derived
+        # --eval-frac slice below is the dependency-free demo).
+        reader = spark.read
+        if args.eval_path.endswith((".jsonl", ".json")):
+            eval_raw = reader.json(args.eval_path)
+        else:
+            eval_raw = reader.parquet(args.eval_path)
+        if args.eval_text_col not in eval_raw.columns:
+            raise SystemExit(
+                f"--eval-path has no column {args.eval_text_col!r} "
+                f"(columns: {eval_raw.columns}); pass --eval-text-col"
+            )
+        eval_df = eval_raw.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col(args.eval_text_col).alias("text"),
+        )
+        pipe = pipe.decontaminate(eval_df, n=args.decontaminate_n)
+    elif args.eval_frac:
         eval_df = (
             docs.filter(F.col("doc_id") % args.eval_frac == 0)
             .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
@@ -94,6 +113,12 @@ def main(argv=None) -> int:
     p.add_argument("--near-threshold", type=float, default=0.8)
     p.add_argument("--span-dedup", action="store_true")
     p.add_argument("--span-k", type=int, default=13)
+    p.add_argument("--eval-path", default=None,
+                   help="path to an EXTERNAL eval corpus "
+                        "(parquet or JSONL) to decontaminate "
+                        "against; takes precedence over --eval-frac")
+    p.add_argument("--eval-text-col", default="text",
+                   help="text column name in --eval-path")
     p.add_argument("--eval-frac", type=int, default=0,
                    help="hold out every Nth doc as the eval set and "
                         "decontaminate against it (0 = off)")
