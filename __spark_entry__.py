@@ -32,8 +32,10 @@ from pyspark.sql import functions as F
 
 from serverless_data_lake_spark.config import LakeConfig
 from serverless_data_lake_spark.operators.dedup import (
+    build_lsh_index,
     dedup_exact,
     keep_one_per_key,
+    lsh_pairs_against_index,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     ngram_jaccard_prefix,
@@ -483,6 +485,20 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE i / (sa.n + sb.n - i) >= 0.8
 """
 
+# Two-leg oracle for the consolidated minhash entry: leg 'batch' is
+# the exact pair set (LSH at 128/32 + exact verification recalls it
+# in full); leg 'incremental' is its cross-parity restriction — the
+# odd-id "arriving batch" matched against the even-id "standing
+# index" must surface exactly the exact-Jaccard pairs that straddle
+# the parity split.
+_MINHASH_TWO_LEG_ORACLE = f"""
+WITH pairs AS ({_JACCARD_ORACLE})
+SELECT 'batch' AS leg, id_a, id_b, jaccard FROM pairs
+UNION ALL
+SELECT 'incremental' AS leg, id_a, id_b, jaccard FROM pairs
+WHERE (id_a % 2) <> (id_b % 2)
+"""
+
 _COSINE_PAIRS_ORACLE = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -605,10 +621,47 @@ def _q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two legs under one driver slot (consolidation precedent:
+    rollup+cube, ann_topk_gates):
+
+    - ``batch``: the full-corpus MinHash-LSH near-dup pairs
+      (``minhash_lsh_pairs`` — zero-shuffle in-row signatures,
+      banded bucket join, exact-Jaccard verification);
+    - ``incremental``: the streaming-ingest shape
+      (``build_lsh_index`` + ``lsh_pairs_against_index``) — the
+      even-id half of the corpus is the STANDING INDEX, the odd-id
+      half is the arriving batch, and the leg returns the batch's
+      verified matches against the index. This is the exact operator
+      the incremental/streaming dedup path runs per micro-batch
+      (streaming/incremental_dedup_stream.py), now oracle-checked:
+      because verification is exact Jaccard, the leg must equal the
+      cross-parity restriction of the exact pair set.
+
+    Pairs are normalized to (id_a=min, id_b=max) in both legs so one
+    exact-Jaccard oracle covers them."""
     docs = _read_parallel(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
+    full = minhash_lsh_pairs(
         docs, "doc_id", "text",
         num_hashes=128, bands=32, shingle_size=3, verify_threshold=0.8,
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = build_lsh_index(
+        corpus, "doc_id", "text",
+        num_hashes=128, bands=32, shingle_size=3,
+    )
+    inc = lsh_pairs_against_index(
+        batch, idx, "doc_id", "text", verify_threshold=0.8
+    )
+    return full.select(
+        F.lit("batch").alias("leg"), "id_a", "id_b", "jaccard"
+    ).unionByName(
+        inc.select(
+            F.lit("incremental").alias("leg"),
+            F.least("new_id", "corpus_id").cast("bigint").alias("id_a"),
+            F.greatest("new_id", "corpus_id").cast("bigint").alias("id_b"),
+            "jaccard",
+        )
     )
 
 
@@ -2057,7 +2110,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "ngram_jaccard_capped": _JACCARD_ORACLE,
         "ngram_jaccard_prefix": _JACCARD_ORACLE,
-        "minhash_lsh_pairs": _JACCARD_ORACLE,
+        "minhash_lsh_pairs": _MINHASH_TWO_LEG_ORACLE,
         "embedding_similarity_pairs": _COSINE_PAIRS_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,
         "ann_topk_gates": _ANN_GATES_ORACLE,
