@@ -1053,13 +1053,17 @@ def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         # raw double, no rounding: the oracle replays the identical
         # arithmetic, so the values are bit-equal as-is.
         quality_score(F.col("text")).alias("quality"),
-        token_count(F.col("text"), "bpe").cast("bigint").alias("bpe_tokens"),
+        # mode "regex": the SQL-expressible piece proxy (real BPE
+        # lives in mode "bpe" — operators/bpe.py — and is gated in
+        # the pack_sequences entry's bpe leg, where token budgets
+        # actually bind).
+        token_count(F.col("text"), "regex").cast("bigint").alias("regex_tokens"),
     )
 
 
 def _text_analysis_oracle() -> str:
     """DuckDB SQL replaying detect_language / quality_score /
-    token_count('bpe') arithmetic exactly (same stopword lexicon, same
+    token_count('regex') arithmetic exactly (same stopword lexicon, same
     regexes, same double-precision operation order), generated from
     the operator's own constants so the two can never drift."""
     from serverless_data_lake_spark.operators.text import (
@@ -1116,7 +1120,7 @@ SELECT doc_id,
                     AND (n_chars - n_toks + 1) / n_toks <= 9.0
                THEN 1.0 ELSE 0.3 END) / 4.0 AS quality,
        CAST(len(list_filter(regexp_extract_all(text, '{_BPE_TOKEN_RE}', 0),
-                            x -> x <> '')) AS BIGINT) AS bpe_tokens
+                            x -> x <> '')) AS BIGINT) AS regex_tokens
 FROM q
 """
 
@@ -1401,7 +1405,15 @@ def _q_sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``percentile`` on o_totalprice, gate = sketch within 1% of the
       exact spread; ``metric`` carries the quantile level.
 
-    Both booleans are deterministic, so the approximate operators
+    - ``bpe`` rows (r7): the frozen byte-level BPE tokenizer
+      (operators/bpe.py) run through the DISTRIBUTED pandas-UDF
+      path over fixed probe strings; ``metric`` is the token count
+      (plus the vocab size row). The probes are corpus-independent,
+      so the oracle literals hold at EVERY scale — any change to
+      the shipped vocab, pre-tokenizer, or merge procedure shifts
+      them and fails the gate loudly.
+
+    All booleans are deterministic, so the approximate operators
     stay oracle-checkable (the ANN-gate pattern)."""
     from serverless_data_lake_spark.operators.profile import profile_table
 
@@ -1449,7 +1461,42 @@ def _q_sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.01) * F.col("__range")
         ).alias("approx_ok"),
     )
-    return hll.unionByName(tdigest)
+    probes = spark.createDataFrame(
+        [(k, v) for k, v, _n in _BPE_PROBES], "key string, text string"
+    )
+    bpe = probes.select(
+        F.lit("bpe").alias("gate"),
+        "key",
+        token_count(F.col("text"), "bpe").cast("double").alias("metric"),
+        F.lit(True).alias("approx_ok"),
+    ).unionByName(
+        spark.sql(
+            "SELECT 'bpe' AS gate, 'vocab_size' AS key, "
+            f"CAST({_bpe_vocab_size()} AS DOUBLE) AS metric, "
+            "true AS approx_ok"
+        )
+    )
+    return hll.unionByName(tdigest).unionByName(bpe)
+
+
+# Fixed BPE probes: (key, text, expected count under the FROZEN
+# vocab). Counts are corpus-independent constants — the oracle pins
+# them as literals valid at every scale. Regenerate with
+# tools/train_bpe_vocab.py + operators.bpe.default_tokenizer().count
+# if the vocab file is retrained.
+_BPE_PROBES = [
+    ("common_words", "the quick brown fox jumps over the lazy dog", 31),
+    ("contraction", "it's we'll they've don't", 21),
+    ("digits_punct", "version 3.14159, build #42!", 24),
+    ("unseen_word", "floccinaucinihilipilification", 24),
+    ("unicode", "naïve café résumé", 20),
+]
+
+
+def _bpe_vocab_size() -> int:
+    from serverless_data_lake_spark.operators.bpe import default_tokenizer
+
+    return default_tokenizer().vocab_size
 
 
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1705,6 +1752,14 @@ def _sketch_gates_oracle() -> str:
         CAST(q AS DOUBLE) AS metric, true AS approx_ok
         FROM (VALUES ('0.25', 0.25), ('0.50', 0.5), ('0.75', 0.75),
                      ('0.90', 0.9)) AS t(k, q)"""
+    )
+    bpe_vals = ", ".join(
+        f"('{k}', {n})" for k, _t, n in _BPE_PROBES
+    ) + f", ('vocab_size', {_bpe_vocab_size()})"
+    parts.append(
+        f"""SELECT 'bpe' AS gate, k AS key,
+        CAST(n AS DOUBLE) AS metric, true AS approx_ok
+        FROM (VALUES {bpe_vals}) AS t(k, n)"""
     )
     return "\nUNION ALL\n".join(parts)
 

@@ -40,7 +40,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _token_hashes(text_col: str):
+def _token_hashes(text_col: str, token_mode: str = "whitespace"):
+    """Token-id array for LM counting. ``whitespace``: xxhash64 of
+    lowercased words (JVM-side). ``bpe``: the frozen byte-level BPE
+    ids (operators/bpe.py, Arrow UDF) — ids are stable small longs,
+    so the same 8-byte-key count tables and joins apply unchanged;
+    train and score MUST use the same mode (the id spaces are
+    disjoint by construction, so a mismatch scores everything as
+    unseen rather than silently blending)."""
+    if token_mode == "bpe":
+        from serverless_data_lake_spark.operators.bpe import (
+            bpe_encode_udf,
+        )
+
+        return bpe_encode_udf()(F.col(text_col))
+    if token_mode != "whitespace":
+        raise ValueError(f"unknown token mode: {token_mode}")
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != ""
     )
@@ -69,13 +84,13 @@ class NGramLM:
 
 
 def train_bigram_lm(
-    df: DataFrame, text_col: str = "text"
+    df: DataFrame, text_col: str = "text", token_mode: str = "whitespace"
 ) -> NGramLM:
     """Count unigrams and bigrams over a reference corpus — two
     groupBys on 8-byte hashes, map-side combined. The vocabulary
     size (distinct tokens + 1 unseen slot) is the one driver-side
     scalar."""
-    th = df.select(_token_hashes(text_col).alias("__th"))
+    th = df.select(_token_hashes(text_col, token_mode).alias("__th"))
     toks = th.select(F.explode_outer("__th").alias("w1")).filter(
         F.col("w1").isNotNull()
     )
@@ -117,6 +132,7 @@ def perplexity_score(
     alpha: float = 0.1,
     lam: float = 0.7,
     broadcast: bool = True,
+    token_mode: str = "whitespace",
 ) -> DataFrame:
     """Per-document mean bigram log-probability and perplexity under
     ``lm``. Returns ``(id, n_bigrams, avg_logp, perplexity)``;
@@ -130,7 +146,9 @@ def perplexity_score(
     ``broadcast=True`` hints both LM sides map-side — right for a
     bounded reference LM; pass ``False`` for corpus-scale LMs and
     let AQE pick the join."""
-    th = df.select(F.col(id_col), _token_hashes(text_col).alias("__th"))
+    th = df.select(
+        F.col(id_col), _token_hashes(text_col, token_mode).alias("__th")
+    )
     pairs = th.select(
         F.col(id_col),
         F.explode_outer(

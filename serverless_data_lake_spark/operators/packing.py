@@ -62,11 +62,20 @@ def pack_sequences(
     buckets: int = 256,
     order_col: str | None = None,
     shuffle_salt: str | None = None,
+    token_mode: str = "whitespace",
 ) -> DataFrame:
     """Assign every document its position in the packed token
     stream: documents are laid out in ascending ``id_col`` order
     (ids must be unique — they define the canonical corpus order)
     and cut into ``capacity``-token training sequences.
+
+    ``token_mode`` selects the budget the ``capacity`` is measured
+    in: ``whitespace`` (JVM-side words, the default), ``regex``
+    (SQL-expressible piece proxy), or ``bpe`` — REAL subword tokens
+    against the shipped frozen vocabulary (:mod:`operators.bpe`,
+    Arrow-batched UDF), making context-window capacities mean what
+    a trainer means by them. Ignored when ``n_tokens_col`` supplies
+    precomputed counts.
 
     Trainers usually want documents SHUFFLED, not in corpus order:
     pass ``shuffle_salt`` to lay them out by ``xxhash64(salt, id)``
@@ -106,7 +115,7 @@ def pack_sequences(
     if n_tokens_col is not None:
         n = F.col(n_tokens_col).cast("bigint")
     else:
-        n = token_count(F.col(text_col)).cast("bigint")
+        n = token_count(F.col(text_col), token_mode).cast("bigint")
     proj = df.select(F.col(id_col), order.alias("__o"), n.alias("__n"))
 
     # Small-corpus fast path: ONE global-order window, zero extra

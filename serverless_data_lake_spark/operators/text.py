@@ -45,18 +45,35 @@ def tokenize(text: Column, lowercase: bool = True) -> Column:
 
 
 def token_count(text: Column, mode: str = "whitespace") -> Column:
-    """Token count. ``whitespace`` counts words; ``bpe`` counts
-    GPT-style pieces (letter runs, single digits, punctuation runs) —
-    a serviceable length proxy when no tokenizer model is shipped."""
+    """Token count under three budgets:
+
+    - ``whitespace`` — words (JVM-side, the fast default);
+    - ``regex`` — GPT-style pieces by regex (letter runs, single
+      digits, punctuation runs): a JVM-side, SQL-expressible length
+      proxy (previously named ``bpe``, kept as a deprecated alias
+      via ``regex_bpe``);
+    - ``bpe`` — REAL byte-level BPE against the shipped frozen
+      vocabulary (:mod:`operators.bpe`): the count a trainer's
+      context-window budget actually sees. This is an Arrow-batched
+      pandas UDF (a data-dependent merge loop has no Column form) —
+      use it where token budgets matter (packing, chunking), not in
+      relational hot paths.
+    """
     if mode == "whitespace":
         return F.size(tokenize(text))
-    if mode == "bpe":
+    if mode in ("regex", "regex_bpe"):
         return F.size(
             F.filter(
                 F.regexp_extract_all(text, F.lit(_BPE_TOKEN_RE), 0),
                 lambda x: x != "",
             )
         )
+    if mode == "bpe":
+        from serverless_data_lake_spark.operators.bpe import (
+            bpe_token_count_udf,
+        )
+
+        return bpe_token_count_udf()(text)
     raise ValueError(f"unknown token mode: {mode}")
 
 
@@ -125,23 +142,39 @@ def chunk_documents(
     text_col: str,
     chunk_tokens: int = 64,
     overlap: int = 16,
+    token_mode: str = "whitespace",
 ):
     """Split documents into overlapping token-window chunks — the
     standard context-window prep for LLM training/embedding: chunk i
     covers tokens ``[i·step, i·step + chunk_tokens)`` with
     ``step = chunk_tokens − overlap``.
 
-    Everything is in-row (token split → ``transform`` over chunk
-    starts → ``posexplode``): zero shuffles, output row count =
+    ``token_mode="whitespace"`` (default): everything is in-row
+    (token split → ``transform`` over chunk starts →
+    ``posexplode``): zero shuffles, output row count =
     Σ ceil(max(len−overlap, 1)/step) — embarrassingly parallel at
     corpus scale. An empty/short document yields exactly one
     (possibly short) chunk, so no document silently disappears.
+
+    ``token_mode="bpe"``: windows are REAL subword tokens against
+    the shipped frozen vocabulary (:mod:`operators.bpe`) — the
+    chunk a trainer's context budget actually sees. Runs as a
+    ``mapInPandas`` Arrow kernel (a merge loop has no Column form);
+    byte-level BPE decodes losslessly, so ``chunk_text`` is the
+    exact text slice the window's tokens spell. Same output
+    contract, zero shuffles, same per-doc chunk-count formula.
 
     Returns ``<id_col>, chunk_id, chunk_text, n_tokens``.
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     step = chunk_tokens - overlap
+    if token_mode == "bpe":
+        return _chunk_documents_bpe(
+            df, id_col, text_col, chunk_tokens, overlap, step
+        )
+    if token_mode != "whitespace":
+        raise ValueError(f"unknown token mode: {token_mode}")
     toks = F.filter(
         F.split(F.col(text_col), "\\s+"), lambda t: t != ""
     )
@@ -163,6 +196,52 @@ def chunk_documents(
         F.array_join("__chunk", " ").alias("chunk_text"),
         F.size("__chunk").cast("bigint").alias("n_tokens"),
     )
+
+
+def _chunk_documents_bpe(df, id_col, text_col, chunk_tokens, overlap, step):
+    """BPE leg of :func:`chunk_documents`: encode → slide windows
+    over token ids → decode each window. Arrow-batched; per-task
+    memory is one batch of documents plus their id lists."""
+    import math
+
+    id_field = df.schema[id_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        "chunk_id bigint, chunk_text string, n_tokens bigint"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from serverless_data_lake_spark.operators.bpe import (
+            default_tokenizer,
+        )
+
+        tok = default_tokenizer()
+        for pdf in batches:
+            ids_out, cids, texts, sizes = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                ids = tok.encode(text or "")
+                k = max(
+                    1,
+                    math.ceil(max(len(ids) - overlap, 1) / step),
+                ) if len(ids) > overlap else 1
+                for i in range(k):
+                    window = ids[i * step : i * step + chunk_tokens]
+                    ids_out.append(doc_id)
+                    cids.append(i)
+                    texts.append(tok.decode(window))
+                    sizes.append(len(window))
+            yield pd.DataFrame(
+                {
+                    id_col: ids_out,
+                    "chunk_id": cids,
+                    "chunk_text": texts,
+                    "n_tokens": sizes,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
 def repetition_stats(

@@ -357,12 +357,19 @@ class CurationPipeline:
         return self._add(name, run, eager_input=True)
 
     def length_filter(
-        self, min_tokens: int = 0, max_tokens: int | None = None
+        self,
+        min_tokens: int = 0,
+        max_tokens: int | None = None,
+        token_mode: str = "whitespace",
     ) -> "CurationPipeline":
+        """``token_mode="bpe"`` measures the bounds in real subword
+        tokens (the frozen vocab, operators/bpe.py) — use it when the
+        bounds encode a trainer's context budget rather than a
+        words-ish length heuristic."""
         from serverless_data_lake_spark.operators.text import token_count
 
         def run(df: DataFrame) -> DataFrame:
-            n = token_count(F.col(self.text_col))
+            n = token_count(F.col(self.text_col), token_mode)
             out = df.filter(n >= min_tokens)
             if max_tokens is not None:
                 out = out.filter(n <= max_tokens)

@@ -545,11 +545,13 @@ class TestText:
         df = spark.createDataFrame([(1, "Hello world, 42 times!")], ["id", "t"])
         row = df.select(
             token_count(F.col("t")).alias("ws"),
-            token_count(F.col("t"), "bpe").alias("bpe"),
+            token_count(F.col("t"), "regex").alias("rx"),
         ).collect()[0]
         assert row.ws == 4
-        # hello / world / , / 4 / 2 / times / !
-        assert row.bpe == 7
+        # hello / world / , / 4 / 2 / times / !  (mode "regex" — the
+        # SQL-expressible piece proxy; real subword counting is mode
+        # "bpe", covered in tests/test_bpe.py)
+        assert row.rx == 7
 
     def test_fingerprint_normalizes_whitespace_case(self, spark):
         df = spark.createDataFrame(
