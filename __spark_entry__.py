@@ -563,24 +563,26 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """share_grams: the four exact-Jaccard-family entries (this one,
-    capped, prefix, corpus dedup) build the identical per-document
-    gram-set projection; persisting it lets Spark's CacheManager
-    serve all four from one tokenize+hash pass — the shared gram
-    staging a production pipeline would materialize explicitly.
-
-    The returned pair set is ALSO persisted: it is the published
+    """The returned pair set is persisted: it is the published
     output of this pipeline stage, and ``dedup_corpus_survivors``
     consumes exactly this pair set downstream (a production dedup
     computes pairs once, not once per consumer). Disclosed in
     bench.py and docs/bench.md: within one bench rep this entry pays
     the pair computation and the corpus-dedup entry pays closure +
-    anti-join on top of it; caches are cleared at rep boundaries."""
+    anti-join on top of it; caches are cleared at rep boundaries.
+
+    share_grams stays OFF here: the gram-projection cache A/B
+    (docs/bench.md) measured the columnar cache round-trip at or
+    above the fused recompute on these join-bound entries at sf0.1
+    (trio 10.4-11.2 s cached vs 8.6-10.4 s fused across three
+    sittings), so the entries take the faster fused path; the
+    share=True staging remains the right call when MANY analyses
+    reuse one projection."""
     from pyspark import StorageLevel
 
     docs = _read_parallel(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.8, share_grams=True
+        docs, "doc_id", "text", n=3, threshold=0.8
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
@@ -598,7 +600,7 @@ def _q_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_parallel(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.8,
-        max_doc_freq=100, max_doc_frac=0.02, share_grams=True,
+        max_doc_freq=100, max_doc_frac=0.02,
     )
 
 
@@ -615,9 +617,7 @@ def _q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate recall is acceptable, MinHash-LSH when the corpus is
     too large for either exact path."""
     docs = _read_parallel(spark, sf_dir, "documents")
-    return ngram_jaccard_prefix(
-        docs, "doc_id", "text", n=3, threshold=0.8, share_grams=True
-    )
+    return ngram_jaccard_prefix(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,7 +718,7 @@ def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read_parallel(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.8, share_grams=True
+        docs, "doc_id", "text", n=3, threshold=0.8
     ).persist(StorageLevel.MEMORY_AND_DISK)
     survivors = dedup_corpus(docs, pairs, "doc_id")
     return survivors.select(F.col("doc_id").cast("bigint").alias("doc_id"))

@@ -354,9 +354,26 @@ def ngram_jaccard_pairs(
     # (__na, __nb) are functionally dependent on (id_a, id_b) — adding
     # them to the groupBy keys is free (same group count) and saves
     # the two size join-backs the r5 plan paid.
+    #
+    # The EXPLICIT pair repartition before the groupBy pins the
+    # intersection aggregate's parallelism: candidate-pair rows are
+    # byte-small (~40 B) but the aggregate is compute-dense (group
+    # count ≈ candidate count — pairs sharing one gram dominate), so
+    # AQE's byte-based coalescing collapses the exchange to ONE task
+    # and single-threads ~2/3 of the whole job (measured 3.1 s →
+    # 2.0 s at sf0.1 with parallelism restored). An explicit
+    # numPartitions repartition is exempt from AQE coalescing, and
+    # hash-partitioning on (id_a, id_b) satisfies the groupBy's
+    # clustering (the appended size keys are id-functional), so no
+    # second exchange appears.
     pairs = (
         left.join(right, on="__tok")
         .filter(F.col("l.__id") < F.col("r.__id"))
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            F.col("l.__id"),
+            F.col("r.__id"),
+        )
         .groupBy(
             F.col("l.__id").alias("id_a"),
             F.col("r.__id").alias("id_b"),
@@ -903,6 +920,16 @@ def ngram_jaccard_prefix(
         )
         .select(
             F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+        )
+        # Explicit repartition before the distinct, same rationale as
+        # the pair aggregate in ngram_jaccard_pairs: candidate rows
+        # are 16 bytes but group count ≈ row count, so AQE's
+        # byte-based coalescing would single-thread the final
+        # distinct; REPARTITION_BY_NUM is exempt from coalescing.
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            "id_a",
+            "id_b",
         )
         .distinct()
     )
