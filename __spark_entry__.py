@@ -298,21 +298,44 @@ ORDER BY 1
 
 # JSON extraction differs by name: get_json_object (Spark) vs
 # json_extract_string (DuckDB) — separate texts, same output names.
+# Two token-explosion legs under one driver slot (r7 consolidation,
+# freeing the window position lm_perplexity occupies; precedent:
+# rollup+cube, the two-grain tumbling windows): leg 'corpus' is the
+# global top-20 token frequency, leg 'per_doc' the per-document
+# distinct-token counts through the UNNEST-lateral dialect rewrite.
 _TOKENS_SPARK = """
-SELECT token, COUNT(*) AS n
-FROM (SELECT explode(split(lower(text), ' ')) AS token FROM tpch.silver.documents)
-WHERE token <> ''
-GROUP BY token
-ORDER BY n DESC, token
-LIMIT 20
+SELECT * FROM (
+  SELECT 'corpus' AS leg, token AS key, COUNT(*) AS n
+  FROM (SELECT explode(split(lower(text), ' ')) AS token FROM tpch.silver.documents)
+  WHERE token <> ''
+  GROUP BY token
+  ORDER BY n DESC, token
+  LIMIT 20
+)
+UNION ALL
+SELECT 'per_doc' AS leg, CAST(t.doc_id AS STRING) AS key,
+       COUNT(DISTINCT u.val) AS n
+FROM tpch.silver.documents t,
+     UNNEST(string_split(lower(t.text), ' ')) AS u(val)
+WHERE u.val <> ''
+GROUP BY t.doc_id
 """
 _TOKENS_ORACLE = """
-SELECT token, COUNT(*) AS n
-FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
-WHERE token <> ''
-GROUP BY token
-ORDER BY n DESC, token
-LIMIT 20
+SELECT * FROM (
+  SELECT 'corpus' AS leg, token AS key, COUNT(*) AS n
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY token
+  ORDER BY n DESC, token
+  LIMIT 20
+)
+UNION ALL
+SELECT 'per_doc' AS leg, CAST(t.doc_id AS VARCHAR) AS key,
+       COUNT(DISTINCT u.val) AS n
+FROM documents t,
+     UNNEST(string_split(lower(t.text), ' ')) AS u(val)
+WHERE u.val <> ''
+GROUP BY t.doc_id
 """
 
 # One per-row query pinning the whole JSON-shim surface at once
@@ -419,15 +442,6 @@ GROUP BY c_nationkey
 # (reference analyzer.py:50-74): FROM-clause lateral UNNEST,
 # from_json with a JSON type-descriptor literal, json_extract_string,
 # and SELECT * REPLACE.
-_UNNEST_LATERAL = """
-SELECT t.doc_id, COUNT(DISTINCT u.val) AS n_distinct_tokens
-FROM tpch.silver.documents t,
-     UNNEST(string_split(lower(t.text), ' ')) AS u(val)
-WHERE u.val <> ''
-GROUP BY t.doc_id
-ORDER BY t.doc_id
-"""
-
 _FROM_JSON_UNNEST = """
 SELECT t.event_id, u.val
 FROM tpch.silver.events t,
@@ -1042,6 +1056,96 @@ FROM embeddings WHERE vec_id < 5
 UNION ALL
 SELECT 'ivf' AS method, vec_id AS query_id, CAST(1 AS BOOLEAN) AS recall_ok
 FROM embeddings WHERE vec_id < 5
+"""
+
+
+_TOP_TOKENS_FN = _engine_query(_TOKENS_SPARK)
+
+
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity scoring (operators/lm.py):
+    train the Witten-Bell-interpolated, add-alpha-smoothed bigram LM
+    on the even-id half of the corpus (the "reference corpus"), then
+    score EVERY document — (doc_id, n_bigrams, avg_logp, perplexity).
+    The whole computation is deterministic column arithmetic (two
+    count-table groupBys, two broadcast joins, in-row smoothing), so
+    the DuckDB oracle replays it exactly: string-keyed counts stand
+    in for the operator's xxhash64 token keys (bijective absent
+    64-bit collisions), and every float expression mirrors the
+    operator's operation order. avg_logp is rounded to 6 dp on both
+    sides (an average of doubles is summation-order-dependent in the
+    last ~2 ulps; the rounding absorbs it with ~7 orders of margin)
+    and perplexity is recomputed from the ROUNDED average so exp()
+    sees bit-identical input on both engines."""
+    from serverless_data_lake_spark.operators.lm import (
+        perplexity_score,
+        train_bigram_lm,
+    )
+
+    docs = _read_parallel(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    scored = perplexity_score(docs, "doc_id", lm)
+    av = F.round(F.col("avg_logp"), 6)
+    return scored.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        av.alias("avg_logp"),
+        F.round(F.exp(-av), 6).alias("perplexity"),
+    )
+
+
+_LM_PERPLEXITY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+ref_uni AS (
+  SELECT t AS w1, COUNT(*) AS c1
+  FROM (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 2 = 0)
+  GROUP BY t
+),
+ref_bi AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM (
+    SELECT toks[i] AS w1, toks[i + 1] AS w2
+    FROM (SELECT toks FROM tok WHERE doc_id % 2 = 0),
+         UNNEST(range(1, len(toks))) AS u(i)
+  ) GROUP BY w1, w2
+),
+stats AS (SELECT COUNT(*) + 1 AS v, SUM(c1) AS t FROM ref_uni),
+pairs AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM tok, UNNEST(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(
+           ((0.7 * CAST(COALESCE(u1.c1, 0) AS DOUBLE))
+              / (CAST(COALESCE(u1.c1, 0) AS DOUBLE) + 1.0))
+           * ((CAST(COALESCE(b.c12, 0) AS DOUBLE) + 0.1)
+              / (CAST(COALESCE(u1.c1, 0) AS DOUBLE) + 0.1 * s.v))
+           + (1.0 - ((0.7 * CAST(COALESCE(u1.c1, 0) AS DOUBLE))
+                       / (CAST(COALESCE(u1.c1, 0) AS DOUBLE) + 1.0)))
+           * ((CAST(COALESCE(u2.c1, 0) AS DOUBLE) + 0.1)
+              / (CAST(s.t AS DOUBLE) + 0.1 * s.v))
+         ) AS logp
+  FROM pairs p
+  LEFT JOIN ref_bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN ref_uni u1 ON u1.w1 = p.w1
+  LEFT JOIN ref_uni u2 ON u2.w1 = p.w2
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, AVG(logp) AS al
+  FROM scored GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(a.n_bigrams AS BIGINT) AS n_bigrams,
+       ROUND(a.al, 6) AS avg_logp,
+       ROUND(EXP(-ROUND(a.al, 6)), 6) AS perplexity
+FROM documents d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
 
 
@@ -2068,11 +2172,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_cube_order_stats": _engine_query(_ROLLUP_CUBE),
         "count_distinct_segments": _engine_query(_COUNT_DISTINCT),
         "monthly_revenue": _engine_query(_DATE_TRUNC),
-        "top_tokens": _engine_query(_TOKENS_SPARK),
+        "top_tokens": _TOP_TOKENS_FN,
         "json_dialect_shims": _engine_query(_JSON_SHIMS_SPARK),
         "dialect_text_funcs": _engine_query(_DIALECT_TEXT_SPARK),
         "list_agg_segments": _engine_query(_LIST_AGG_SPARK),
-        "unnest_lateral_tokens": _engine_query(_UNNEST_LATERAL),
+        "lm_perplexity": _q_lm_perplexity,
         "from_json_unnest": _engine_query(_FROM_JSON_UNNEST),
         "star_replace_orders": _engine_query(_STAR_REPLACE),
         "nonequi_price_pairs": _engine_query(_NONEQUI),
@@ -2122,6 +2226,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tumbling_window_counts (r6: folded in as its 1-hour grain
         # to free a driver-window slot for pack_sequences).
         "hourly_event_windows": _q_tumbling_windows,
+        # Continuity alias (r7 consolidation): the lateral-UNNEST
+        # per-doc leg now lives inside top_tokens; identical callable
+        # + oracle, so parity tooling still checks it while the freed
+        # window slot carries lm_perplexity.
+        "unnest_lateral_tokens": _TOP_TOKENS_FN,
     }
     return q
 
@@ -2142,7 +2251,7 @@ def oracle_sql() -> dict[str, str]:
         "json_dialect_shims": _JSON_SHIMS_ORACLE,
         "dialect_text_funcs": _DIALECT_TEXT_ORACLE,
         "list_agg_segments": _LIST_AGG_ORACLE,
-        "unnest_lateral_tokens": _strip(_UNNEST_LATERAL),
+        "lm_perplexity": _LM_PERPLEXITY_ORACLE,
         "from_json_unnest": _strip(_FROM_JSON_UNNEST),
         "star_replace_orders": _strip(_STAR_REPLACE),
         "nonequi_price_pairs": _strip(_NONEQUI),
@@ -2184,4 +2293,5 @@ def oracle_sql() -> dict[str, str]:
         # Continuity alias (r6 merge): identical callable, identical
         # oracle as tumbling_window_counts.
         "hourly_event_windows": _TUMBLING_ORACLE,
+        "unnest_lateral_tokens": _TOKENS_ORACLE,
     }

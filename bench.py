@@ -73,7 +73,7 @@ BENCH_QUERIES = [
     "multimodal_features",
     "semantic_dedup_gate",
     "multimodal_metadata_stats",
-    "unnest_lateral_tokens",
+    "lm_perplexity",
     "from_json_unnest",
     "star_replace_orders",
 ]
@@ -174,15 +174,16 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             draws[name].append(time.time() - started)
         # Hygiene at the REP boundary (untimed), not between
-        # queries: the exact-Jaccard family deliberately shares one
-        # persisted gram projection (gram_hash_sets(share=True)) —
-        # the shared staging a production pipeline would
-        # materialize once — and clearing per-query would force
-        # every sibling to re-tokenize. Remaining persists are
-        # small (the gram cache is ~8 bytes/token) and operators
-        # that cache large intermediates unpersist themselves
+        # queries: ngram_jaccard_pairs PUBLISHES its pair set
+        # (persisted result) and dedup_corpus_survivors consumes it
+        # downstream in the same rep — the pipeline shape, disclosed
+        # in both entry docstrings and docs/bench.md; clearing
+        # per-query would force the dedup entry to recompute the
+        # pairs its sibling already paid for. Persists are small
+        # (the pair set is a few hundred rows) and operators that
+        # cache large intermediates unpersist themselves
         # (connected_components), so per-rep clearing keeps later
-        # queries untaxed without defeating the sharing.
+        # queries untaxed without defeating the publish.
         spark.catalog.clearCache()
     timings = {
         name: round(
