@@ -1083,7 +1083,14 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _read_parallel(spark, sf_dir, "documents")
-    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    # persist=True: the count tables cache at construction (the
+    # stats collect materializes them), so the reference corpus is
+    # tokenized once; bench.py folds this entry's construct time
+    # into its headline (EAGER_CONSTRUCT) since the oracle performs
+    # the training inside its own measured time.
+    lm = train_bigram_lm(
+        docs.filter(F.col("doc_id") % 2 == 0), persist=True
+    )
     scored = perplexity_score(docs, "doc_id", lm)
     av = F.round(F.col("avg_logp"), 6)
     return scored.select(

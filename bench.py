@@ -86,7 +86,14 @@ BENCH_QUERIES = [
 # Spark-vs-oracle comparisons measure the same work on both sides
 # (r5 advisory: the closure was excluded from the headline while the
 # oracle's recursive CTE paid it).
-EAGER_CONSTRUCT = {"dedup_corpus_survivors", "pack_sequences"}
+EAGER_CONSTRUCT = {
+    "dedup_corpus_survivors",
+    "pack_sequences",
+    # the bigram-LM training collect runs at construction; the
+    # oracle trains inside its measured time, so the construct
+    # belongs in the headline (r5-advisory accounting).
+    "lm_perplexity",
+}
 
 
 def main() -> None:

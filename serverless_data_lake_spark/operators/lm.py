@@ -84,12 +84,19 @@ class NGramLM:
 
 
 def train_bigram_lm(
-    df: DataFrame, text_col: str = "text", token_mode: str = "whitespace"
+    df: DataFrame,
+    text_col: str = "text",
+    token_mode: str = "whitespace",
+    persist: bool = False,
 ) -> NGramLM:
     """Count unigrams and bigrams over a reference corpus — two
     groupBys on 8-byte hashes, map-side combined. The vocabulary
     size (distinct tokens + 1 unseen slot) is the one driver-side
-    scalar."""
+    scalar. ``persist=True`` caches both count tables BEFORE the
+    stats collect, so the reference corpus is tokenized once total
+    rather than once per scoring pass — the right call whenever the
+    model scores anything (the stats collect doubles as the unigram
+    materializer; the bigram table caches on first use)."""
     th = df.select(_token_hashes(text_col, token_mode).alias("__th"))
     toks = th.select(F.explode_outer("__th").alias("w1")).filter(
         F.col("w1").isNotNull()
@@ -113,6 +120,9 @@ def train_bigram_lm(
     bigrams = pairs.select("bg.w1", "bg.w2").groupBy("w1", "w2").agg(
         F.count("*").alias("c12")
     )
+    if persist:
+        unigrams = unigrams.persist()
+        bigrams = bigrams.persist()
     stats = unigrams.agg(
         F.count("*").alias("v"), F.sum("c1").alias("t")
     ).collect()[0]
