@@ -1065,8 +1065,10 @@ _TOP_TOKENS_FN = _engine_query(_TOKENS_SPARK)
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style bigram-LM perplexity scoring (operators/lm.py):
     train the Witten-Bell-interpolated, add-alpha-smoothed bigram LM
-    on the even-id half of the corpus (the "reference corpus"), then
-    score EVERY document — (doc_id, n_bigrams, avg_logp, perplexity).
+    on the doc_id%10==0 tenth of the corpus (the "reference corpus"
+    — CCNet's reference LM is a small separate corpus, e.g.
+    Wikipedia, scoring a much larger crawl), then score EVERY
+    document — (doc_id, n_bigrams, avg_logp, perplexity).
     The whole computation is deterministic column arithmetic (two
     count-table groupBys, two broadcast joins, in-row smoothing), so
     the DuckDB oracle replays it exactly: string-keyed counts stand
@@ -1089,7 +1091,7 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into its headline (EAGER_CONSTRUCT) since the oracle performs
     # the training inside its own measured time.
     lm = train_bigram_lm(
-        docs.filter(F.col("doc_id") % 2 == 0), persist=True
+        docs.filter(F.col("doc_id") % 10 == 0), persist=True
     )
     scored = perplexity_score(docs, "doc_id", lm)
     av = F.round(F.col("avg_logp"), 6)
@@ -1109,13 +1111,13 @@ WITH tok AS (
 ),
 ref_uni AS (
   SELECT t AS w1, COUNT(*) AS c1
-  FROM (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 2 = 0)
+  FROM (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 10 = 0)
   GROUP BY t
 ),
 ref_bi AS (
   SELECT w1, w2, COUNT(*) AS c12 FROM (
     SELECT toks[i] AS w1, toks[i + 1] AS w2
-    FROM (SELECT toks FROM tok WHERE doc_id % 2 = 0),
+    FROM (SELECT toks FROM tok WHERE doc_id % 10 = 0),
          UNNEST(range(1, len(toks))) AS u(i)
   ) GROUP BY w1, w2
 ),
