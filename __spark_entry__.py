@@ -348,29 +348,58 @@ GROUP BY t.doc_id
 # correctness window has room for the r3-r5 additions (connected
 # components, bronze scan, PPJoin, simhash gate) — the feature
 # coverage is identical, one green row instead of five.
+# Two JSON-dialect legs under one driver slot (r7 consolidation,
+# freeing the window position mixing_controls occupies): leg 'shims'
+# is the scalar-shim battery (json_extract_string, ->>, from_json
+# struct descriptor, epoch_ms, windowed sum over extracted values);
+# leg 'unnest' is UNNEST over a from_json array descriptor.
 _JSON_SHIMS_SPARK = """
-SELECT event_id,
+SELECT 'shims' AS leg, event_id,
        json_extract_string(props, '$.k') AS k_str,
        CAST(props ->> 'k' AS BIGINT) AS k_arrow,
        from_json(props, 'k INT').k AS k_struct,
        epoch_ms(CAST(get_json_object(props, '$.k') AS BIGINT) * 86400000) AS k_day,
        CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT))
-            OVER (PARTITION BY event_type) AS BIGINT) AS k_type_sum
+            OVER (PARTITION BY event_type) AS BIGINT) AS k_type_sum,
+       CAST(NULL AS STRING) AS val
 FROM tpch.silver.events
 WHERE event_id < 100
-ORDER BY event_id
+UNION ALL
+SELECT 'unnest' AS leg, t.event_id,
+       CAST(NULL AS STRING) AS k_str,
+       CAST(NULL AS BIGINT) AS k_arrow,
+       CAST(NULL AS INT) AS k_struct,
+       CAST(NULL AS TIMESTAMP) AS k_day,
+       CAST(NULL AS BIGINT) AS k_type_sum,
+       u.val
+FROM tpch.silver.events t,
+     UNNEST(from_json('["' || t.event_type || '","e' || t.event_id || '"]',
+                      '["VARCHAR"]')) AS u(val)
+WHERE t.event_id < 100
 """
 _JSON_SHIMS_ORACLE = """
-SELECT event_id,
+SELECT 'shims' AS leg, event_id,
        json_extract_string(props, '$.k') AS k_str,
        CAST(props ->> 'k' AS BIGINT) AS k_arrow,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct,
        epoch_ms(CAST(json_extract_string(props, '$.k') AS BIGINT) * 86400000) AS k_day,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-            OVER (PARTITION BY event_type) AS BIGINT) AS k_type_sum
+            OVER (PARTITION BY event_type) AS BIGINT) AS k_type_sum,
+       CAST(NULL AS VARCHAR) AS val
 FROM events
 WHERE event_id < 100
-ORDER BY event_id
+UNION ALL
+SELECT 'unnest' AS leg, t.event_id,
+       CAST(NULL AS VARCHAR) AS k_str,
+       CAST(NULL AS BIGINT) AS k_arrow,
+       CAST(NULL AS INTEGER) AS k_struct,
+       CAST(NULL AS TIMESTAMP) AS k_day,
+       CAST(NULL AS BIGINT) AS k_type_sum,
+       u.val
+FROM events t,
+     UNNEST(from_json('["' || t.event_type || '","e' || t.event_id || '"]',
+                      '["VARCHAR"]')) AS u(val)
+WHERE t.event_id < 100
 """
 
 # Hourly event-time windows through the ENGINE path (3-part name
@@ -442,15 +471,6 @@ GROUP BY c_nationkey
 # (reference analyzer.py:50-74): FROM-clause lateral UNNEST,
 # from_json with a JSON type-descriptor literal, json_extract_string,
 # and SELECT * REPLACE.
-_FROM_JSON_UNNEST = """
-SELECT t.event_id, u.val
-FROM tpch.silver.events t,
-     UNNEST(from_json('["' || t.event_type || '","e' || t.event_id || '"]',
-                      '["VARCHAR"]')) AS u(val)
-WHERE t.event_id < 100
-ORDER BY t.event_id, u.val
-"""
-
 _STAR_REPLACE = """
 SELECT o_orderkey, o_totalprice, o_orderpriority FROM (
   SELECT * REPLACE (CAST(o_totalprice * 2 AS DOUBLE) AS o_totalprice,
@@ -762,13 +782,26 @@ WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
 
 
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (operators/dedup.py
-    ``decontaminate``, GPT-3 appendix-C rule): hold out every 17th
-    document as the "eval suite", drop training docs sharing ≥ 1
-    distinct 5-gram with it, return surviving doc ids. The test-side
-    gram set is broadcast; the train side streams once. The oracle
-    recomputes the same overlap with string grams in DuckDB."""
-    from serverless_data_lake_spark.operators.dedup import decontaminate
+    """Benchmark decontamination (operators/dedup.py), two legs under
+    one driver slot (r7; consolidation precedent: minhash,
+    top_tokens):
+
+    - ``survivor``: GPT-3 appendix-C rule — hold out every 17th
+      document as the "eval suite", drop training docs sharing ≥ 1
+      distinct 5-gram with it, return surviving doc ids
+      (``decontaminate``; the test-side gram set is broadcast, the
+      train side streams once);
+    - ``report``: the AUDIT table over the same split
+      (``contamination_report``) — per eval doc, how many training
+      docs collide and a bounded sorted sample of their ids
+      (GPT-3's appendix-C analysis shape). Clean eval docs report
+      explicit zero rows.
+
+    The oracle recomputes both legs with string grams in DuckDB."""
+    from serverless_data_lake_spark.operators.dedup import (
+        contamination_report,
+        decontaminate,
+    )
 
     docs = _read_parallel(spark, sf_dir, "documents")
     test = docs.filter(F.col("doc_id") % 17 == 0)
@@ -779,7 +812,23 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = decontaminate(
         train, test, "doc_id", "text", n=5, min_shared=1, broadcast=True
     )
-    return clean.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    survivors = clean.select(
+        F.lit("survivor").alias("leg"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("n_contaminated"),
+        F.lit(None).cast("array<bigint>").alias("example_train_ids"),
+    )
+    report = contamination_report(
+        train, test, "doc_id", "text", n=5, min_shared=1, examples=3
+    ).select(
+        F.lit("report").alias("leg"),
+        F.col("test_id").cast("bigint").alias("doc_id"),
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        F.col("example_train_ids").cast("array<bigint>").alias(
+            "example_train_ids"
+        ),
+    )
+    return survivors.unionByName(report)
 
 
 _DECONTAMINATE_ORACLE = """
@@ -803,10 +852,31 @@ test_grams AS (
 contaminated AS (
   SELECT DISTINCT doc_id FROM grams
   WHERE doc_id % 17 <> 0 AND g IN (SELECT g FROM test_grams)
+),
+pair_hits AS (
+  SELECT tg.doc_id AS tid, tr.doc_id AS cid
+  FROM (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 17 = 0) tg
+  JOIN (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 17 <> 0) tr
+    ON tr.g = tg.g
+  GROUP BY tg.doc_id, tr.doc_id
+),
+report AS (
+  SELECT tid, COUNT(*) AS n,
+         list_sort(list(DISTINCT cid))[1:3] AS ex
+  FROM pair_hits GROUP BY tid
 )
-SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+SELECT 'survivor' AS leg, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(NULL AS BIGINT) AS n_contaminated,
+       CAST(NULL AS BIGINT[]) AS example_train_ids
+FROM documents
 WHERE doc_id % 17 <> 0
   AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+UNION ALL
+SELECT 'report' AS leg, CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(r.n, 0) AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(r.ex, []) AS BIGINT[]) AS example_train_ids
+FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) t
+LEFT JOIN report r ON r.tid = t.doc_id
 """
 
 
@@ -1060,6 +1130,109 @@ FROM embeddings WHERE vec_id < 5
 
 
 _TOP_TOKENS_FN = _engine_query(_TOKENS_SPARK)
+_JSON_SHIMS_FN = _engine_query(_JSON_SHIMS_SPARK)
+
+
+#: The ten sources lumped into one oversized 'web' origin for the
+#: mixing entry — makes the rebalance fixed point bite (web holds
+#: half the corpus; everything else stays under the cap).
+_MIX_WEB_SOURCES = [f"src{i}" for i in range(10)]
+
+
+def _q_mixing_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/domain mixing controls (operators/mixing.py), three
+    legs under one driver slot: documents are regrouped so sources
+    src0-src9 form one oversized ``web`` origin (~half the corpus),
+    then
+
+    - ``cap``: ``cap_per_group`` keeps the 10 lowest doc_ids per
+      origin (two-phase salted top-N — no hot origin ever serializes
+      one window partition; the oracle is the naive row_number);
+    - ``rebalance``: ``rebalance_sources(max_frac=0.3)`` — the
+      driver-side fixed point sets the keep-rate so ``web`` shrinks
+      to exactly 30% of the FINAL corpus; the oracle re-solves the
+      same fixed point with a recursive CTE and replays the md5
+      hash selection;
+    - ``mix``: ``source_mix_report`` — the release-audit mix table.
+
+    All three are deterministic (hash selection, lowest-id winners),
+    so the whole family is value-hash oracle-checked."""
+    from serverless_data_lake_spark.operators.mixing import (
+        cap_per_group,
+        rebalance_sources,
+        source_mix_report,
+    )
+
+    docs = _read_parallel(spark, sf_dir, "documents").withColumn(
+        "grp",
+        F.when(
+            F.col("source").isin(_MIX_WEB_SOURCES), F.lit("web")
+        ).otherwise(F.col("source")),
+    )
+    capped = cap_per_group(docs, "grp", "doc_id", max_rows=10).select(
+        F.lit("cap").alias("leg"),
+        F.col("grp"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("frac"),
+    )
+    reb = rebalance_sources(docs, "grp", "doc_id", max_frac=0.3).select(
+        F.lit("rebalance").alias("leg"),
+        F.col("grp"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("frac"),
+    )
+    mix = source_mix_report(docs, "grp").select(
+        F.lit("mix").alias("leg"),
+        F.col("grp"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.col("n"),
+        F.col("frac"),
+    )
+    return capped.unionByName(reb).unionByName(mix)
+
+
+def _mixing_oracle() -> str:
+    webs = ", ".join(f"'{s}'" for s in _MIX_WEB_SOURCES)
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         CASE WHEN source IN ({webs}) THEN 'web' ELSE source END AS grp
+  FROM documents
+),
+counts AS (SELECT grp, COUNT(*) AS n FROM d GROUP BY grp),
+tot AS (SELECT SUM(n)::DOUBLE AS t0 FROM counts),
+it(i, t) AS (
+  SELECT 0, t0 FROM tot
+  UNION ALL
+  SELECT i + 1,
+         (SELECT SUM(LEAST(n::DOUBLE, 0.3 * it.t)) FROM counts)
+  FROM it WHERE i < 60
+),
+cap AS (SELECT 0.3 * t AS cap_size FROM it WHERE i = 60),
+rates AS (
+  SELECT grp, LEAST(1.0, cap_size / n) AS rate FROM counts, cap
+)
+SELECT 'cap' AS leg, grp, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS frac
+FROM (
+  SELECT grp, doc_id,
+         row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+  FROM d
+) WHERE rn <= 10
+UNION ALL
+SELECT 'rebalance' AS leg, d.grp, CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS frac
+FROM d JOIN rates r ON r.grp = d.grp
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      / 4294967296.0 < r.rate
+UNION ALL
+SELECT 'mix' AS leg, grp, CAST(NULL AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS n,
+       n / (SELECT SUM(n) FROM counts) AS frac
+FROM counts
+"""
 
 
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1701,13 +1874,19 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
       aggregated to per-split counts;
     - ``stratified_sample`` (r6): per-source keep rates (src0
       thinned to 2%, src1 boosted to 40%, everything else 10%),
-      aggregated to per-source survivor counts.
+      aggregated to per-source survivor counts;
+    - ``importance_sample`` (r7): DSIR-style deterministic
+      importance resampling — keep probability
+      ``min(1, n_chars/500)`` (a length weight standing in for the
+      LM likelihood ratio; the hash threshold replaces the coin),
+      surviving doc ids emitted row-level.
 
     The legs union with a ``part`` marker; the oracle replays the
     identical md5 hash-bound arithmetic in DuckDB."""
     from serverless_data_lake_spark.operators.sampling import (
         assign_splits,
         deterministic_sample,
+        importance_sample,
         stratified_sample,
     )
 
@@ -1734,7 +1913,14 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
         .select(F.lit("strat").alias("part"), F.col("source").alias("key"), "n")
     )
-    return sample.unionAll(splits).unionAll(strat)
+    imp = importance_sample(
+        docs, "doc_id", F.col("n_chars") / F.lit(500.0)
+    ).select(
+        F.lit("importance").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_chars").cast("bigint").alias("n"),
+    )
+    return sample.unionAll(splits).unionAll(strat).unionAll(imp)
 
 
 _SAMPLING_SPLITS_ORACLE = """
@@ -1763,6 +1949,12 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
                     WHEN 'src1' THEN 0.4
                     ELSE 0.1 END
 GROUP BY 2
+UNION ALL
+SELECT 'importance' AS part, CAST(doc_id AS VARCHAR) AS key,
+       CAST(n_chars AS BIGINT) AS n
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      / 4294967296.0 < LEAST(1.0, 1.0 * (n_chars / 500.0))
 """
 
 
@@ -2182,11 +2374,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct_segments": _engine_query(_COUNT_DISTINCT),
         "monthly_revenue": _engine_query(_DATE_TRUNC),
         "top_tokens": _TOP_TOKENS_FN,
-        "json_dialect_shims": _engine_query(_JSON_SHIMS_SPARK),
+        "json_dialect_shims": _JSON_SHIMS_FN,
         "dialect_text_funcs": _engine_query(_DIALECT_TEXT_SPARK),
         "list_agg_segments": _engine_query(_LIST_AGG_SPARK),
         "lm_perplexity": _q_lm_perplexity,
-        "from_json_unnest": _engine_query(_FROM_JSON_UNNEST),
+        "mixing_controls": _q_mixing_controls,
         "star_replace_orders": _engine_query(_STAR_REPLACE),
         "nonequi_price_pairs": _engine_query(_NONEQUI),
         "pack_sequences": _q_pack_sequences,
@@ -2240,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + oracle, so parity tooling still checks it while the freed
         # window slot carries lm_perplexity.
         "unnest_lateral_tokens": _TOP_TOKENS_FN,
+        "from_json_unnest": _JSON_SHIMS_FN,
     }
     return q
 
@@ -2261,7 +2454,7 @@ def oracle_sql() -> dict[str, str]:
         "dialect_text_funcs": _DIALECT_TEXT_ORACLE,
         "list_agg_segments": _LIST_AGG_ORACLE,
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
-        "from_json_unnest": _strip(_FROM_JSON_UNNEST),
+        "mixing_controls": _mixing_oracle(),
         "star_replace_orders": _strip(_STAR_REPLACE),
         "nonequi_price_pairs": _strip(_NONEQUI),
         "pack_sequences": _PACK_ORACLE,
@@ -2303,4 +2496,5 @@ def oracle_sql() -> dict[str, str]:
         # oracle as tumbling_window_counts.
         "hourly_event_windows": _TUMBLING_ORACLE,
         "unnest_lateral_tokens": _TOKENS_ORACLE,
+        "from_json_unnest": _JSON_SHIMS_ORACLE,
     }

@@ -74,7 +74,7 @@ BENCH_QUERIES = [
     "semantic_dedup_gate",
     "multimodal_metadata_stats",
     "lm_perplexity",
-    "from_json_unnest",
+    "mixing_controls",
     "star_replace_orders",
 ]
 
