@@ -172,9 +172,14 @@ def start_incremental_dedup_stream(
         # between them replays the batch and each write lands
         # idempotently on its own partition.
         _write_partition(survivors, out_path, batch_id)
-        new_rows = spark.read.parquet(
-            os.path.join(out_path, f"__batch_id={int(batch_id)}")
-        )
+        part_path = os.path.join(out_path, f"__batch_id={int(batch_id)}")
+        if not os.path.exists(part_path):
+            # Every row of the batch was a duplicate: the dynamic
+            # overwrite wrote no partition at all, and there is
+            # nothing to add to the index. (Same local-FS existence
+            # check as read_lsh_index.)
+            return
+        new_rows = spark.read.parquet(part_path)
         grams = gram_hash_sets(
             new_rows, id_col, text_col, shingle_size
         ).select(F.col(id_col).alias("__cid"), "__grams")

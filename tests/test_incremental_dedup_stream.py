@@ -146,6 +146,59 @@ def test_fresh_stream_without_seed_index(spark, tmp_path):
     assert got == [10, 11, 12, 21]
 
 
+def test_all_duplicate_batch_does_not_crash_stream(spark, tmp_path):
+    """A micro-batch whose every row duplicates the standing corpus
+    writes NO survivor partition — the handler must skip the
+    read-back and index growth instead of crashing on the missing
+    path, and later batches must still process."""
+    import json
+    import os
+    import time
+
+    from serverless_data_lake_spark.operators.dedup import build_lsh_index
+
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    index_dir = str(tmp_path / "index")
+    write_lsh_index(build_lsh_index(corpus, "doc_id", "text"), index_dir)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        # batch 1: pure duplicate of the corpus doc -> zero survivors
+        [(30, "standing corpus entry about river navigation and lock "
+              "systems today")],
+        # batch 2: genuinely new -> must still land
+        [(31, "entirely novel follow-up text about tidal barrage "
+              "engineering methods")],
+    ]
+    now = time.time()
+    for k, rows in enumerate(batches):
+        p = src / f"b{k}.json"
+        with open(p, "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        os.utime(p, (now - 60 + 30 * k, now - 60 + 30 * k))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_incremental_dedup_stream(
+        stream, index_dir, str(tmp_path / "out"), str(tmp_path / "ck"),
+        verify_threshold=THRESH,
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [31]
+    idx = read_lsh_index(spark, index_dir)
+    ids = {r["__cid"] for r in idx.grams_df.select("__cid").collect()}
+    assert ids == {1, 31}  # duplicate 30 never entered the index
+
+
 def test_replayed_batch_write_is_idempotent(spark, tmp_path):
     """A crash-replayed micro-batch must not duplicate survivor rows:
     the __batch_id-keyed dynamic overwrite rewrites only its own
