@@ -75,6 +75,51 @@ class TestCore:
         assert a == b
 
 
+class TestProperties:
+    def test_roundtrip_arbitrary_unicode(self):
+        """Byte-level BPE is lossless on ANY string (the base
+        alphabet is the UTF-8 byte, so nothing falls outside the
+        vocab) — property-tested over arbitrary unicode."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        tok = default_tokenizer()
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.text(max_size=200))
+        def check(s):
+            ids = tok.encode(s)
+            assert tok.decode(ids) == s
+            assert tok.count(s) == len(ids)
+            assert all(0 <= i < tok.vocab_size for i in ids)
+
+        check()
+
+    def test_count_additive_over_pretoken_chunks(self):
+        """Merges never cross pre-token chunks, so the count of a
+        concatenation of chunk-aligned pieces equals the sum of
+        counts — property-tested over word lists."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        tok = default_tokenizer()
+        word = st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+            min_size=1,
+            max_size=12,
+        )
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.lists(word, min_size=1, max_size=20))
+        def check(words):
+            text = " ".join(words)
+            # " w" chunks for all but the first word
+            parts = [words[0]] + [" " + w for w in words[1:]]
+            assert tok.count(text) == sum(tok.count(p) for p in parts)
+
+        check()
+
+
 class TestSparkWiring:
     def test_token_count_bpe_matches_local(self, spark):
         from serverless_data_lake_spark.operators.text import token_count
