@@ -87,6 +87,12 @@ def duck_summary(con, sql: str) -> dict:
     parts = ["count(*) AS __rows"]
     for c, t in cols:
         qc = f'"{c}"'
+        if any(k in t for k in ("[]", "list", "struct", "map", "blob")):
+            # arrays/structs/binary: covered by the row count only —
+            # MUST be checked before the numeric branch ("bigint[]"
+            # contains "int" and would be summed, which DuckDB
+            # cannot cast).
+            continue
         if any(
             k in t
             for k in ("int", "float", "double", "decimal", "hugeint")
