@@ -432,3 +432,25 @@ def test_make_release_eval_path_missing_column(spark, tmp_path):
         main(["--sf-dir", "/root/testdata/sf0.001",
               "--out", str(tmp_path / "rel"),
               "--eval-path", eval_file])
+
+
+def test_length_filter_bpe_mode(spark):
+    """length_filter(token_mode='bpe') bounds in real subword tokens:
+    a short-word doc and a rare-long-word doc with equal WHITESPACE
+    counts diverge under BPE (rare words split into many pieces)."""
+    from serverless_data_lake_spark.operators.bpe import default_tokenizer
+
+    tok = default_tokenizer()
+    short = "the data lake stores documents"
+    rare = "floccinaucinihilipilification antidisestablishmentarianism xylophonically quizzically bamboozled"
+    assert len(short.split()) == len(rare.split())
+    cut = (tok.count(short) + tok.count(rare)) // 2
+    df = spark.createDataFrame(
+        [(1, short), (2, rare)], "doc_id long, text string"
+    )
+    out, _report = (
+        CurationPipeline("doc_id", "text")
+        .length_filter(max_tokens=cut, token_mode="bpe")
+        .execute(df)
+    )
+    assert [r.doc_id for r in out.collect()] == [1]
