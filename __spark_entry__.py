@@ -132,6 +132,9 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(_data_path(sf_dir, table))
 
 
+_scan_partitions_cache: dict[tuple[int, str, str], bool] = {}
+
+
 def _read_parallel(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read with compute parallelism guaranteed.
 
@@ -141,10 +144,19 @@ def _read_parallel(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     document). A single-partition scan would serialize that compute
     on one core; one cheap shuffle of the small input restores the
     parallelism a production multi-file layout has natively. Guarded:
-    inputs that already carry enough partitions are left alone."""
+    inputs that already carry enough partitions are left alone. The
+    needs-repartition probe (`df.rdd.getNumPartitions()` — a py4j
+    RDD round-trip, ~0.1 s) is memoized per (session, path): the
+    file layout is fixed for a session, and the probe cost lands in
+    the CONSTRUCT time of the eager entries."""
     df = _read(spark, sf_dir, table)
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
+    key = (id(spark), sf_dir, table)
+    needs = _scan_partitions_cache.get(key)
+    if needs is None:
+        needs = df.rdd.getNumPartitions() < cores
+        _scan_partitions_cache[key] = needs
+    if needs:
         df = df.repartition(cores)
     return df
 
