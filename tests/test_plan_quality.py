@@ -191,3 +191,27 @@ def test_sessionize_single_shuffle(plans):
     partitioning."""
     plan = plans("sessionize_events")
     assert _count_nodes(plan, "Exchange") == 1
+
+
+def test_mixing_controls_no_python_no_cartesian(plans):
+    """The mixing entry (cap + rebalance + mix report) is pure
+    Column logic: no Python row path, no cartesian product, and the
+    rebalance rate table joins as a broadcast (it is one row per
+    group). The cap's two-phase salted top-N shows as windows keyed
+    by (grp, salt) — never a bare-grp global window alone."""
+    plan = plans("mixing_controls")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert _count_nodes(plan, "BroadcastHashJoin") >= 1  # rate table
+    assert "pmod(xxhash64" in plan  # salted sub-bucket key in phase 1
+
+
+def test_lm_perplexity_jvm_only_broadcast_lm(plans):
+    """Whitespace-mode LM scoring must stay JVM-side (the count
+    tables and the smoothing arithmetic are pure Column exprs) with
+    the LM sides broadcast — a shuffle join against a bounded
+    reference LM would shuffle the whole corpus' bigram explosion."""
+    plan = plans("lm_perplexity")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert _count_nodes(plan, "BroadcastHashJoin") == 3  # bi, uni1, uni2
