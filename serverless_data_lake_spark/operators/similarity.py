@@ -799,3 +799,167 @@ def dequantize_embeddings(codes: Column, scale: Column) -> Column:
     return F.transform(
         codes, lambda c: c.cast("double") * scale.cast("double")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search")
+# ---------------------------------------------------------------------------
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    k: int = 256,
+    sample_size: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Train product-quantization codebooks: the vector splits into
+    ``m`` contiguous subspaces of ``dim/m`` components, each
+    quantized by its own ``k``-centroid Lloyd k-means trained on a
+    driver-side bounded sample (constant driver memory, the same
+    sample discipline as :func:`_train_spherical_kmeans`, including
+    the lexicographic sample sort that makes training input-order
+    insensitive). Returns a ``(m, k, dim//m)`` float64 numpy array —
+    ~``m·k·dim/m·8`` bytes, shipped by closure/broadcast.
+
+    Storage math: a vector stores as ``m`` uint8 codes instead of
+    ``dim`` float32s — 384 float32s (1536 B) → 8 B at m=8, a 192×
+    at-rest compression, the difference between keeping one copy of
+    a 100 TB embedding store and keeping none."""
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if not 1 < k <= 256:
+        raise ValueError("k must be in (1, 256] (codes are one byte)")
+    sub = dim // m
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_size).collect()],
+        dtype=np.float64,
+    )
+    if len(sample) == 0:
+        raise ValueError("empty training sample")
+    sample = sample[np.lexsort(sample.T[::-1])]
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        x = sample[:, j * sub : (j + 1) * sub]
+        cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+        if len(cents) < k:  # tiny sample: pad by repeating
+            cents = np.concatenate(
+                [cents, cents[rng.choice(len(cents), k - len(cents))]]
+            )
+        for _ in range(iters):
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = x[mask].mean(0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks,
+) -> DataFrame:
+    """Encode every vector to its ``m`` nearest-centroid codes —
+    ``(id, codes array<smallint>)``. An Arrow ``mapInPandas`` kernel
+    (argmin over the codebook is a numpy matmul; per-task memory is
+    one batch plus the small codebook, which ships by closure)."""
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = books.shape
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, codes array<smallint>"
+
+    def gen(batches):
+        import pandas as pd
+
+        # ||x - c||² = ||x||² - 2x·c + ||c||²; per-subspace argmin
+        # needs only the cross and centroid terms.
+        cnorm = (books**2).sum(-1)  # (m, k)
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(vecs), m), dtype=np.int16)
+            for j in range(m):
+                x = vecs[:, j * sub : (j + 1) * sub]
+                d = cnorm[j][None, :] - 2.0 * (x @ books[j].T)
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: each query builds one
+    ``(m, k_codes)`` lookup table of exact subspace distances to the
+    centroids, then every stored vector scores as ``m`` table
+    lookups summed — no decode, no float vectors read. Queries
+    broadcast (the standard serving asymmetry: the corpus codes are
+    huge and stay put). Returns
+    ``(query_id, id, approx_sq_dist, rank)``."""
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, kc, sub = books.shape
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("no query vectors")
+    qids = [r[0] for r in qrows]
+    qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    # (nq, m, kc) exact subspace distance tables.
+    luts = np.stack(
+        [
+            ((qv[:, j * sub : (j + 1) * sub][:, None, :] - books[j][None])
+             ** 2).sum(-1)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+    id_type = codes_df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{query_id_col} long, {id_col} {id_type}, approx_sq_dist double"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            n = len(codes)
+            # dist[q, i] = Σ_j lut[q, j, codes[i, j]]
+            d = np.zeros((len(qids), n))
+            for j in range(m):
+                d += luts[:, j, :][:, codes[:, j]]
+            rows = {
+                query_id_col: np.repeat(np.asarray(qids), n),
+                id_col: np.tile(pdf[id_col].to_numpy(), len(qids)),
+                "approx_sq_dist": d.reshape(-1),
+            }
+            yield pd.DataFrame(rows)
+
+    scored = codes_df.select(id_col, "codes").mapInPandas(gen, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_sq_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

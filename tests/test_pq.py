@@ -1,0 +1,92 @@
+"""Product quantization (operators/similarity.py): codebook
+training, encoding, and ADC top-k search."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from serverless_data_lake_spark.operators.similarity import (
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
+)
+
+
+def _clustered_corpus(spark, n_clusters=6, per=30, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim) * 4.0
+    rows = []
+    for i in range(n_clusters * per):
+        c = centers[i % n_clusters]
+        v = c + 0.15 * rng.randn(dim)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), rows
+
+
+def test_train_shapes_and_determinism(spark):
+    df, _ = _clustered_corpus(spark)
+    b1 = train_pq_codebooks(df, "embedding", dim=16, m=4, k=8)
+    b2 = train_pq_codebooks(df, "embedding", dim=16, m=4, k=8)
+    assert b1.shape == (4, 8, 4)
+    np.testing.assert_array_equal(b1, b2)  # seeded + lexsorted sample
+
+
+def test_train_rejects_bad_params(spark):
+    df, _ = _clustered_corpus(spark)
+    with pytest.raises(ValueError, match="divisible"):
+        train_pq_codebooks(df, "embedding", dim=16, m=5)
+    with pytest.raises(ValueError, match="one byte"):
+        train_pq_codebooks(df, "embedding", dim=16, m=4, k=1000)
+
+
+def test_encode_matches_local_argmin(spark):
+    df, rows = _clustered_corpus(spark)
+    books = train_pq_codebooks(df, "embedding", dim=16, m=4, k=8)
+    got = {r.vec_id: list(r.codes) for r in pq_encode(df, "vec_id", "embedding", books).collect()}
+    sub = 4
+    for i, v in rows[:40]:
+        v = np.asarray(v)
+        for j in range(4):
+            x = v[j * sub : (j + 1) * sub]
+            expect = ((books[j] - x) ** 2).sum(-1).argmin()
+            assert got[i][j] == expect
+
+
+def test_adc_topk_recovers_cluster_neighbors(spark):
+    """On clustered data the ADC top-k must retrieve same-cluster
+    vectors: every query's top-5 (excluding itself at rank 1) shares
+    the query's cluster."""
+    df, rows = _clustered_corpus(spark)
+    books = train_pq_codebooks(df, "embedding", dim=16, m=4, k=16)
+    codes = pq_encode(df, "vec_id", "embedding", books)
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in rows[:4]],
+        "query_id long, embedding array<double>",
+    )
+    out = pq_topk(codes, queries, books, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.approx_sq_dist))
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid, hits in by_q.items():
+        hits.sort()
+        assert len(hits) == 5
+        # rank 1 is the query itself (distance ~quantization error)
+        assert hits[0][1] == qid
+        # all hits come from the query's cluster (cluster = id % 6)
+        assert all(h[1] % 6 == qid % 6 for h in hits)
+        # distances non-decreasing with rank
+        ds = [h[2] for h in hits]
+        assert ds == sorted(ds)
+
+
+def test_compression_ratio(spark):
+    """The stored representation is m small ints per vector —
+    16 doubles (128 B) -> 4 codes (the at-rest point of PQ)."""
+    df, _ = _clustered_corpus(spark)
+    books = train_pq_codebooks(df, "embedding", dim=16, m=4, k=8)
+    enc = pq_encode(df, "vec_id", "embedding", books)
+    row = enc.first()
+    assert len(row.codes) == 4
+    assert dict(enc.dtypes)["codes"] == "array<smallint>"
