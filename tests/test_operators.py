@@ -1424,3 +1424,67 @@ class TestEmbeddingUtilities:
         df = spark.createDataFrame([(1, [0.0, 0.0])], "id long, v array<double>")
         r = quantize_embeddings(df, "v").first()
         assert list(r.q_codes) == [0, 0] and r.q_scale == 1.0
+
+
+class TestSplitLeakage:
+    def test_cross_split_pairs_reported(self, spark):
+        from serverless_data_lake_spark.operators.sampling import (
+            split_leakage_report,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "train"), (2, "test"), (3, "train"), (4, "val"),
+             (5, "train")],
+            "doc_id long, split string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 4), (3, 5)], "id_a long, id_b long"
+        )
+        got = {
+            (r.split_a, r.split_b): r.n_pairs
+            for r in split_leakage_report(
+                df, pairs, "doc_id"
+            ).collect()
+        }
+        # (1,2): train/test leak; (2,4): test/val leak; (1,3) and
+        # (3,5) are same-split — excluded.
+        assert got == {("test", "train"): 1, ("test", "val"): 1}
+
+    def test_clean_splits_empty_report(self, spark):
+        from serverless_data_lake_spark.operators.sampling import (
+            split_leakage_report,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "train"), (2, "train")], "doc_id long, split string"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        assert split_leakage_report(df, pairs, "doc_id").count() == 0
+
+    def test_composes_with_real_dedup_and_splits(self, spark):
+        """End-to-end: near-dup pair under different ids straddles
+        hash splits -> the report catches exactly it."""
+        from serverless_data_lake_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+        from serverless_data_lake_spark.operators.sampling import (
+            assign_splits,
+            split_leakage_report,
+        )
+
+        text = "a long enough shared document body that forms many grams"
+        rows = [(i, f"unrelated text number {i} about topic {i} entirely")
+                for i in range(10)]
+        rows += [(100, text), (101, text + " x")]
+        df = assign_splits(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id", {"train": 0.5, "test": 0.5}, salt="leak3",
+        )
+        pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                                    threshold=0.5)
+        splits = {r.doc_id: r.split for r in df.collect()}
+        report = split_leakage_report(df, pairs, "doc_id").collect()
+        if splits[100] == splits[101]:
+            assert report == []  # landed together: no cross-split pair
+        else:
+            assert len(report) == 1 and report[0].n_pairs == 1
