@@ -24,15 +24,27 @@
   pyspark.ml) + the GPT-3 Pareto keep rule.
 - ``packing``    — GPT-style sequence packing via distributed
   prefix sum; sequence assembly and ordered training export.
+- ``bpe``        — byte-level BPE tokenization against a frozen
+  shipped vocabulary (real subword token budgets for packing,
+  chunking, and the LM; Arrow-batched where Python is required).
 
 All operators are Column-expression / DataFrame compositions (JVM
 whole-stage-codegen path); Python appears only inside Arrow-batched
 Pandas UDFs where Spark has no built-in equivalent.
 """
 
+from serverless_data_lake_spark.operators.bpe import (
+    BpeTokenizer,
+    default_tokenizer,
+    train_bpe,
+)
 from serverless_data_lake_spark.operators.dedup import (
+    build_lsh_index,
+    contamination_report,
     dedup_exact,
     decontaminate,
+    incremental_dedup,
+    lsh_pairs_against_index,
     keep_one_per_key,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -50,6 +62,10 @@ from serverless_data_lake_spark.operators.similarity import (
     embedding_near_duplicates,
     ivf_topk,
     lsh_bucketed_topk,
+    pq_encode,
+    pq_topk,
+    semantic_dedup,
+    train_pq_codebooks,
 )
 from serverless_data_lake_spark.operators.lm import (
     NGramLM,
@@ -68,21 +84,54 @@ from serverless_data_lake_spark.operators.sampling import (
     assign_splits,
     deterministic_sample,
     hash_unit,
+    importance_sample,
+    split_leakage_report,
+    stratified_sample,
 )
 from serverless_data_lake_spark.operators.skew import (
     salted_aggregate,
     salted_join,
 )
 from serverless_data_lake_spark.operators.text import (
+    chunk_documents,
     detect_language,
     document_fingerprint,
     quality_score,
     token_count,
     tokenize,
 )
+from serverless_data_lake_spark.operators.packing import (
+    assemble_sequences,
+    export_packed,
+    pack_sequences,
+)
+from serverless_data_lake_spark.operators.components import (
+    connected_components,
+    dedup_corpus,
+)
 
 __all__ = [
+    "assemble_sequences",
     "assign_splits",
+    "BpeTokenizer",
+    "build_lsh_index",
+    "chunk_documents",
+    "connected_components",
+    "contamination_report",
+    "dedup_corpus",
+    "default_tokenizer",
+    "export_packed",
+    "importance_sample",
+    "incremental_dedup",
+    "lsh_pairs_against_index",
+    "pack_sequences",
+    "pq_encode",
+    "pq_topk",
+    "semantic_dedup",
+    "split_leakage_report",
+    "stratified_sample",
+    "train_bpe",
+    "train_pq_codebooks",
     "cosine_similarity_col",
     "cosine_topk",
     "decontaminate",
