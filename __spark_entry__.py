@@ -809,7 +809,14 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       (GPT-3's appendix-C analysis shape). Clean eval docs report
       explicit zero rows.
 
-    The oracle recomputes both legs with string grams in DuckDB."""
+    The oracle recomputes both legs with string grams in DuckDB.
+
+    Driver-contract note (r8): ``example_train_ids`` is emitted as a
+    comma-joined STRING, not ``array<bigint>`` — the driver's pandas
+    canonicalizer (``sort_values`` → ``factorize``) cannot hash list
+    cells (CORRECTNESS_r07 ``TypeError: unhashable type: 'list'``).
+    The no-complex-type schema contract is pinned in
+    tests/test_entry_contract.py."""
     from serverless_data_lake_spark.operators.dedup import (
         contamination_report,
         decontaminate,
@@ -828,7 +835,7 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("survivor").alias("leg"),
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.lit(None).cast("bigint").alias("n_contaminated"),
-        F.lit(None).cast("array<bigint>").alias("example_train_ids"),
+        F.lit(None).cast("string").alias("example_train_ids"),
     )
     report = contamination_report(
         train, test, "doc_id", "text", n=5, min_shared=1, examples=3
@@ -836,9 +843,10 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("report").alias("leg"),
         F.col("test_id").cast("bigint").alias("doc_id"),
         F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
-        F.col("example_train_ids").cast("array<bigint>").alias(
-            "example_train_ids"
-        ),
+        F.array_join(
+            F.sort_array(F.col("example_train_ids").cast("array<bigint>")),
+            ",",
+        ).alias("example_train_ids"),
     )
     return survivors.unionByName(report)
 
@@ -879,14 +887,15 @@ report AS (
 )
 SELECT 'survivor' AS leg, CAST(doc_id AS BIGINT) AS doc_id,
        CAST(NULL AS BIGINT) AS n_contaminated,
-       CAST(NULL AS BIGINT[]) AS example_train_ids
+       CAST(NULL AS VARCHAR) AS example_train_ids
 FROM documents
 WHERE doc_id % 17 <> 0
   AND doc_id NOT IN (SELECT doc_id FROM contaminated)
 UNION ALL
 SELECT 'report' AS leg, CAST(t.doc_id AS BIGINT) AS doc_id,
        CAST(COALESCE(r.n, 0) AS BIGINT) AS n_contaminated,
-       CAST(COALESCE(r.ex, []) AS BIGINT[]) AS example_train_ids
+       COALESCE(array_to_string(list_sort(COALESCE(r.ex, [])), ','), '')
+         AS example_train_ids
 FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) t
 LEFT JOIN report r ON r.tid = t.doc_id
 """

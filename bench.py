@@ -208,20 +208,26 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # Two output lines (r5: the driver's tail-capture window truncated
-    # the single 3.5 kB record and lost the headline). The detail line
-    # goes first and carries ONLY the construct breakdown (the 3 dp
-    # per-query timings duplicated the compact line and pushed the
-    # combined output past the capture window — r6's tail still cut
-    # mid-dict); the LAST line is the compact driver contract —
-    # headline + per-query — sized to survive the window whole.
+    # the single 3.5 kB record and lost the headline). The driver's
+    # tail window is 2000 chars and the compact line is ~1.6 kB, so
+    # the detail line is BUDGETED to the leftover (~400 chars): the
+    # construct total plus only the top construct costs, rest summed
+    # (r8 — r6/r7 tails still opened mid-dict because the full
+    # construct breakdown overflowed the window). Full per-construct
+    # numbers stay available locally via tools/bench_gate.py records.
+    top = dict(
+        sorted(constructs.items(), key=lambda kv: -kv[1])[:6]
+    )
+    rest = round(sum(v for k, v in constructs.items() if k not in top), 3)
     print(
         json.dumps(
             {
                 "metric": "detail",
-                "construct": constructs,
                 "construct_total": round(
                     sum(min(ts) for ts in constr.values()), 3
                 ),
+                "construct_top": top,
+                "construct_rest": rest,
             }
         )
     )

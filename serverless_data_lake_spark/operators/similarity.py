@@ -805,6 +805,12 @@ def dequantize_embeddings(codes: Column, scale: Column) -> Column:
 # Product quantization (Jégou et al. 2011, "Product Quantization for
 # Nearest Neighbor Search")
 # ---------------------------------------------------------------------------
+# pq_topk collects + broadcasts the query side (serving asymmetry).
+# 100k queries × dim 384 float64 ≈ 300 MB of LUTs per executor — past
+# this, batch the queries into several calls instead.
+PQ_QUERY_CAP = 100_000
+
+
 def train_pq_codebooks(
     df: DataFrame,
     vec_col: str,
@@ -914,14 +920,30 @@ def pq_topk(
     lookups summed — no decode, no float vectors read. Queries
     broadcast (the standard serving asymmetry: the corpus codes are
     huge and stay put). Returns
-    ``(query_id, id, approx_sq_dist, rank)``."""
+    ``(query_id, id, approx_sq_dist, rank)``.
+
+    Scale bounds: the query side is driver-collected, so it is gated
+    at ``PQ_QUERY_CAP`` rows with a loud error past it (the
+    ``REBALANCE_GROUP_CAP`` pattern from :mod:`operators.mixing`) —
+    an oversized query batch should run as several calls or flip the
+    asymmetry. Each scored partition emits only its LOCAL top-k per
+    query (np.argpartition), so the shuffle into the final window is
+    ``nq × k`` rows per partition, never ``nq × n``."""
     import numpy as np
 
     books = np.asarray(codebooks, dtype=np.float64)
     m, kc, sub = books.shape
-    qrows = queries.select(query_id_col, vec_col).collect()
+    qrows = queries.select(query_id_col, vec_col).limit(
+        PQ_QUERY_CAP + 1
+    ).collect()
     if not qrows:
         raise ValueError("no query vectors")
+    if len(qrows) > PQ_QUERY_CAP:
+        raise ValueError(
+            f"more than PQ_QUERY_CAP={PQ_QUERY_CAP} query vectors; "
+            "pq_topk collects + broadcasts the query side — batch "
+            "oversized query sets into several calls"
+        )
     qids = [r[0] for r in qrows]
     qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     # (nq, m, kc) exact subspace distance tables.
@@ -934,8 +956,10 @@ def pq_topk(
         axis=1,
     )
     id_type = codes_df.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     out_schema = (
-        f"{query_id_col} long, {id_col} {id_type}, approx_sq_dist double"
+        f"{query_id_col} {qid_type}, {id_col} {id_type}, "
+        "approx_sq_dist double"
     )
 
     def gen(batches):
@@ -948,10 +972,22 @@ def pq_topk(
             d = np.zeros((len(qids), n))
             for j in range(m):
                 d += luts[:, j, :][:, codes[:, j]]
+            # Local top-k per query: only k candidate rows per query
+            # leave this partition (final ranking is the window).
+            # lexsort on (dist, id) matches the window's tie-break,
+            # so the partition-local cut never drops a row the
+            # global ranking would have kept.
+            kk = min(k, n)
+            ids = pdf[id_col].to_numpy()
+            idx = np.stack(
+                [np.lexsort((ids, d[q]))[:kk] for q in range(len(qids))]
+            )
             rows = {
-                query_id_col: np.repeat(np.asarray(qids), n),
-                id_col: np.tile(pdf[id_col].to_numpy(), len(qids)),
-                "approx_sq_dist": d.reshape(-1),
+                query_id_col: np.repeat(np.asarray(qids), kk),
+                id_col: ids[idx].reshape(-1),
+                "approx_sq_dist": np.take_along_axis(
+                    d, idx, axis=1
+                ).reshape(-1),
             }
             yield pd.DataFrame(rows)
 

@@ -59,3 +59,44 @@ def test_oracle_keys_subset_of_queries():
     names = set(entrymod.queries())
     extra = [k for k in entrymod.oracle_sql() if k not in names]
     assert not extra, f"oracle_sql() keys without a queries() entry: {extra}"
+
+
+def test_no_complex_types_in_entry_schemas(spark):
+    # The driver canonicalizes results with pandas sort_values →
+    # factorize, which raises `TypeError: unhashable type` on cells
+    # holding lists/dicts/Rows (CORRECTNESS_r07: decontaminate_train
+    # went red when a consolidation added an array<bigint> column).
+    # Every entry must therefore emit only atomic column types —
+    # stringify arrays with array_join(sort_array(...), ',') on BOTH
+    # the Spark and oracle sides.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    seen = set()
+    offenders = []
+    for name, fn in qs.items():
+        if id(fn) in seen:
+            continue
+        seen.add(id(fn))
+        df = fn(spark, sf)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType}")
+    assert not offenders, (
+        "driver-breaking complex-typed columns in queries() entries "
+        f"(pandas canonicalizer cannot hash them): {offenders}"
+    )
+
+
+def test_planted_complex_column_fails_local_canonicalizer():
+    # Guard the guard: tools/parity_check.py must canonicalize the
+    # driver's way (pandas sort_values), so a list-valued column
+    # raises locally exactly as it does in the driver harness. The
+    # old repr()-based rowset silently passed lists (r7 regression).
+    import pytest
+
+    from tools.parity_check import rowset
+
+    with pytest.raises(TypeError):
+        rowset(["a", "b"], [[1, [1, 2]], [2, [3, 4]], [1, [1, 2]]])

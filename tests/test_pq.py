@@ -81,6 +81,50 @@ def test_adc_topk_recovers_cluster_neighbors(spark):
         assert ds == sorted(ds)
 
 
+def test_topk_query_cap_and_id_type(spark, monkeypatch):
+    """(r8, VERDICT #5 + ADVICE) the driver-collect of the query side
+    is gated at PQ_QUERY_CAP with a loud error, and the query-id type
+    is introspected (string ids round-trip, not hardcoded long)."""
+    from serverless_data_lake_spark.operators import similarity as sim
+
+    df, rows = _clustered_corpus(spark)
+    books = train_pq_codebooks(df, "embedding", dim=16, m=4, k=8)
+    codes = pq_encode(df, "vec_id", "embedding", books)
+
+    queries = spark.createDataFrame(
+        [(f"q{i}", v) for i, v in rows[:3]],
+        "query_id string, embedding array<double>",
+    )
+    out = pq_topk(codes, queries, books, k=2)
+    assert dict(out.dtypes)["query_id"] == "string"
+    got = {r.query_id for r in out.collect()}
+    assert got == {"q0", "q1", "q2"}
+
+    monkeypatch.setattr(sim, "PQ_QUERY_CAP", 2)
+    with pytest.raises(ValueError, match="PQ_QUERY_CAP"):
+        pq_topk(codes, queries, books, k=2)
+
+
+def test_topk_local_cut_matches_full_ranking(spark):
+    """The partition-local lexsort cut must be invisible in the
+    result: top-k over single-partition codes (no cut can help) ==
+    top-k over the same codes split across many partitions."""
+    df, rows = _clustered_corpus(spark)
+    books = train_pq_codebooks(df, "embedding", dim=16, m=4, k=16)
+    codes = pq_encode(df, "vec_id", "embedding", books)
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in rows[:3]],
+        "query_id long, embedding array<double>",
+    )
+    one = pq_topk(codes.coalesce(1), queries, books, k=7).collect()
+    many = pq_topk(codes.repartition(16), queries, books, k=7).collect()
+    canon = lambda res: sorted(  # noqa: E731
+        (r.query_id, r.rank, r.vec_id, round(r.approx_sq_dist, 9))
+        for r in res
+    )
+    assert canon(one) == canon(many)
+
+
 def test_compression_ratio(spark):
     """The stored representation is m small ints per vector —
     16 doubles (128 B) -> 4 codes (the at-rest point of PQ)."""

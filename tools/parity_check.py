@@ -14,6 +14,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from serverless_data_lake_spark.session import get_spark  # noqa: E402
@@ -28,8 +29,17 @@ def canon(v):
 
 
 def rowset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    """Canonicalize THE DRIVER'S WAY: a pandas DataFrame sorted by
+    column name then ``sort_values`` over every column (which
+    ``factorize``s object columns — unhashable cells like lists raise
+    exactly as they do in the driver harness; CORRECTNESS_r07's red
+    ``decontaminate_train`` row passed the old repr()-based canon
+    here while erroring there). Values are then repr-canonicalized
+    per cell for the equality diff."""
+    order = sorted(cols)
+    pdf = pd.DataFrame(rows, columns=list(cols))[order]
+    pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+    return [tuple(canon(v) for v in row) for row in pdf.itertuples(index=False)]
 
 
 def main() -> int:
