@@ -1126,19 +1126,67 @@ FROM embeddings WHERE vec_id < 5
 """
 
 
+def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC candidate-recall gate (r8, VERDICT
+    #6): train per-subspace codebooks, encode the corpus to 8-byte
+    codes, run asymmetric-distance top-C candidate generation, and
+    gate candidate recall of the EXACT Euclidean top-10 (PQ's metric
+    — cosine would be metric-mismatched) at ≥ 0.5.
+
+    The candidate window scales as a fixed corpus FRACTION
+    (``max(50, n // 20)`` — 5%), not a fixed count: on isotropic
+    embeddings the gap between the true top-10 and the C-th quantile
+    GROWS with n (extreme minima get more extreme while the quantile
+    distance stays put), so fraction-scaled recall is stable-to-
+    improving with scale — measured min-recall 0.7 at n=500/2k/20k
+    and 0.9 at n=50k with m=8, k=64, 5 Lloyd iterations. A fixed
+    C=50 decays to ~0.2 at 20k by the same concentration math (not
+    an implementation limit — same reasoning as _ANN_RECALL_GATE's
+    scan-fraction note above)."""
+    from serverless_data_lake_spark.operators.similarity import (
+        ann_recall_at_k,
+        euclidean_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cand = max(50, n // 20)
+    books = train_pq_codebooks(
+        emb, "embedding", dim=64, m=8, k=64, iters=5
+    )
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pq = pq_topk(codes, queries_df, books, k=cand)
+    exact = euclidean_topk(emb, queries_df, id_col="vec_id", k=10)
+    recall = ann_recall_at_k(pq, exact, k=10)
+    return recall.select(
+        "query_id",
+        (F.col("recall_at_k") >= _ANN_RECALL_GATE).alias("recall_ok"),
+    )
+
+
 def _q_ann_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both ANN paths' recall gates in one entry (the rollup+cube /
-    sketch-gates consolidation precedent — frees a driver-window
-    slot): hyperplane-LSH with multiprobe and IVF top-k, each
-    compared against exact cosine top-k with recall ≥ the gate,
-    tagged by method."""
+    """All three ANN paths' recall gates in one entry (the
+    rollup+cube / sketch-gates consolidation precedent — frees a
+    driver-window slot): hyperplane-LSH with multiprobe and IVF
+    top-k against exact cosine top-k, plus PQ-ADC candidate top-C
+    against exact Euclidean top-10 (r8), each with recall ≥ the
+    gate, tagged by method."""
     lsh = _q_ann_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "query_id", "recall_ok"
     )
     ivf = _q_ann_ivf(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "query_id", "recall_ok"
     )
-    return lsh.unionByName(ivf)
+    pq = _q_ann_pq(spark, sf_dir).select(
+        F.lit("pq").alias("method"), "query_id", "recall_ok"
+    )
+    return lsh.unionByName(ivf).unionByName(pq)
 
 
 _ANN_GATES_ORACLE = """
@@ -1146,6 +1194,9 @@ SELECT 'lsh' AS method, vec_id AS query_id, CAST(1 AS BOOLEAN) AS recall_ok
 FROM embeddings WHERE vec_id < 5
 UNION ALL
 SELECT 'ivf' AS method, vec_id AS query_id, CAST(1 AS BOOLEAN) AS recall_ok
+FROM embeddings WHERE vec_id < 5
+UNION ALL
+SELECT 'pq' AS method, vec_id AS query_id, CAST(1 AS BOOLEAN) AS recall_ok
 FROM embeddings WHERE vec_id < 5
 """
 
@@ -1299,8 +1350,11 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LM_PERPLEXITY_ORACLE = """
 WITH tok AS (
+  -- \\s+ regex split mirrors the operator's F.split(lower(text),
+  -- '\\s+') exactly (operators/lm.py) — plain space-split would
+  -- diverge on any tab/newline in a document.
   SELECT doc_id,
-         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
   FROM documents
 ),
 ref_uni AS (
