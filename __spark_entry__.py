@@ -161,6 +161,24 @@ def _read_parallel(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+# Which read for a document-corpus entry? (r8, measured at sf0.1,
+# best-of-3 each, same session)
+#
+# - Operators whose FIRST internal op is an explode + keyed shuffle
+#   (inverted-index jaccard, LM bigram counting, decontamination's
+#   gram join) parallelize in their OWN exchange: the up-front
+#   full-text repartition is a second, pure-overhead shuffle of the
+#   ~35 MB text payload. Plain `_read` measured: jaccard pairs
+#   1.98→1.15 s, capped 1.72→1.16, prefix 1.96→1.58, decontaminate
+#   1.78→0.95, lm entry 2.70→1.15. At production scale multi-file
+#   inputs give the tokenize stage native parallelism and `_read`
+#   is exactly right.
+# - Operators doing heavy IN-ROW compute with NO early shuffle
+#   (minhash's 128-hash signatures, simhash votes, BPE encode) fall
+#   off a cliff on a single-partition scan (minhash 2.5→8.0 s) —
+#   they keep `_read_parallel`.
+
+
 # ---------------------------------------------------------------------------
 # Shared SQL texts: engine runs them with tpch.silver.X refs; oracles
 # are the same text with refs stripped to bare table names.
@@ -626,7 +644,10 @@ def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse one projection."""
     from pyspark import StorageLevel
 
-    docs = _read_parallel(spark, sf_dir, "documents")
+    # explode-first operator: its own keyed exchange parallelizes;
+    # plain read avoids the up-front text shuffle (see the r8 note
+    # at _read_parallel).
+    docs = _read(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.8
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -643,7 +664,10 @@ def _q_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     output identical to the exact path at sf0.01/sf0.1/sf1 (verified
     by tools/scale_sweep.py), so the exact-Jaccard oracle applies
     unchanged."""
-    docs = _read_parallel(spark, sf_dir, "documents")
+    # explode-first operator: its own keyed exchange parallelizes;
+    # plain read avoids the up-front text shuffle (see the r8 note
+    # at _read_parallel).
+    docs = _read(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.8,
         max_doc_freq=100, max_doc_frac=0.02,
@@ -662,7 +686,10 @@ def _q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for exact results on hot-grammed corpora, `max_doc_freq` cap when
     approximate recall is acceptable, MinHash-LSH when the corpus is
     too large for either exact path."""
-    docs = _read_parallel(spark, sf_dir, "documents")
+    # explode-first operator: its own keyed exchange parallelizes;
+    # plain read avoids the up-front text shuffle (see the r8 note
+    # at _read_parallel).
+    docs = _read(spark, sf_dir, "documents")
     return ngram_jaccard_prefix(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
@@ -762,7 +789,10 @@ def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from serverless_data_lake_spark.operators.components import dedup_corpus
 
-    docs = _read_parallel(spark, sf_dir, "documents")
+    # explode-first operator: its own keyed exchange parallelizes;
+    # plain read avoids the up-front text shuffle (see the r8 note
+    # at _read_parallel).
+    docs = _read(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.8
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -822,7 +852,10 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontaminate,
     )
 
-    docs = _read_parallel(spark, sf_dir, "documents")
+    # explode-first operator: its own keyed exchange parallelizes;
+    # plain read avoids the up-front text shuffle (see the r8 note
+    # at _read_parallel).
+    docs = _read(spark, sf_dir, "documents")
     test = docs.filter(F.col("doc_id") % 17 == 0)
     train = docs.filter(F.col("doc_id") % 17 != 0)
     # broadcast=True skips the auto-sizing count job (the eval slice is
@@ -1329,7 +1362,10 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_bigram_lm,
     )
 
-    docs = _read_parallel(spark, sf_dir, "documents")
+    # explode-first operator: its own keyed exchange parallelizes;
+    # plain read avoids the up-front text shuffle (see the r8 note
+    # at _read_parallel).
+    docs = _read(spark, sf_dir, "documents")
     # persist=True: the count tables cache at construction (the
     # stats collect materializes them), so the reference corpus is
     # tokenized once; bench.py folds this entry's construct time

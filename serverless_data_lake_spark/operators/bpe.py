@@ -125,6 +125,33 @@ class BpeTokenizer:
             "utf-8", errors="replace"
         )
 
+    def decode_window(self, ids: list[int]) -> str:
+        """Decode a token-id WINDOW (a slice of a longer encoding),
+        trimming incomplete UTF-8 sequences at both edges instead of
+        emitting U+FFFD: base tokens are single bytes, so a window
+        boundary can split a multi-byte character — the leading
+        orphan continuation bytes and any trailing incomplete
+        sequence (≤ 3 bytes each side) belong to characters whose
+        remainder sits in the adjacent window. Full-encoding decodes
+        should use :meth:`decode`, which is exactly lossless."""
+        raw = b"".join(self._bytes[i] for i in ids)
+        start = 0
+        while start < len(raw) and (raw[start] & 0xC0) == 0x80:
+            start += 1
+        end = len(raw)
+        i = end - 1
+        ncont = 0
+        while i >= start and (raw[i] & 0xC0) == 0x80:
+            i -= 1
+            ncont += 1
+        if i >= start:
+            b0 = raw[i]
+            if b0 >= 0xC0:  # multi-byte start: complete iff all
+                need = 2 if b0 < 0xE0 else 3 if b0 < 0xF0 else 4
+                if 1 + ncont < need:
+                    end = i
+        return raw[start:end].decode("utf-8", errors="replace")
+
     def count(self, text: str) -> int:
         return sum(len(self._encode_cached(ch)) for ch in pretokenize(text))
 

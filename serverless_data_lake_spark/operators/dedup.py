@@ -520,7 +520,6 @@ def minhash_lsh_pairs(
 
     Returns ``id_a, id_b`` (+ ``jaccard`` when verifying).
     """
-    rows = num_hashes // bands
     # Everything per-document is computed IN-ROW (gram hashes, the H
     # minhashes, the per-band hashes) — no explode of the token set,
     # no wide aggregate. The only shuffles are the band-bucket
@@ -532,18 +531,33 @@ def minhash_lsh_pairs(
     # 129 times and HOFs get no codegen subexpression elimination, so
     # inlined it would re-tokenize per reference; persisting also
     # feeds the verification joins without re-reading the corpus.
-    gram_sets = (
-        gram_hash_sets(df, id_col, text_col, shingle_size)
-        .select(F.col(id_col).alias("__gid"), "__grams")
-        .persist()
+    state = build_lsh_index(
+        df, id_col, text_col, num_hashes, bands, shingle_size
     )
-    banded = _banded_rows(gram_sets, bands, rows)
-    left = banded.alias("l")
-    right = banded.alias("r")
+    state.grams_df = state.grams_df.persist()
+    return lsh_self_pairs(state, verify_threshold)
+
+
+def lsh_self_pairs(
+    index: "LshIndex",
+    verify_threshold: float | None = 0.8,
+) -> DataFrame:
+    """Within-corpus near-duplicate pairs from a prebuilt
+    :class:`LshIndex` (r8 split of :func:`minhash_lsh_pairs` — lets
+    one signature/band computation feed BOTH the self-pair and the
+    batch-vs-index legs instead of recomputing per consumer).
+    Returns ``id_a, id_b`` (+ ``jaccard`` when verifying)."""
+    banded = index.bands_df
+    left = banded.select(
+        F.col("__cid").alias("__la"), "__band", "__bh"
+    ).alias("l")
+    right = banded.select(
+        F.col("__cid").alias("__rb"), "__band", "__bh"
+    ).alias("r")
     candidates = (
         left.join(right, on=["__band", "__bh"])
-        .filter(F.col("l.__id") < F.col("r.__id"))
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .filter(F.col("__la") < F.col("__rb"))
+        .select(F.col("__la").alias("id_a"), F.col("__rb").alias("id_b"))
         .distinct()
     )
     if verify_threshold is None:
@@ -553,16 +567,17 @@ def minhash_lsh_pairs(
     # ``array_intersect`` — candidate volume is small by construction,
     # so shipping two gram arrays per pair beats re-exploding the
     # whole corpus into an inverted index.
+    gram_sets = index.grams_df
     verified = (
         candidates.join(
             gram_sets.select(
-                F.col("__gid").alias("id_a"), F.col("__grams").alias("__ga")
+                F.col("__cid").alias("id_a"), F.col("__grams").alias("__ga")
             ),
             "id_a",
         )
         .join(
             gram_sets.select(
-                F.col("__gid").alias("id_b"), F.col("__grams").alias("__gb")
+                F.col("__cid").alias("id_b"), F.col("__grams").alias("__gb")
             ),
             "id_b",
         )

@@ -61,20 +61,24 @@ def normalize_url(url: Column) -> Column:
 def extract_domain(url: Column) -> Column:
     """Registrable domain of a URL's host, public-suffix-aware.
 
-    When the host's last two labels form a 2-label public suffix
-    (``co.uk``, ``com.au``, … — the shipped
-    :data:`~operators.psl_data.PUBLIC_SUFFIXES_2LABEL` subset of
-    publicsuffix.org), the registrable domain is the last THREE
-    labels (``news.bbc.co.uk`` → ``bbc.co.uk``); otherwise the last
-    two (``a.b.example.com`` → ``example.com``). Pure in-row Column
-    logic: the suffix set ships as a literal array (~150 strings —
-    an equi-join against a suffix table would buy nothing at this
-    size and cost a broadcast), so the expression stays codegen'd
-    and shuffle-free. 3-label public suffixes (Japanese prefecture
-    domains etc.) fall back to the 2-label answer — see
+    Longest-match over the shipped PSL subsets
+    (:mod:`operators.psl_data`): when the host's last THREE labels
+    form a 3-label public suffix (``k12.ca.us``, …), the registrable
+    domain is the last FOUR labels
+    (``school.district.k12.ca.us`` → ``district.k12.ca.us``); when
+    the last two form a 2-label suffix (``co.uk``, ``com.au``,
+    ``tokyo.jp``, …), the last THREE
+    (``news.bbc.co.uk`` → ``bbc.co.uk``); otherwise the last two
+    (``a.b.example.com`` → ``example.com``). Pure in-row Column
+    logic: both suffix sets ship as literal arrays (a few hundred
+    strings — an equi-join against a suffix table would buy nothing
+    at this size and cost a broadcast), so the expression stays
+    codegen'd and shuffle-free. Deeper suffixes not shipped (JP city
+    domains) fall back to the next-shallower answer — see
     ``psl_data.py``."""
     from serverless_data_lake_spark.operators.psl_data import (
         PUBLIC_SUFFIXES_2LABEL,
+        PUBLIC_SUFFIXES_3LABEL,
     )
 
     no_scheme = F.regexp_replace(F.trim(url), r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
@@ -89,9 +93,15 @@ def extract_domain(url: Column) -> Column:
         ".", F.element_at(labels, -3), F.element_at(labels, -2),
         F.element_at(labels, -1),
     )
-    psl = F.array(*[F.lit(s) for s in PUBLIC_SUFFIXES_2LABEL])
+    last4 = F.concat_ws(
+        ".", F.element_at(labels, -4), F.element_at(labels, -3),
+        F.element_at(labels, -2), F.element_at(labels, -1),
+    )
+    psl2 = F.array(*[F.lit(s) for s in PUBLIC_SUFFIXES_2LABEL])
+    psl3 = F.array(*[F.lit(s) for s in PUBLIC_SUFFIXES_3LABEL])
     return (
-        F.when((n >= 3) & F.array_contains(psl, last2), last3)
+        F.when((n >= 4) & F.array_contains(psl3, last3), last4)
+        .when((n >= 3) & F.array_contains(psl2, last2), last3)
         .when(n >= 2, last2)
         .otherwise(host)
     )

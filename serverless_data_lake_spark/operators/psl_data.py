@@ -3,16 +3,20 @@
 A curated subset of the Public Suffix List (publicsuffix.org — the
 Mozilla-maintained, openly licensed registry of suffixes under which
 domains are registered) covering the ccTLDs whose SECOND level is a
-public suffix (``co.uk``, ``com.au``, …). Only 2-label suffixes are
-included: they cover the overwhelming share of real web corpora,
-keep the set small enough to ship as an in-row literal array (no
-join, no shuffle — ~150 strings in the codegen'd plan), and the
+public suffix (``co.uk``, ``com.au``, …), the Japanese prefecture
+geographic domains (``tokyo.jp``, … — also 2-label suffixes), and
+the 3-label US locality families (``k12.<state>.us`` etc.). The
+sets are small enough to ship as in-row literal arrays (no join, no
+shuffle — a few hundred strings in the codegen'd plan), and the
 2-label fallback in :func:`operators.mixing.extract_domain` remains
-correct for every host whose suffix is a plain TLD. 3-label public
-suffixes (e.g. Japanese prefecture domains) fall back to a slightly
-over-grouped 2-label answer — the pre-PSL behavior, now confined to
-that tail. Swap in the full list by extending this tuple; the
-expression logic is length-agnostic per entry.
+correct for every host whose suffix is a plain TLD. Deeper public
+suffixes not shipped (e.g. the ~1700 Japanese city domains,
+``<city>.<pref>.jp``) fall back to the next-shallower answer —
+``foo.aisai.aichi.jp`` groups as ``aisai.aichi.jp`` via the
+prefecture entry rather than its true registrable 4-label form; a
+tail confined to city-level JP hosts. Swap in the full list by
+extending these tuples; the expression logic is length-agnostic per
+entry.
 """
 
 from __future__ import annotations
@@ -118,5 +122,48 @@ PUBLIC_SUFFIXES_2LABEL: tuple[str, ...] = (
     "nome.pt", "publ.pt",
     # Russia (functional second-level)
     "com.ru", "net.ru", "org.ru", "pp.ru", "msk.ru", "spb.ru",
+    # Japan — the 47 prefecture geographic domains are 2-label
+    # public suffixes on the PSL (registrations live under them,
+    # e.g. metro.tokyo.jp): r8, closes the prefecture over-grouping
+    # the r7 note documented.
+    "hokkaido.jp", "aomori.jp", "iwate.jp", "miyagi.jp", "akita.jp",
+    "yamagata.jp", "fukushima.jp", "ibaraki.jp", "tochigi.jp",
+    "gunma.jp", "saitama.jp", "chiba.jp", "tokyo.jp", "kanagawa.jp",
+    "niigata.jp", "toyama.jp", "ishikawa.jp", "fukui.jp",
+    "yamanashi.jp", "nagano.jp", "gifu.jp", "shizuoka.jp",
+    "aichi.jp", "mie.jp", "shiga.jp", "kyoto.jp", "osaka.jp",
+    "hyogo.jp", "nara.jp", "wakayama.jp", "tottori.jp",
+    "shimane.jp", "okayama.jp", "hiroshima.jp", "yamaguchi.jp",
+    "tokushima.jp", "kagawa.jp", "ehime.jp", "kochi.jp",
+    "fukuoka.jp", "saga.jp", "nagasaki.jp", "kumamoto.jp",
+    "oita.jp", "miyazaki.jp", "kagoshima.jp", "okinawa.jp",
+)
+
+_US_STATES: tuple[str, ...] = (
+    "ak", "al", "ar", "az", "ca", "co", "ct", "dc", "de", "fl",
+    "ga", "hi", "ia", "id", "il", "in", "ks", "ky", "la", "ma",
+    "md", "me", "mi", "mn", "mo", "ms", "mt", "nc", "nd", "ne",
+    "nh", "nj", "nm", "nv", "ny", "oh", "ok", "or", "pa", "ri",
+    "sc", "sd", "tn", "tx", "ut", "va", "vt", "wa", "wi", "wv",
+    "wy",
+)
+
+#: The US state domains themselves are 2-label public suffixes
+#: (``ca.us``, ``tx.us``, …) — appended so a bare locality host like
+#: ``k12.tx.us`` resolves through the 2-label branch.
+PUBLIC_SUFFIXES_2LABEL = PUBLIC_SUFFIXES_2LABEL + tuple(
+    f"{st}.us" for st in _US_STATES
+)
+
+#: 3-label public suffixes (r8): the US locality families — the PSL
+#: lists ``k12.<state>.us``, ``cc.<state>.us`` (community colleges)
+#: and ``lib.<state>.us`` (libraries) as public suffixes for every
+#: state, so ``district.k12.ca.us`` is a registrable domain (the
+#: last FOUR labels of ``www.school.district.k12.ca.us``). Complete
+#: for these families; 153 strings.
+PUBLIC_SUFFIXES_3LABEL: tuple[str, ...] = tuple(
+    f"{kind}.{st}.us"
+    for kind in ("k12", "cc", "lib")
+    for st in _US_STATES
 )
 # fmt: on

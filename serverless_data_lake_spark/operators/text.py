@@ -201,7 +201,14 @@ def chunk_documents(
 def _chunk_documents_bpe(df, id_col, text_col, chunk_tokens, overlap, step):
     """BPE leg of :func:`chunk_documents`: encode → slide windows
     over token ids → decode each window. Arrow-batched; per-task
-    memory is one batch of documents plus their id lists."""
+    memory is one batch of documents plus their id lists.
+
+    Window decode uses :meth:`BpeTokenizer.decode_window`: base BPE
+    tokens are single bytes, so a window edge can split a multi-byte
+    UTF-8 character — the orphaned partial sequence (≤ 3 bytes per
+    edge, whose remainder lives in the adjacent window) is TRIMMED
+    rather than surfacing as U+FFFD. ``n_tokens`` still counts the
+    full token window; ASCII text round-trips exactly."""
     import math
 
     id_field = df.schema[id_col]
@@ -230,7 +237,7 @@ def _chunk_documents_bpe(df, id_col, text_col, chunk_tokens, overlap, step):
                     window = ids[i * step : i * step + chunk_tokens]
                     ids_out.append(doc_id)
                     cids.append(i)
-                    texts.append(tok.decode(window))
+                    texts.append(tok.decode_window(window))
                     sizes.append(len(window))
             yield pd.DataFrame(
                 {

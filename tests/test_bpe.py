@@ -95,6 +95,26 @@ class TestProperties:
 
         check()
 
+    def test_decode_window_trims_split_utf8(self):
+        """(r8, advisory) A window edge can split a multi-byte UTF-8
+        character — decode_window trims the orphaned partial
+        sequence instead of emitting U+FFFD, for EVERY split point
+        of a mixed ASCII/CJK/emoji string; full decode stays
+        lossless and ASCII windows round-trip exactly."""
+        tok = default_tokenizer()
+        s = "abc 日本語 \U0001f600 xyz"  # 1/3/4-byte chars
+        ids = tok.encode(s)
+        assert tok.decode(ids) == s
+        for cut in range(len(ids) + 1):
+            left, right = ids[:cut], ids[cut:]
+            dl, dr = tok.decode_window(left), tok.decode_window(right)
+            assert "�" not in dl and "�" not in dr
+            # trimmed halves are substrings of the original; nothing
+            # beyond one character can be lost at the cut.
+            assert s.startswith(dl) and s.endswith(dr)
+            assert len(dl) + len(dr) >= len(s) - 1
+        assert tok.decode_window(tok.encode("plain ascii")) == "plain ascii"
+
     def test_count_additive_over_pretoken_chunks(self):
         """Merges never cross pre-token chunks, so the count of a
         concatenation of chunk-aligned pieces equals the sum of

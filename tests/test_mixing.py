@@ -52,6 +52,18 @@ class TestUrlHelpers:
             ("https://co.uk/", "co.uk"),
             # ac.jp is a suffix; example.ac.jp is registrable.
             ("user.pages.example.ac.jp", "example.ac.jp"),
+            # r8: JP prefecture geographic domains are 2-label
+            # suffixes — registrable is the last three labels.
+            ("https://foo.bar.tokyo.jp/x", "bar.tokyo.jp"),
+            ("http://www.pref.aichi.jp/", "pref.aichi.jp"),
+            # r8: 3-label US locality suffixes — registrable is the
+            # last FOUR labels.
+            ("https://www.school.district.k12.ca.us/home", "district.k12.ca.us"),
+            ("library.branch.lib.ny.us", "branch.lib.ny.us"),
+            # The 3-label suffix alone falls through to the 2-label
+            # branch (k12.tx.us itself is not registrable; ties to
+            # the co.uk-alone case above).
+            ("https://k12.tx.us/", "k12.tx.us"),
         ]
         df = spark.createDataFrame(
             [(i, u) for i, (u, _e) in enumerate(cases)],
