@@ -1112,8 +1112,13 @@ _ANN_RECALL_GATE = 0.5
 
 
 def _ann_quality_gate(
-    spark: SparkSession, sf_dir: str, ann_fn
+    spark: SparkSession, sf_dir: str, ann_fn, exact: DataFrame | None = None
 ) -> DataFrame:
+    """``exact`` lets a caller that runs SEVERAL cosine-metric ANN
+    legs over the same corpus+queries (``ann_topk_gates``) compute
+    the exact top-k baseline ONCE and share it — the exact scan
+    dominates this gate's cost (r8 verdict: both legs recomputed an
+    identical baseline)."""
     from serverless_data_lake_spark.operators.similarity import (
         ann_recall_at_k,
     )
@@ -1123,7 +1128,8 @@ def _ann_quality_gate(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     ann = ann_fn(emb, queries_df)
-    exact = cosine_topk(emb, queries_df, id_col="vec_id", k=10)
+    if exact is None:
+        exact = cosine_topk(emb, queries_df, id_col="vec_id", k=10)
     recall = ann_recall_at_k(ann, exact, k=10)
     return recall.select(
         "query_id",
@@ -1131,7 +1137,9 @@ def _ann_quality_gate(
     )
 
 
-def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_ann_ivf(
+    spark: SparkSession, sf_dir: str, exact: DataFrame | None = None
+) -> DataFrame:
     from serverless_data_lake_spark.operators.similarity import ivf_topk
 
     # nlist/nprobe auto-scale with the training sample
@@ -1142,14 +1150,18 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir,
         lambda emb, q: ivf_topk(emb, q, dim=64, id_col="vec_id", k=10,
                                 nlist=None, nprobe=None),
+        exact=exact,
     )
 
 
-def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_ann_lsh(
+    spark: SparkSession, sf_dir: str, exact: DataFrame | None = None
+) -> DataFrame:
     return _ann_quality_gate(
         spark, sf_dir,
         lambda emb, q: lsh_bucketed_topk(emb, q, dim=64, id_col="vec_id",
                                          k=10, planes=4, multiprobe=2),
+        exact=exact,
     )
 
 
@@ -1209,11 +1221,29 @@ def _q_ann_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-window slot): hyperplane-LSH with multiprobe and IVF
     top-k against exact cosine top-k, plus PQ-ADC candidate top-C
     against exact Euclidean top-10 (r8), each with recall ≥ the
-    gate, tagged by method."""
-    lsh = _q_ann_lsh(spark, sf_dir).select(
+    gate, tagged by method.
+
+    The exact cosine top-10 — the dominant cost of this entry (the
+    full-corpus scan both cosine legs grade against) — is computed
+    ONCE, persisted, and shared by the lsh and ivf legs (r8 verdict
+    #3: each leg used to recompute an identical baseline). The tiny
+    (5 queries × 10) result stays persisted until the driver
+    collects; bench reps clear caches at rep boundaries (the
+    _q_jaccard publish precedent)."""
+    from pyspark import StorageLevel
+
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries_df, id_col="vec_id", k=10).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    exact.count()  # materialize before both consumers fork
+    lsh = _q_ann_lsh(spark, sf_dir, exact=exact).select(
         F.lit("lsh").alias("method"), "query_id", "recall_ok"
     )
-    ivf = _q_ann_ivf(spark, sf_dir).select(
+    ivf = _q_ann_ivf(spark, sf_dir, exact=exact).select(
         F.lit("ivf").alias("method"), "query_id", "recall_ok"
     )
     pq = _q_ann_pq(spark, sf_dir).select(
@@ -1343,10 +1373,11 @@ FROM counts
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style bigram-LM perplexity scoring (operators/lm.py):
     train the Witten-Bell-interpolated, add-alpha-smoothed bigram LM
-    on the doc_id%10==0 tenth of the corpus (the "reference corpus"
-    — CCNet's reference LM is a small separate corpus, e.g.
-    Wikipedia, scoring a much larger crawl), then score EVERY
-    document — (doc_id, n_bigrams, avg_logp, perplexity).
+    on the doc_id%20==0 twentieth of the corpus (the "reference
+    corpus" — CCNet's reference LM is a small separate corpus, e.g.
+    Wikipedia, scoring a much larger crawl; %10 until r9, halved per
+    the r8 verdict's floor-work list), then score EVERY document —
+    (doc_id, n_bigrams, avg_logp, perplexity).
     The whole computation is deterministic column arithmetic (two
     count-table groupBys, two broadcast joins, in-row smoothing), so
     the DuckDB oracle replays it exactly: string-keyed counts stand
@@ -1372,7 +1403,7 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into its headline (EAGER_CONSTRUCT) since the oracle performs
     # the training inside its own measured time.
     lm = train_bigram_lm(
-        docs.filter(F.col("doc_id") % 10 == 0), persist=True
+        docs.filter(F.col("doc_id") % 20 == 0), persist=True
     )
     scored = perplexity_score(docs, "doc_id", lm)
     av = F.round(F.col("avg_logp"), 6)
@@ -1395,13 +1426,13 @@ WITH tok AS (
 ),
 ref_uni AS (
   SELECT t AS w1, COUNT(*) AS c1
-  FROM (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 10 = 0)
+  FROM (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 20 = 0)
   GROUP BY t
 ),
 ref_bi AS (
   SELECT w1, w2, COUNT(*) AS c12 FROM (
     SELECT toks[i] AS w1, toks[i + 1] AS w2
-    FROM (SELECT toks FROM tok WHERE doc_id % 10 = 0),
+    FROM (SELECT toks FROM tok WHERE doc_id % 20 = 0),
          UNNEST(range(1, len(toks))) AS u(i)
   ) GROUP BY w1, w2
 ),

@@ -45,6 +45,7 @@ from serverless_data_lake_spark.operators.dedup import (
     decontaminate,
     incremental_dedup,
     lsh_pairs_against_index,
+    lsh_self_pairs,
     keep_one_per_key,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -60,6 +61,7 @@ from serverless_data_lake_spark.operators.similarity import (
     cosine_topk,
     embedding_all_pairs_numpy,
     embedding_near_duplicates,
+    euclidean_topk,
     ivf_topk,
     lsh_bucketed_topk,
     pq_encode,
@@ -124,6 +126,7 @@ __all__ = [
     "importance_sample",
     "incremental_dedup",
     "lsh_pairs_against_index",
+    "lsh_self_pairs",
     "pack_sequences",
     "pq_encode",
     "pq_topk",
@@ -141,6 +144,7 @@ __all__ = [
     "detect_language",
     "document_fingerprint",
     "embedding_near_duplicates",
+    "euclidean_topk",
     "hash_unit",
     "ivf_topk",
     "keep_one_per_key",

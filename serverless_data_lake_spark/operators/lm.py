@@ -96,8 +96,16 @@ def train_bigram_lm(
     stats collect, so the reference corpus is tokenized once total
     rather than once per scoring pass — the right call whenever the
     model scores anything (the stats collect doubles as the unigram
-    materializer; the bigram table caches on first use)."""
+    materializer; the bigram table caches on first use). The token
+    ARRAYS persist too: both count tables derive from the same
+    tokenization, and without the shared cache the bigram table's
+    first materialization (usually a broadcast build inside the
+    scoring job) re-tokenizes the whole reference corpus (r9:
+    measured as the train-side half of the lm_perplexity entry's
+    floor gap)."""
     th = df.select(_token_hashes(text_col, token_mode).alias("__th"))
+    if persist:
+        th = th.persist()
     toks = th.select(F.explode_outer("__th").alias("w1")).filter(
         F.col("w1").isNotNull()
     )
@@ -152,7 +160,12 @@ def perplexity_score(
     left joins against the bigram counts on (w1, w2) and the unigram
     counts on w1 (context) and w2 (interpolation term; unseen counts
     coalesce to 0), smoothed probability in-row, one groupBy back to
-    documents.
+    documents. Short documents ride the same explode: explode_outer
+    emits one null-struct row for a <2-token document, the null join
+    keys match nothing, and the aggregate counts only non-null
+    bigrams — so no second scan of ``df`` and no join-back is needed
+    to emit their NULL score (r9: the join-back was a whole extra
+    shuffle join on every scoring pass).
     ``broadcast=True`` hints both LM sides map-side — right for a
     bounded reference LM; pass ``False`` for corpus-scale LMs and
     let AQE pick the join."""
@@ -175,7 +188,7 @@ def perplexity_score(
                 )
             )
         ).alias("bg"),
-    ).filter(F.col("bg").isNotNull()).select(id_col, "bg.w1", "bg.w2")
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     bi = F.broadcast(lm.bigrams) if broadcast else lm.bigrams
     uni1 = F.broadcast(lm.unigrams) if broadcast else lm.unigrams
     uni2 = (
@@ -206,24 +219,17 @@ def perplexity_score(
         .join(uni2, ["w2"], "left")
         .select(
             F.col(id_col),
-            F.log(
-                lam_eff * p_bi + (F.lit(1.0) - lam_eff) * p_uni
+            # Null w1 marks a short document's padding row — it must
+            # not score (the coalesced-to-0 counts would otherwise
+            # produce a REAL unseen-bigram probability for it).
+            F.when(
+                F.col("w1").isNotNull(),
+                F.log(lam_eff * p_bi + (F.lit(1.0) - lam_eff) * p_uni),
             ).alias("__logp"),
         )
     )
-    agg = scored.groupBy(id_col).agg(
-        F.count("*").cast("bigint").alias("n_bigrams"),
+    return scored.groupBy(id_col).agg(
+        F.count("__logp").cast("bigint").alias("n_bigrams"),
         F.avg("__logp").alias("avg_logp"),
-    )
-    return (
-        df.select(F.col(id_col))
-        .join(agg, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias(
-                "n_bigrams"
-            ),
-            F.col("avg_logp"),
-            F.exp(-F.col("avg_logp")).alias("perplexity"),
-        )
+        F.exp(-F.avg("__logp")).alias("perplexity"),
     )

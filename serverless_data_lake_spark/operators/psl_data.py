@@ -157,10 +157,14 @@ PUBLIC_SUFFIXES_2LABEL = PUBLIC_SUFFIXES_2LABEL + tuple(
 
 #: 3-label public suffixes (r8): the US locality families — the PSL
 #: lists ``k12.<state>.us``, ``cc.<state>.us`` (community colleges)
-#: and ``lib.<state>.us`` (libraries) as public suffixes for every
-#: state, so ``district.k12.ca.us`` is a registrable domain (the
-#: last FOUR labels of ``www.school.district.k12.ca.us``). Complete
-#: for these families; 153 strings.
+#: and ``lib.<state>.us`` (libraries) as public suffixes, so
+#: ``district.k12.ca.us`` is a registrable domain (the last FOUR
+#: labels of ``www.school.district.k12.ca.us``). Generated for all
+#: 51 state codes × 3 kinds (153 strings) — the live PSL carves out
+#: a small tail of exceptions within these families (not every
+#: state lists all three registries), so like the JP city domains
+#: this curated subset should be cross-checked against
+#: publicsuffix.org before production use.
 PUBLIC_SUFFIXES_3LABEL: tuple[str, ...] = tuple(
     f"{kind}.{st}.us"
     for kind in ("k12", "cc", "lib")

@@ -971,9 +971,11 @@ def pq_topk(
     at ``PQ_QUERY_CAP`` rows with a loud error past it (the
     ``REBALANCE_GROUP_CAP`` pattern from :mod:`operators.mixing`) —
     an oversized query batch should run as several calls or flip the
-    asymmetry. Each scored partition emits only its LOCAL top-k per
-    query (np.argpartition), so the shuffle into the final window is
-    ``nq × k`` rows per partition, never ``nq × n``."""
+    asymmetry. Each scored Arrow batch emits only its LOCAL top-k
+    per query — ``np.argpartition`` on distance (O(n)), then a
+    lexsort over just the k survivors plus boundary-distance ties
+    for the (dist, id) tie-break — so the shuffle into the final
+    window is ``nq × k`` rows per Arrow batch, never ``nq × n``."""
     import numpy as np
 
     books = np.asarray(codebooks, dtype=np.float64)
@@ -1018,15 +1020,27 @@ def pq_topk(
             for j in range(m):
                 d += luts[:, j, :][:, codes[:, j]]
             # Local top-k per query: only k candidate rows per query
-            # leave this partition (final ranking is the window).
-            # lexsort on (dist, id) matches the window's tie-break,
-            # so the partition-local cut never drops a row the
-            # global ranking would have kept.
+            # leave this batch (final ranking is the window).
+            # argpartition finds the k smallest distances in O(n);
+            # the lexsort tie-break then runs over only those k plus
+            # any rows TIED with the boundary distance — ties can
+            # straddle the argpartition cut with arbitrary ids, and
+            # the global window breaks them by id, so the candidate
+            # set must include every boundary-tied row.
             kk = min(k, n)
             ids = pdf[id_col].to_numpy()
-            idx = np.stack(
-                [np.lexsort((ids, d[q]))[:kk] for q in range(len(qids))]
-            )
+            sel = []
+            for q in range(len(qids)):
+                dq = d[q]
+                if n > kk:
+                    part = np.argpartition(dq, kk - 1)[:kk]
+                    cand = np.flatnonzero(dq <= dq[part].max())
+                else:
+                    cand = np.arange(n)
+                sel.append(
+                    cand[np.lexsort((ids[cand], dq[cand]))][:kk]
+                )
+            idx = np.stack(sel)
             rows = {
                 query_id_col: np.repeat(np.asarray(qids), kk),
                 id_col: ids[idx].reshape(-1),

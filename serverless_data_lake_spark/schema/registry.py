@@ -196,6 +196,19 @@ class GoldJobConfig:
             self.partition_by = [self.partition_by]
         if isinstance(self.bucket_by, str):
             self.bucket_by = [self.bucket_by]
+        # Validate write_mode at CONFIG time, not run time: an
+        # unknown mode (e.g. "upsert" — spelled `append` +
+        # `unique_key` here, the dbt convention) used to pass job
+        # creation, succeed on the FIRST run (the table-doesn't-exist
+        # branch creates regardless of mode), and only raise on the
+        # second — a delayed failure that looks like a working job
+        # (found by an r9 verify probe).
+        if self.write_mode not in ("overwrite", "append"):
+            raise ValueError(
+                f"unknown write_mode: {self.write_mode!r} — expected "
+                "'overwrite' or 'append' (append + unique_key is the "
+                "upsert spelling, as in dbt)"
+            )
 
     def to_dict(self) -> dict:
         return {

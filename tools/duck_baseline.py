@@ -53,19 +53,46 @@ def main() -> None:
         )
 
     oracles = entrymod.oracle_sql()
+
+    # Publish/consume parity with bench.py (r9, closes the r7/r8
+    # ADVICE asymmetry): on the Spark side ngram_jaccard_pairs
+    # PUBLISHES its persisted pair set within its own measured time
+    # and dedup_corpus_survivors consumes it later in the same rep,
+    # caches clearing at rep boundaries. Mirror that here: the
+    # jaccard entry's measured step ALSO materializes the pair CTE
+    # into a temp table, the survivors entry's measured step reads
+    # the materialized pairs instead of recomputing the CTE, and the
+    # table drops at the rep boundary — so neither engine's headline
+    # double-charges (or skips) the pair computation.
+    pair_cte = f"({entrymod._JACCARD_ORACLE})"
+    consume = "(SELECT id_a, id_b, jaccard FROM __published_pairs)"
+
+    def run(name: str, sql: str) -> None:
+        if name == "ngram_jaccard_pairs":
+            con.execute(
+                "CREATE OR REPLACE TEMP TABLE __published_pairs AS "
+                + sql
+            )
+            con.execute("SELECT * FROM __published_pairs").fetchall()
+        elif name == "dedup_corpus_survivors" and pair_cte in sql:
+            con.execute(sql.replace(pair_cte, consume, 1)).fetchall()
+        else:
+            con.execute(sql).fetchall()
+
     draws: dict[str, list[float]] = {name: [] for name in oracles}
     # Warmup pass (parity with bench.py's unmeasured warmup): page
     # cache + DuckDB's own readers warm before the measured reps.
     for name, sql in oracles.items():
         try:
-            con.execute(sql).fetchall()
+            run(name, sql)
         except Exception:
             pass
     for _ in range(reps):
         for name, sql in oracles.items():
             started = time.time()
-            con.execute(sql).fetchall()
+            run(name, sql)
             draws[name].append(time.time() - started)
+        con.execute("DROP TABLE IF EXISTS __published_pairs")
     timings = {name: round(min(ts), 3) for name, ts in draws.items()}
     print(
         json.dumps(

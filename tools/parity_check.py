@@ -35,10 +35,22 @@ def rowset(cols, rows):
     exactly as they do in the driver harness; CORRECTNESS_r07's red
     ``decontaminate_train`` row passed the old repr()-based canon
     here while erroring there). Values are then repr-canonicalized
-    per cell for the equality diff."""
+    per cell for the equality diff.
+
+    The factorize path only engages on MULTI-key sorts — a
+    single-column result would take pandas' argsort path, where
+    list cells may sort by comparison instead of raising — so a
+    constant dummy key is appended to one-column results to force
+    the lexsort/factorize path and keep the raise-parity guarantee
+    uniform."""
     order = sorted(cols)
     pdf = pd.DataFrame(rows, columns=list(cols))[order]
-    pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+    sort_keys = list(order)
+    if len(sort_keys) == 1:
+        pdf["__parity_dummy__"] = 0
+        sort_keys.append("__parity_dummy__")
+    pdf = pdf.sort_values(sort_keys, kind="mergesort").reset_index(drop=True)
+    pdf = pdf[order]
     return [tuple(canon(v) for v in row) for row in pdf.itertuples(index=False)]
 
 
