@@ -32,10 +32,12 @@ from pyspark.sql import functions as F
 
 from serverless_data_lake_spark.config import LakeConfig
 from serverless_data_lake_spark.operators.dedup import (
+    LshIndex,
     build_lsh_index,
     dedup_exact,
     keep_one_per_key,
-    lsh_pairs_against_index,
+    lsh_pairs_index_vs_index,
+    lsh_self_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     ngram_jaccard_prefix,
@@ -701,7 +703,7 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       (``minhash_lsh_pairs`` — zero-shuffle in-row signatures,
       banded bucket join, exact-Jaccard verification);
     - ``incremental``: the streaming-ingest shape
-      (``build_lsh_index`` + ``lsh_pairs_against_index``) — the
+      (``build_lsh_index`` + ``lsh_pairs_index_vs_index``) — the
       even-id half of the corpus is the STANDING INDEX, the odd-id
       half is the arriving batch, and the leg returns the batch's
       verified matches against the index. This is the exact operator
@@ -711,20 +713,33 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       cross-parity restriction of the exact pair set.
 
     Pairs are normalized to (id_a=min, id_b=max) in both legs so one
-    exact-Jaccard oracle covers them."""
+    exact-Jaccard oracle covers them.
+
+    One signature pass total (r9): the 128-hash MinHash computation
+    is the entry's dominant cost, so ONE full-corpus index is built
+    and persisted, the batch leg self-joins it, and the incremental
+    leg's standing-index/arriving-batch sides are PARITY SLICES of
+    the same index (``lsh_pairs_index_vs_index`` — no text is
+    re-tokenized, no signature recomputed; until r9 the entry ran
+    the signature pass twice, once per leg)."""
     docs = _read_parallel(spark, sf_dir, "documents")
-    full = minhash_lsh_pairs(
-        docs, "doc_id", "text",
-        num_hashes=128, bands=32, shingle_size=3, verify_threshold=0.8,
-    )
-    corpus = docs.filter(F.col("doc_id") % 2 == 0)
-    batch = docs.filter(F.col("doc_id") % 2 == 1)
     idx = build_lsh_index(
-        corpus, "doc_id", "text",
+        docs, "doc_id", "text",
         num_hashes=128, bands=32, shingle_size=3,
-    )
-    inc = lsh_pairs_against_index(
-        batch, idx, "doc_id", "text", verify_threshold=0.8
+    ).persist()
+    full = lsh_self_pairs(idx, verify_threshold=0.8)
+
+    def _slice(parity: int) -> LshIndex:
+        return LshIndex(
+            bands_df=idx.bands_df.filter(F.col("__cid") % 2 == parity),
+            grams_df=idx.grams_df.filter(F.col("__cid") % 2 == parity),
+            num_hashes=idx.num_hashes,
+            bands=idx.bands,
+            shingle_size=idx.shingle_size,
+        )
+
+    inc = lsh_pairs_index_vs_index(
+        _slice(1), _slice(0), verify_threshold=0.8
     )
     return full.select(
         F.lit("batch").alias("leg"), "id_a", "id_b", "jaccard"

@@ -45,6 +45,7 @@ from serverless_data_lake_spark.operators.dedup import (
     decontaminate,
     incremental_dedup,
     lsh_pairs_against_index,
+    lsh_pairs_index_vs_index,
     lsh_self_pairs,
     keep_one_per_key,
     minhash_lsh_pairs,
@@ -126,6 +127,7 @@ __all__ = [
     "importance_sample",
     "incremental_dedup",
     "lsh_pairs_against_index",
+    "lsh_pairs_index_vs_index",
     "lsh_self_pairs",
     "pack_sequences",
     "pq_encode",

@@ -366,9 +366,24 @@ def ngram_jaccard_pairs(
     # hash-partitioning on (id_a, id_b) satisfies the groupBy's
     # clustering (the appended size keys are id-functional), so no
     # second exchange appears.
+    # PPJoin's LENGTH filter, applied AT the join (r9): J(a,b) ≤
+    # min(|a|,|b|)/max(|a|,|b|), so any pair whose size ratio is
+    # below the threshold can be dropped before the pair shuffle —
+    # exact (zero recall loss), and it prunes where it is cheapest
+    # (measured at sf0.1: 1.27 M → 0.47 M candidate rows into the
+    # intersection aggregate, entry 2.0 → 1.4 s; at production scale
+    # it bounds the second shuffle by the same ratio). The 1e-9
+    # slack keeps a pair sitting exactly ON the ratio boundary
+    # (min/max = t, reachable with integer sizes) from being lost
+    # when t·max rounds up in binary float — common thresholds
+    # round clean, but the guard costs nothing and holds for any t.
     pairs = (
         left.join(right, on="__tok")
         .filter(F.col("l.__id") < F.col("r.__id"))
+        .filter(
+            F.least("l.__n", "r.__n").cast("double")
+            >= float(threshold) * F.greatest("l.__n", "r.__n") - 1e-9
+        )
         .repartition(
             df.sparkSession.sparkContext.defaultParallelism,
             F.col("l.__id"),
@@ -678,6 +693,50 @@ def lsh_pairs_against_index(
         new_df, id_col, text_col, index.shingle_size
     ).select(F.col(id_col).alias("__gid"), "__grams").persist()
     new_banded = _banded_rows(new_grams, index.bands, rows, id_out="__nid")
+    return _lsh_pairs_between(
+        new_banded, new_grams, index, verify_threshold, broadcast_new
+    )
+
+
+def lsh_pairs_index_vs_index(
+    batch_index: LshIndex,
+    corpus_index: LshIndex,
+    verify_threshold: float | None = 0.8,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """:func:`lsh_pairs_against_index` where the NEW side is already
+    in index form — its signatures/bands were computed elsewhere
+    (e.g. both sides are slices of ONE full-corpus index, or a
+    batch's index rows persisted by the streaming twin). Skips the
+    new side's tokenize + MinHash pass entirely; at 100 TB the
+    signature pass IS the dominant cost of the LSH family, so a
+    pipeline that already holds index rows for both sides should
+    never hand text back to the pairing step (r9: the driver's
+    minhash entry computed signatures over the corpus twice —
+    full-corpus leg plus a rebuilt parity-split index)."""
+    new_banded = batch_index.bands_df.select(
+        F.col("__cid").alias("__nid"), "__band", "__bh"
+    )
+    new_grams = batch_index.grams_df.select(
+        F.col("__cid").alias("__gid"), "__grams"
+    )
+    return _lsh_pairs_between(
+        new_banded, new_grams, corpus_index, verify_threshold,
+        broadcast_new,
+    )
+
+
+def _lsh_pairs_between(
+    new_banded: DataFrame,
+    new_grams: DataFrame,
+    index: LshIndex,
+    verify_threshold: float | None,
+    broadcast_new: bool,
+) -> DataFrame:
+    """Shared core of the batch-vs-corpus pairing: band-bucket
+    candidate join, then exact-Jaccard verification on the fetched
+    gram sets. ``new_banded``: (__nid, __band, __bh);
+    ``new_grams``: (__gid, __grams)."""
     if broadcast_new:
         new_banded = F.broadcast(new_banded)
     candidates = (
@@ -915,8 +974,19 @@ def ngram_jaccard_prefix(
         .withColumn("__sz", F.size("__grams"))
         .persist()
     )
+    # ceil(t·sz) with a 1e-9 DOWNWARD bias: for thresholds whose
+    # float product with some doc size is mathematically integral
+    # but rounds UP in binary (e.g. t=1/75 at sz=525 →
+    # 7.000000000000001), plain ceil lands one too high, shortening
+    # the prefix by one and able to MISS a true pair whose overlap
+    # sits just past the truncated prefix (r9 defensive exactness
+    # guard — the bias can only lengthen the prefix, never cut it;
+    # common thresholds like 0.8 happen to round clean at realistic
+    # sizes, so no failing corpus existed for them).
     prefix_len = (
-        F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+        F.col("__sz")
+        - F.ceil(F.lit(float(threshold)) * F.col("__sz") - 1e-9)
+        + 1
     ).cast("int")
     prefixes = arrs.select(
         "__id",
@@ -929,9 +999,15 @@ def ngram_jaccard_prefix(
         left.join(right, on="__tok")
         .filter(F.col("l.__id") < F.col("r.__id"))
         # Size-ratio filter: J ≥ t forces min(|a|,|b|) ≥ t·max(|a|,|b|).
+        # 1e-9 slack: a pair exactly ON the boundary (min/max = t,
+        # reachable with integer sizes) must not be lost to
+        # binary-float rounding of t·max (same guard as the length
+        # filter in ngram_jaccard_pairs).
         .filter(
-            F.least(F.col("l.__sz"), F.col("r.__sz"))
-            >= F.lit(threshold) * F.greatest(F.col("l.__sz"), F.col("r.__sz"))
+            F.least(F.col("l.__sz"), F.col("r.__sz")).cast("double")
+            >= F.lit(float(threshold))
+            * F.greatest(F.col("l.__sz"), F.col("r.__sz"))
+            - 1e-9
         )
         .select(
             F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")

@@ -118,3 +118,29 @@ def test_minhash_verified_is_sound_and_finds_exact_dups(spark):
     # Complete for identical documents: equal gram sets -> equal
     # signatures -> same bands, guaranteed candidate.
     assert (0, 10) in got
+
+
+def test_prefix_integral_boundary_not_truncated(spark):
+    """Exact-boundary inclusion gate (r9): the subset pair here has
+    J = 16/20 = 0.8, exactly ON the threshold, and the superset
+    doc's 4 unique grams are its rarest — so the pair survives ONLY
+    if both the prefix length (|d| − ceil(t·|d|) + 1 = 5 slots, the
+    5th being the rarest SHARED gram) and the size-ratio filter
+    (min/max = t exactly) are computed without upward float bias.
+    Guards the 1e-9 slack in both places in ngram_jaccard_prefix —
+    a one-too-high ceil (possible for thresholds whose t·sz rounds
+    up in binary, e.g. 1/75·525) would truncate the prefix to the
+    4 unique grams and silently miss the pair."""
+    base = [f"w{i}" for i in range(18)]          # 16 trigrams
+    extra = ["x1", "x2", "x3", "x4"]             # +4 unique trigrams
+    rows = [(0, " ".join(base)), (1, " ".join(base + extra))]
+    expect = ref_pairs(rows, 3, 0.8)
+    assert (0, 1) in expect and expect[(0, 1)] == pytest.approx(0.8)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_prefix(
+            df, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    assert got == {(0, 1): pytest.approx(0.8)}
