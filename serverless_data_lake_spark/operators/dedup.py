@@ -948,16 +948,20 @@ def ngram_jaccard_prefix(
     MinHash's approximation is unwanted. Cost: one extra groupBy for
     document frequencies and a per-doc sort of the gram array.
     """
-    # Document frequency from a groupBy over one explicit
-    # hash-partitioning of the token set, joined back with a
-    # shuffled hash join on the same partitioning — same shape and
-    # rationale as the capped path in :func:`ngram_jaccard_pairs`
-    # (a count() window would sort the full token set by gram hash;
-    # the combined frequency table is only |distinct grams| rows).
+    # Document frequency as a groupBy + shuffled-hash join back (a
+    # count() window would sort the full token set by gram hash; the
+    # frequency table is only |distinct grams| rows). NO explicit
+    # repartition pin on the token set (r9): both groupBys on this
+    # path have group count ≪ row count (distinct grams, then docs),
+    # which is exactly the regime where the r7 rule says AQE's
+    # byte-based coalescing is right and a pin only adds an
+    # uncoalesced 32-way exchange — measured 1.3-1.6 → 0.7-1.0 s at
+    # sf0.1 for the ranked-array stage after dropping it. (The pin
+    # stays in ngram_jaccard_pairs, whose pair aggregate has group
+    # count ≈ row count and whose self-join reuses the pinned
+    # exchange on both sides.)
     toks = _explode_grams(
         gram_hash_sets(df, id_col, text_col, n, share=share_grams), "__id"
-    ).repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "__tok"
     )
     freq = toks.groupBy("__tok").agg(F.count("*").alias("__df"))
     ranked = toks.join(freq.hint("shuffle_hash"), "__tok")
