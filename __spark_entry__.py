@@ -856,15 +856,26 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle recomputes both legs with string grams in DuckDB.
 
+    One gram join total (r9): at ``min_shared=1`` the per-train-doc
+    threshold (``decontaminate``) and the per-pair threshold
+    (``contamination_report``) select the SAME contaminated
+    training documents, so both legs derive from one persisted
+    ``contamination_pairs`` result — the survivor leg anti-joins
+    its distinct train ids, the report leg aggregates it per eval
+    doc. Until r9 each leg re-ran the train-side gram explode +
+    broadcast join.
+
     Driver-contract note (r8): ``example_train_ids`` is emitted as a
     comma-joined STRING, not ``array<bigint>`` — the driver's pandas
     canonicalizer (``sort_values`` → ``factorize``) cannot hash list
     cells (CORRECTNESS_r07 ``TypeError: unhashable type: 'list'``).
     The no-complex-type schema contract is pinned in
     tests/test_entry_contract.py."""
+    from pyspark import StorageLevel
+
     from serverless_data_lake_spark.operators.dedup import (
+        contamination_pairs,
         contamination_report,
-        decontaminate,
     )
 
     # explode-first operator: its own keyed exchange parallelizes;
@@ -873,20 +884,23 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     test = docs.filter(F.col("doc_id") % 17 == 0)
     train = docs.filter(F.col("doc_id") % 17 != 0)
-    # broadcast=True skips the auto-sizing count job (the eval slice is
-    # 1/17 of documents — trivially under the broadcast cap) and keeps
-    # this entry's construction fully lazy for the bench.
-    clean = decontaminate(
-        train, test, "doc_id", "text", n=5, min_shared=1, broadcast=True
-    )
-    survivors = clean.select(
+    pair_hits = contamination_pairs(
+        train, test, "doc_id", "text", n=5, min_shared=1
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    contaminated = pair_hits.select(
+        F.col("__cid").alias("__dup")
+    ).distinct()
+    survivors = train.join(
+        contaminated, train["doc_id"] == contaminated["__dup"], "left_anti"
+    ).select(
         F.lit("survivor").alias("leg"),
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.lit(None).cast("bigint").alias("n_contaminated"),
         F.lit(None).cast("string").alias("example_train_ids"),
     )
     report = contamination_report(
-        train, test, "doc_id", "text", n=5, min_shared=1, examples=3
+        train, test, "doc_id", "text", n=5, min_shared=1, examples=3,
+        pair_hits=pair_hits,
     ).select(
         F.lit("report").alias("leg"),
         F.col("test_id").cast("bigint").alias("doc_id"),
@@ -1313,7 +1327,13 @@ def _q_mixing_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
         source_mix_report,
     )
 
-    docs = _read_parallel(spark, sf_dir, "documents").withColumn(
+    # Plain read (r9): the mixing legs are groupBy-first with
+    # trivial per-row compute — the up-front repartition added an
+    # exchange per leg AND made the rebalance fixed point's count
+    # collect pay it too (measured exec 1.1-1.45 → ~0.4 s,
+    # construct 1.0 → 0.55 s at sf0.1; the r8 read-strategy rule's
+    # keyed-shuffle-first case, missed in the r8 sweep).
+    docs = _read(spark, sf_dir, "documents").withColumn(
         "grp",
         F.when(
             F.col("source").isin(_MIX_WEB_SOURCES), F.lit("web")

@@ -40,6 +40,7 @@ from serverless_data_lake_spark.operators.bpe import (
 )
 from serverless_data_lake_spark.operators.dedup import (
     build_lsh_index,
+    contamination_pairs,
     contamination_report,
     dedup_exact,
     decontaminate,
@@ -120,6 +121,7 @@ __all__ = [
     "build_lsh_index",
     "chunk_documents",
     "connected_components",
+    "contamination_pairs",
     "contamination_report",
     "dedup_corpus",
     "default_tokenizer",

@@ -1130,6 +1130,36 @@ def decontaminate(
     )
 
 
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Every contaminated (eval, train) document pair with its
+    distinct shared-gram count: ``(__tid, __cid, __shared)`` — the
+    shared core of the decontamination family. One train-side gram
+    explode, one broadcast join against the eval grams (eval suites
+    are small by construction), one map-side-combinable pair
+    aggregate; output volume is bounded by actual contamination,
+    not corpus size. Persist the result when several consumers
+    (audit report + contaminated-id set) read it."""
+    test_grams = _explode_grams(
+        gram_hash_sets(test, id_col, text_col, n), "__tid"
+    )
+    train_toks = _explode_grams(
+        gram_hash_sets(train, id_col, text_col, n), "__cid"
+    )
+    return (
+        train_toks.join(F.broadcast(test_grams), "__tok")
+        .groupBy("__tid", "__cid")
+        .agg(F.count("*").alias("__shared"))
+        .filter(F.col("__shared") >= min_shared)
+    )
+
+
 def contamination_report(
     train: DataFrame,
     test: DataFrame,
@@ -1138,6 +1168,7 @@ def contamination_report(
     n: int = 13,
     min_shared: int = 1,
     examples: int = 3,
+    pair_hits: DataFrame | None = None,
 ) -> DataFrame:
     """The AUDIT side of decontamination: per EVAL document, how much
     of the training corpus collides with it — ``(test_id,
@@ -1152,19 +1183,18 @@ def contamination_report(
     :func:`decontaminate` does), join the small broadcast test-gram
     side KEEPING the test id, then reduce per (test, train) pair and
     per test — map-side combinable aggregates; example ids ride a
-    bounded ``slice(sort_array(collect_set))``."""
-    test_grams = _explode_grams(
-        gram_hash_sets(test, id_col, text_col, n), "__tid"
-    )
-    train_toks = _explode_grams(
-        gram_hash_sets(train, id_col, text_col, n), "__cid"
-    )
-    pair_hits = (
-        train_toks.join(F.broadcast(test_grams), "__tok")
-        .groupBy("__tid", "__cid")
-        .agg(F.count("*").alias("__shared"))
-        .filter(F.col("__shared") >= min_shared)
-    )
+    bounded ``slice(sort_array(collect_set))``.
+
+    ``pair_hits`` accepts a precomputed (ideally persisted)
+    :func:`contamination_pairs` result so a pipeline that needs BOTH
+    the audit table and the contaminated-id set (at
+    ``min_shared=1`` the per-train-doc and per-pair thresholds
+    select the same training documents) pays the train-side gram
+    explode + broadcast join once."""
+    if pair_hits is None:
+        pair_hits = contamination_pairs(
+            train, test, id_col, text_col, n, min_shared
+        )
     per_test = pair_hits.groupBy("__tid").agg(
         F.count("*").cast("bigint").alias("n_contaminated"),
         F.slice(
