@@ -1265,10 +1265,14 @@ def _q_ann_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # Lazy persist, no eager count: the first leg's evaluation
+    # materializes the cache inside the entry's MEASURED execution
+    # (an eager count here would move ~1 s of real scan work into
+    # construct time and flatter the headline); the second leg and
+    # the recall joins read the cached 50-row result.
     exact = cosine_topk(emb, queries_df, id_col="vec_id", k=10).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    exact.count()  # materialize before both consumers fork
     lsh = _q_ann_lsh(spark, sf_dir, exact=exact).select(
         F.lit("lsh").alias("method"), "query_id", "recall_ok"
     )
