@@ -1098,12 +1098,17 @@ def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_all_pairs_numpy,
     )
 
-    # Plain read on purpose: the numpy kernel parallelizes ACROSS the
-    # broadcast corpus inside each Arrow batch; fanning a ~2k-row
-    # input over 32 partitions just multiplies Python-worker startup
-    # + broadcast deserialization (measured 5× slower). At real scale
-    # the input arrives multi-partition and the kernel scales with it.
-    emb = _read(spark, sf_dir, "embeddings")
+    # _read_parallel (r9, reversing a stale r-early claim that the
+    # fan-out was 5× slower — that measurement predated the warm
+    # Python-worker pool): a single-partition scan runs the whole
+    # O(n²·d) kernel on ONE worker (1.3-1.5 s at sf0.1); across 32
+    # partitions the same arithmetic takes 0.35-0.65 s, and worker
+    # startup/broadcast deserialization no longer dominates because
+    # bench.py's warmup primes the reused worker pool. At real scale
+    # the input arrives multi-partition and the kernel scales with it
+    # either way — heavy in-row compute is exactly _read_parallel's
+    # case in the r8 read-strategy rule.
+    emb = _read_parallel(spark, sf_dir, "embeddings")
     # Arrow/numpy exact kernel: bit-identical to the SQL fold and the
     # DuckDB oracle, ~6x faster (see operators/similarity.py).
     return embedding_all_pairs_numpy(
