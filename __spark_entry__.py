@@ -640,10 +640,12 @@ def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     share_grams stays OFF here: the gram-projection cache A/B
     (docs/bench.md) measured the columnar cache round-trip at or
     above the fused recompute on these join-bound entries at sf0.1
-    (trio 10.4-11.2 s cached vs 8.6-10.4 s fused across three
-    sittings), so the entries take the faster fused path; the
-    share=True staging remains the right call when MANY analyses
-    reuse one projection."""
+    (trio 10.4-11.2 s cached vs 8.6-10.4 s fused across three r7
+    sittings; RE-RUN in r9 after the plain-read switch moved the
+    economics — fused still wins, best-of-2 5.87 vs 6.35 s), so the
+    entries take the faster fused path; the share=True staging
+    remains the right call when MANY analyses reuse one
+    projection."""
     from pyspark import StorageLevel
 
     # explode-first operator: its own keyed exchange parallelizes;
