@@ -29,11 +29,14 @@ compositions so Catalyst plans the shuffles:
 - ``decontaminate``       — GPT-3-style n-gram benchmark
   decontamination against an eval corpus;
   ``contamination_report`` is its audit twin (per-eval-doc hit
-  counts + example train ids).
+  counts + example train ids) and ``contamination_pairs`` the
+  shared (eval, train, shared-gram-count) core both can consume.
 - ``build_lsh_index`` / ``incremental_dedup`` — batch-vs-corpus
   near-dup dedup against a standing, parquet-backed LSH index (the
   daily-increment shape; streaming twin in
-  ``streaming/incremental_dedup_stream.py``).
+  ``streaming/incremental_dedup_stream.py``);
+  ``lsh_pairs_index_vs_index`` pairs two prebuilt indexes without
+  re-running either side's signature pass.
 - embedding near-dup lives in ``operators/similarity.py``.
 """
 

@@ -327,3 +327,163 @@ class TestContaminationReport:
         ).first()
         assert r.n_contaminated == 10
         assert list(r.example_train_ids) == [0, 1, 2]  # bounded, sorted
+
+
+class TestIndexVsIndexPairs:
+    SCHEMA = "doc_id long, text string"
+
+    def test_agrees_with_text_path_and_full_slices(self, spark):
+        """lsh_pairs_index_vs_index (r9: the minhash entry's
+        signature-pass-once shape) must equal lsh_pairs_against_index
+        fed the same batch as TEXT — the index form skips the
+        tokenize+MinHash pass, not any of the matching semantics —
+        and slicing ONE full-corpus index by parity must equal
+        building the two sides separately."""
+        import random
+
+        from serverless_data_lake_spark.operators.dedup import (
+            LshIndex,
+            build_lsh_index,
+            lsh_pairs_against_index,
+            lsh_pairs_index_vs_index,
+        )
+
+        rng = random.Random(11)
+        rows = []
+        for i in range(60):
+            t = " ".join(f"w{rng.randrange(25)}" for _ in range(20))
+            rows.append((i, t))
+            if i % 5 == 0:  # planted cross-parity near-dup
+                toks = t.split()
+                toks[2] = "changed"
+                rows.append((i + 1001, " ".join(toks)))  # odd id
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        even = df.filter(F.col("doc_id") % 2 == 0)
+        odd = df.filter(F.col("doc_id") % 2 == 1)
+
+        corpus_idx = build_lsh_index(even, "doc_id", "text").persist()
+        via_text = {
+            (r.new_id, r.corpus_id, round(r.jaccard, 12))
+            for r in lsh_pairs_against_index(
+                odd, corpus_idx, "doc_id", "text", verify_threshold=0.5
+            ).collect()
+        }
+        batch_idx = build_lsh_index(odd, "doc_id", "text")
+        via_index = {
+            (r.new_id, r.corpus_id, round(r.jaccard, 12))
+            for r in lsh_pairs_index_vs_index(
+                batch_idx, corpus_idx, verify_threshold=0.5
+            ).collect()
+        }
+        assert via_index == via_text and via_text  # non-empty
+
+        # Parity slices of ONE full index == separately built sides.
+        full_idx = build_lsh_index(df, "doc_id", "text").persist()
+
+        def _slice(parity):
+            return LshIndex(
+                bands_df=full_idx.bands_df.filter(
+                    F.col("__cid") % 2 == parity
+                ),
+                grams_df=full_idx.grams_df.filter(
+                    F.col("__cid") % 2 == parity
+                ),
+                num_hashes=full_idx.num_hashes,
+                bands=full_idx.bands,
+                shingle_size=full_idx.shingle_size,
+            )
+
+        via_slices = {
+            (r.new_id, r.corpus_id, round(r.jaccard, 12))
+            for r in lsh_pairs_index_vs_index(
+                _slice(1), _slice(0), verify_threshold=0.5
+            ).collect()
+        }
+        assert via_slices == via_text
+        corpus_idx.unpersist()
+        full_idx.unpersist()
+
+
+class TestContaminationPairsEquivalence:
+    SCHEMA = "doc_id long, text string"
+
+    def _corpus(self, spark):
+        rows = [
+            (0, "alpha beta gamma delta epsilon zeta"),    # eval
+            (1, "alpha beta gamma delta epsilon zeta"),    # dup of 0
+            (2, "alpha beta gamma other words here now"),  # shares 1 gram w/ 0
+            (3, "totally unrelated content about ships"),
+            (17, "another eval doc about maritime law"),   # eval
+            (4, "another eval doc about maritime law yes"),  # shares w/ 17
+        ]
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    def test_min_shared_1_sets_coincide(self, spark):
+        """The r9 entry consolidation rests on this: at min_shared=1
+        the per-train-doc threshold (decontaminate) and the per-pair
+        threshold (contamination_pairs) drop the SAME training
+        docs."""
+        from serverless_data_lake_spark.operators.dedup import (
+            contamination_pairs,
+            decontaminate,
+        )
+
+        df = self._corpus(spark)
+        test = df.filter(F.col("doc_id") % 17 == 0)
+        train = df.filter(F.col("doc_id") % 17 != 0)
+        survivors_op = {
+            r.doc_id
+            for r in decontaminate(
+                train, test, "doc_id", "text", n=3, min_shared=1,
+                broadcast=True,
+            ).collect()
+        }
+        dropped = {
+            r["__cid"]
+            for r in contamination_pairs(
+                train, test, "doc_id", "text", n=3, min_shared=1
+            ).collect()
+        }
+        survivors_pairs = {
+            r.doc_id for r in train.collect()
+        } - dropped
+        assert survivors_op == survivors_pairs
+
+    def test_min_shared_above_1_differs_by_construction(self, spark):
+        """And the equivalence is min_shared=1 ONLY: decontaminate
+        counts shared grams per TRAIN DOC across the whole eval
+        suite, contamination_pairs per (eval, train) PAIR — a train
+        doc sharing one gram with each of two eval docs is dropped
+        by the former at min_shared=2 but by no pair row. Pins the
+        boundary so the entry consolidation can't silently be
+        generalized."""
+        from serverless_data_lake_spark.operators.dedup import (
+            contamination_pairs,
+            decontaminate,
+        )
+
+        rows = [
+            (0, "one two three xx yy zz"),         # eval A
+            (17, "four five six xx yy zz qq"),     # eval B (shares nothing w/ A at n=3? ensure distinct)
+            (1, "one two three unrelated tail words four five six"),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        test = df.filter(F.col("doc_id") % 17 == 0)
+        train = df.filter(F.col("doc_id") % 17 != 0)
+        # doc 1 shares exactly one 3-gram with each eval doc.
+        pair_counts = {
+            (r["__tid"], r["__cid"]): r["__shared"]
+            for r in contamination_pairs(
+                train, test, "doc_id", "text", n=3, min_shared=1
+            ).collect()
+        }
+        assert pair_counts == {(0, 1): 1, (17, 1): 1}
+        # per-pair threshold 2: no pair qualifies...
+        assert contamination_pairs(
+            train, test, "doc_id", "text", n=3, min_shared=2
+        ).count() == 0
+        # ...but decontaminate's per-train-doc count (1+1=2) drops it.
+        assert decontaminate(
+            train, test, "doc_id", "text", n=3, min_shared=2,
+            broadcast=True,
+        ).count() == 0
