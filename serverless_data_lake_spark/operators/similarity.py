@@ -550,28 +550,54 @@ def embedding_all_pairs_numpy(
         import pandas as pd
 
         r_ids, r_mat, r_norms = b_ids.value, b_mat.value, b_norms.value
+        # Two large-corpus bounds, both measured in the r9 sf5 sweep
+        # (100 k × 64 corpus), both invisible at bench scale:
+        #
+        # 1. MEMORY: the score matrix is (left rows × corpus)
+        #    doubles, so an unchunked 10 k-row Arrow batch is ~8 GB
+        #    per worker × 32 workers — a JVM OOM-kill, not a slow
+        #    query. Left rows run in blocks sized so block × corpus
+        #    stays ≤ ~256 MB regardless of corpus size; the block
+        #    split only partitions the output rows.
+        # 2. LAYOUT: the per-dimension accumulation reads COLUMN i
+        #    of both matrices; on a row-major (n × dim) corpus that
+        #    is a stride-dim gather per element, and at 100 k rows
+        #    the strided reads fall out of cache — 32 workers
+        #    measured ~17 Mops/s each (a ~20-minute stage for work
+        #    that takes seconds contiguous). One transpose to
+        #    (dim × n) C-order per worker makes every accumulation
+        #    step a contiguous row read. Same accumulation order →
+        #    bit-identical cosines.
+        r_cols = np.ascontiguousarray(r_mat.T)
+        block = max(1, (32 << 20) // max(1, len(r_ids)))
         for pdf in batches:
-            l_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            l_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            if not len(l_ids):
+            all_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            all_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if not len(all_ids):
                 continue
-            l_acc = np.zeros(len(l_ids))
-            for i in range(dim):
-                l_acc += l_mat[:, i] * l_mat[:, i]
-            l_norms = np.sqrt(l_acc)
-            dots = np.zeros((len(l_ids), len(r_ids)))
-            for i in range(dim):
-                dots += l_mat[:, i][:, None] * r_mat[:, i][None, :]
-            cos = dots / (l_norms[:, None] * r_norms[None, :])
-            mask = (l_ids[:, None] < r_ids[None, :]) & (cos >= threshold)
-            li, ri = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "id_a": l_ids[li],
-                    "id_b": r_ids[ri],
-                    "cosine": cos[li, ri],
-                }
-            )
+            all_cols = np.ascontiguousarray(all_mat.T)
+            for s in range(0, len(all_ids), block):
+                l_ids = all_ids[s : s + block]
+                l_cols = all_cols[:, s : s + block]
+                l_acc = np.zeros(len(l_ids))
+                for i in range(dim):
+                    l_acc += l_cols[i] * l_cols[i]
+                l_norms = np.sqrt(l_acc)
+                dots = np.zeros((len(l_ids), len(r_ids)))
+                for i in range(dim):
+                    dots += l_cols[i][:, None] * r_cols[i][None, :]
+                cos = dots / (l_norms[:, None] * r_norms[None, :])
+                mask = (l_ids[:, None] < r_ids[None, :]) & (
+                    cos >= threshold
+                )
+                li, ri = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {
+                        "id_a": l_ids[li],
+                        "id_b": r_ids[ri],
+                        "cosine": cos[li, ri],
+                    }
+                )
 
     return df.select(id_col, vec_col).mapInPandas(kernel, schema=out_schema)
 
