@@ -546,6 +546,11 @@ def embedding_all_pairs_numpy(
         ]
     )
 
+    # Captured as a VALUE at call time (not a module-global lookup
+    # inside the worker) so tests can patch it and the patched budget
+    # provably ships in the serialized closure.
+    block_entries = KERNEL_BLOCK_ENTRIES
+
     def kernel(batches):
         import pandas as pd
 
@@ -569,7 +574,7 @@ def embedding_all_pairs_numpy(
         #    step a contiguous row read. Same accumulation order →
         #    bit-identical cosines.
         r_cols = np.ascontiguousarray(r_mat.T)
-        block = max(1, (32 << 20) // max(1, len(r_ids)))
+        block = max(1, block_entries // max(1, len(r_ids)))
         for pdf in batches:
             all_ids = pdf[id_col].to_numpy(dtype=np.int64)
             all_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
@@ -878,6 +883,13 @@ def dequantize_embeddings(codes: Column, scale: Column) -> Column:
 # this, batch the queries into several calls instead.
 PQ_QUERY_CAP = 100_000
 
+#: Per-worker score/distance matrix budget for the Arrow kernels
+#: (all-pairs cosine, PQ ADC): blocks are sized so a single
+#: (rows × corpus) or (queries × rows) double matrix stays at or
+#: under this many ENTRIES × 8 bytes (~256 MB). Patchable small in
+#: tests to exercise the blocking paths at toy sizes.
+KERNEL_BLOCK_ENTRIES = 32 << 20
+
 
 def train_pq_codebooks(
     df: DataFrame,
@@ -1035,46 +1047,62 @@ def pq_topk(
         "approx_sq_dist double"
     )
 
+    block_entries = KERNEL_BLOCK_ENTRIES  # value-captured (testable)
+
     def gen(batches):
         import pandas as pd
 
         for pdf in batches:
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
             n = len(codes)
-            # dist[q, i] = Σ_j lut[q, j, codes[i, j]]
-            d = np.zeros((len(qids), n))
-            for j in range(m):
-                d += luts[:, j, :][:, codes[:, j]]
-            # Local top-k per query: only k candidate rows per query
-            # leave this batch (final ranking is the window).
-            # argpartition finds the k smallest distances in O(n);
-            # the lexsort tie-break then runs over only those k plus
-            # any rows TIED with the boundary distance — ties can
-            # straddle the argpartition cut with arbitrary ids, and
-            # the global window breaks them by id, so the candidate
-            # set must include every boundary-tied row.
             kk = min(k, n)
             ids = pdf[id_col].to_numpy()
-            sel = []
-            for q in range(len(qids)):
-                dq = d[q]
-                if n > kk:
-                    part = np.argpartition(dq, kk - 1)[:kk]
-                    cand = np.flatnonzero(dq <= dq[part].max())
-                else:
-                    cand = np.arange(n)
-                sel.append(
-                    cand[np.lexsort((ids[cand], dq[cand]))][:kk]
-                )
-            idx = np.stack(sel)
-            rows = {
-                query_id_col: np.repeat(np.asarray(qids), kk),
-                id_col: ids[idx].reshape(-1),
-                "approx_sq_dist": np.take_along_axis(
-                    d, idx, axis=1
-                ).reshape(-1),
-            }
-            yield pd.DataFrame(rows)
+            # Query-block memory bound (r9, the all-pairs-kernel
+            # lesson applied here before it bites): dist is
+            # (queries × batch rows) doubles, and the query side is
+            # allowed up to PQ_QUERY_CAP=100 k — unblocked, a 10 k-row
+            # Arrow batch would allocate ~8 GB per worker. Blocks
+            # keep it ≤ ~256 MB; each block emits its own local
+            # top-k rows, identical to the unblocked output.
+            qblock = max(1, block_entries // max(1, n))
+            for q0 in range(0, len(qids), qblock):
+                luts_b = luts[q0 : q0 + qblock]
+                nqb = len(luts_b)
+                # dist[q, i] = Σ_j lut[q, j, codes[i, j]]
+                d = np.zeros((nqb, n))
+                for j in range(m):
+                    d += luts_b[:, j, :][:, codes[:, j]]
+                # Local top-k per query: only k candidate rows per
+                # query leave this batch (final ranking is the
+                # window). argpartition finds the k smallest
+                # distances in O(n); the lexsort tie-break then runs
+                # over only those k plus any rows TIED with the
+                # boundary distance — ties can straddle the
+                # argpartition cut with arbitrary ids, and the
+                # global window breaks them by id, so the candidate
+                # set must include every boundary-tied row.
+                sel = []
+                for q in range(nqb):
+                    dq = d[q]
+                    if n > kk:
+                        part = np.argpartition(dq, kk - 1)[:kk]
+                        cand = np.flatnonzero(dq <= dq[part].max())
+                    else:
+                        cand = np.arange(n)
+                    sel.append(
+                        cand[np.lexsort((ids[cand], dq[cand]))][:kk]
+                    )
+                idx = np.stack(sel)
+                rows = {
+                    query_id_col: np.repeat(
+                        np.asarray(qids[q0 : q0 + qblock]), kk
+                    ),
+                    id_col: ids[idx].reshape(-1),
+                    "approx_sq_dist": np.take_along_axis(
+                        d, idx, axis=1
+                    ).reshape(-1),
+                }
+                yield pd.DataFrame(rows)
 
     scored = codes_df.select(id_col, "codes").mapInPandas(gen, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(

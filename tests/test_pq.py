@@ -134,3 +134,48 @@ def test_compression_ratio(spark):
     row = enc.first()
     assert len(row.codes) == 4
     assert dict(enc.dtypes)["codes"] == "array<smallint>"
+
+
+def test_topk_query_blocking_invisible(spark, monkeypatch):
+    """The r9 query-block memory bound (dist matrix kept under
+    KERNEL_BLOCK_ENTRIES) must be invisible in the result: forcing
+    one-query blocks produces exactly the unblocked output."""
+    import serverless_data_lake_spark.operators.similarity as sim
+
+    df, rows = _clustered_corpus(spark)
+    books = train_pq_codebooks(df, "embedding", dim=16, m=4, k=16)
+    codes = pq_encode(df, "vec_id", "embedding", books)
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in rows[:5]],
+        "query_id long, embedding array<double>",
+    )
+    canon = lambda res: sorted(  # noqa: E731
+        (r.query_id, r.rank, r.vec_id, round(r.approx_sq_dist, 9))
+        for r in res
+    )
+    unblocked = canon(pq_topk(codes, queries, books, k=4).collect())
+    monkeypatch.setattr(sim, "KERNEL_BLOCK_ENTRIES", 1)
+    blocked = canon(pq_topk(codes, queries, books, k=4).collect())
+    assert blocked == unblocked
+
+
+def test_all_pairs_row_blocking_invisible(spark, monkeypatch):
+    """Same for the all-pairs kernel's left-row blocks: one-row
+    blocks == unblocked pair set, bit-identical cosines."""
+    import serverless_data_lake_spark.operators.similarity as sim
+    from serverless_data_lake_spark.operators.similarity import (
+        embedding_all_pairs_numpy,
+    )
+
+    df, _ = _clustered_corpus(spark)
+    canon = lambda res: sorted(  # noqa: E731
+        (r.id_a, r.id_b, r.cosine) for r in res
+    )
+    unblocked = canon(
+        embedding_all_pairs_numpy(df, threshold=0.2).collect()
+    )
+    monkeypatch.setattr(sim, "KERNEL_BLOCK_ENTRIES", 1)
+    blocked = canon(
+        embedding_all_pairs_numpy(df, threshold=0.2).collect()
+    )
+    assert blocked == unblocked and len(unblocked) > 0
