@@ -716,7 +716,27 @@ def lsh_pairs_index_vs_index(
     pipeline that already holds index rows for both sides should
     never hand text back to the pairing step (r9: the driver's
     minhash entry computed signatures over the corpus twice —
-    full-corpus leg plus a rebuilt parity-split index)."""
+    full-corpus leg plus a rebuilt parity-split index).
+
+    The two indexes MUST share (num_hashes, bands, shingle_size):
+    band hashes from different parameter families land in disjoint
+    buckets, so a mismatch silently collapses recall to ~0 rather
+    than erroring — and mismatched shingle sizes make the Jaccard
+    verification intersect gram sets of different n. Checked loudly
+    here (r9 review)."""
+    mismatches = [
+        (name, getattr(batch_index, name), getattr(corpus_index, name))
+        for name in ("num_hashes", "bands", "shingle_size")
+        if getattr(batch_index, name) != getattr(corpus_index, name)
+    ]
+    if mismatches:
+        raise ValueError(
+            "lsh_pairs_index_vs_index: batch and corpus indexes were "
+            "built with different parameters — "
+            + ", ".join(f"{n}: {a} vs {b}" for n, a, b in mismatches)
+            + " (a mismatch silently finds ~no pairs; rebuild one "
+            "side with matching parameters)"
+        )
     new_banded = batch_index.bands_df.select(
         F.col("__cid").alias("__nid"), "__band", "__bh"
     )
@@ -1193,7 +1213,13 @@ def contamination_report(
     the audit table and the contaminated-id set (at
     ``min_shared=1`` the per-train-doc and per-pair thresholds
     select the same training documents) pays the train-side gram
-    explode + broadcast join once."""
+    explode + broadcast join once. CONTRACT: when ``pair_hits`` is
+    given, ``train``/``n``/``min_shared`` play no part in pair
+    derivation (only ``test`` still does, for the explicit zero
+    rows) — the caller must pass a pair set built with the SAME
+    corpus and parameters it states here, or the report will
+    silently describe different pairs than the signature
+    advertises."""
     if pair_hits is None:
         pair_hits = contamination_pairs(
             train, test, id_col, text_col, n, min_shared

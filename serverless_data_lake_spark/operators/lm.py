@@ -76,10 +76,26 @@ class NGramLM:
     bigrams: DataFrame
     vocab_size: int
     total_tokens: int
+    #: The persisted reference-corpus token-array projection when the
+    #: model was trained with ``persist=True`` (r9) — retained so the
+    #: largest cache the training leaves behind stays unpersistable;
+    #: before this handle existed it could only be freed with a
+    #: session-wide clearCache().
+    token_arrays: DataFrame | None = None
 
     def persist(self) -> "NGramLM":
         self.unigrams.persist()
         self.bigrams.persist()
+        return self
+
+    def unpersist(self) -> "NGramLM":
+        """Release every cache this model holds — the count tables
+        AND the token-array projection ``train_bigram_lm`` persists
+        alongside them."""
+        self.unigrams.unpersist()
+        self.bigrams.unpersist()
+        if self.token_arrays is not None:
+            self.token_arrays.unpersist()
         return self
 
 
@@ -139,6 +155,7 @@ def train_bigram_lm(
         bigrams=bigrams,
         vocab_size=int(stats["v"]) + 1,  # +1 = unseen class
         total_tokens=int(stats["t"]),
+        token_arrays=th if persist else None,
     )
 
 
@@ -219,6 +236,9 @@ def perplexity_score(
         .join(uni2, ["w2"], "left")
         .select(
             F.col(id_col),
+            # w1 rides along so the aggregate can count TRUE bigram
+            # rows (null w1 = a short document's padding row).
+            F.col("w1"),
             # Null w1 marks a short document's padding row — it must
             # not score (the coalesced-to-0 counts would otherwise
             # produce a REAL unseen-bigram probability for it).
@@ -228,8 +248,13 @@ def perplexity_score(
             ).alias("__logp"),
         )
     )
+    # n_bigrams counts BIGRAM rows (non-null w1), not non-null log
+    # probabilities: at alpha=0 an unseen bigram's probability is 0
+    # and F.log(0) is NULL in Spark, which avg() already skips (the
+    # pre-r9 join-back shape behaved the same) — but the COUNT must
+    # keep reporting the document's true bigram total (r9 review).
     return scored.groupBy(id_col).agg(
-        F.count("__logp").cast("bigint").alias("n_bigrams"),
+        F.count("w1").cast("bigint").alias("n_bigrams"),
         F.avg("__logp").alias("avg_logp"),
         F.exp(-F.avg("__logp")).alias("perplexity"),
     )

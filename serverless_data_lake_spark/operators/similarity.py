@@ -574,7 +574,14 @@ def embedding_all_pairs_numpy(
         #    step a contiguous row read. Same accumulation order →
         #    bit-identical cosines.
         r_cols = np.ascontiguousarray(r_mat.T)
-        block = max(1, block_entries // max(1, len(r_ids)))
+        # Two (block × corpus) doubles are live at peak — the
+        # accumulating dots matrix plus one temporary (the per-dim
+        # product while accumulating, then the norm-product
+        # denominator; the division runs IN PLACE so no third
+        # matrix ever exists) — so the block budget is split in two
+        # to keep the documented bound a real per-worker peak, not
+        # a per-allocation one (r9 review).
+        block = max(1, block_entries // (2 * max(1, len(r_ids))))
         for pdf in batches:
             all_ids = pdf[id_col].to_numpy(dtype=np.int64)
             all_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
@@ -591,16 +598,21 @@ def embedding_all_pairs_numpy(
                 dots = np.zeros((len(l_ids), len(r_ids)))
                 for i in range(dim):
                     dots += l_cols[i][:, None] * r_cols[i][None, :]
-                cos = dots / (l_norms[:, None] * r_norms[None, :])
+                denom = l_norms[:, None] * r_norms[None, :]
+                # In-place: same single division per element as
+                # `dots / denom`, bit-identical values, no third
+                # block × corpus allocation.
+                np.divide(dots, denom, out=dots)
+                del denom
                 mask = (l_ids[:, None] < r_ids[None, :]) & (
-                    cos >= threshold
+                    dots >= threshold
                 )
                 li, ri = np.nonzero(mask)
                 yield pd.DataFrame(
                     {
                         "id_a": l_ids[li],
                         "id_b": r_ids[ri],
-                        "cosine": cos[li, ri],
+                        "cosine": dots[li, ri],
                     }
                 )
 

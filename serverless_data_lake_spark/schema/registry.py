@@ -108,6 +108,7 @@ class SchemaRegistry:
     # Gold job configs
     # ------------------------------------------------------------------
     def save_gold_job(self, domain: str, job: "GoldJobConfig") -> None:
+        job.validate()  # fail at creation, not on the second run
         d = self._dir(domain, "gold", job.name)
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, "config.yaml"), "w") as fh:
@@ -196,19 +197,29 @@ class GoldJobConfig:
             self.partition_by = [self.partition_by]
         if isinstance(self.bucket_by, str):
             self.bucket_by = [self.bucket_by]
-        # Validate write_mode at CONFIG time, not run time: an
-        # unknown mode (e.g. "upsert" — spelled `append` +
-        # `unique_key` here, the dbt convention) used to pass job
-        # creation, succeed on the FIRST run (the table-doesn't-exist
-        # branch creates regardless of mode), and only raise on the
-        # second — a delayed failure that looks like a working job
-        # (found by an r9 verify probe).
+        # NOT validated here: __post_init__ also runs on
+        # DESERIALIZATION (from_dict → get_gold_job/list_gold_jobs),
+        # where raising on one legacy row with a bad mode would take
+        # down listing of the WHOLE registry — a blast-radius
+        # regression (r9 review). Creation-time validation lives in
+        # validate() / save_gold_job; run time keeps its own
+        # "unknown write_mode" error for legacy rows.
+
+    def validate(self) -> "GoldJobConfig":
+        """Fail-fast checks for NEW configs (called on the save
+        path): an unknown write_mode (e.g. "upsert" — spelled
+        ``append`` + ``unique_key`` here, the dbt convention) used
+        to pass job creation, succeed on the FIRST run (the
+        table-doesn't-exist branch creates regardless of mode), and
+        only raise on the second — a delayed failure that looked
+        like a working job (found by an r9 verify probe)."""
         if self.write_mode not in ("overwrite", "append"):
             raise ValueError(
                 f"unknown write_mode: {self.write_mode!r} — expected "
                 "'overwrite' or 'append' (append + unique_key is the "
                 "upsert spelling, as in dbt)"
             )
+        return self
 
     def to_dict(self) -> dict:
         return {

@@ -159,3 +159,33 @@ class TestIncrementalGold:
         r2 = runner.run_job(job)
         assert r2.rows == 2 and r2.mode == "upsert"
         assert store.read("sales_gold", "inc").count() == 12
+
+
+def test_bad_write_mode_fails_at_save_not_on_listing(lake, tmp_path):
+    """r9 review: write_mode validates on the SAVE path (fail at
+    creation), but deserialization stays tolerant — one legacy
+    config row with an unknown mode must not take down listing of
+    the whole gold registry."""
+    import os
+
+    import pytest
+    import yaml
+
+    from serverless_data_lake_spark.schema.registry import GoldJobConfig
+
+    good = GoldJobConfig(domain="sales", name="ok_job",
+                         query="SELECT 1 AS x")
+    lake.create_gold_job(good)
+    with pytest.raises(ValueError, match="write_mode"):
+        lake.create_gold_job(GoldJobConfig(
+            domain="sales", name="bad_job", query="SELECT 1 AS x",
+            write_mode="upsert"))
+    # Plant a legacy on-disk config with the bad spelling directly.
+    d = os.path.join(lake.registry.root, "sales", "gold", "legacy_job")
+    os.makedirs(d, exist_ok=True)
+    cfg = good.to_dict()
+    cfg.update(name="legacy_job", write_mode="upsert")
+    with open(os.path.join(d, "config.yaml"), "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    names = {j.name for j in lake.registry.list_gold_jobs("sales")}
+    assert {"ok_job", "legacy_job"} <= names  # listing survives
