@@ -1887,6 +1887,12 @@ def _q_sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
       the shipped vocab, pre-tokenizer, or merge procedure shifts
       them and fails the gate loudly.
 
+    - ``stream`` row (r9): the decontamination STREAMING twin run
+      end-to-end (availableNow ``foreachBatch``) over a sliced
+      split; ``metric`` is the streamed survivor count (replayed by
+      REAL oracle SQL), ``approx_ok`` pins stream == batch set
+      equality computed Spark-side. See ``_decont_stream_gate``.
+
     All booleans are deterministic, so the approximate operators
     stay oracle-checkable (the ANN-gate pattern)."""
     from serverless_data_lake_spark.operators.profile import profile_table
@@ -1950,7 +1956,101 @@ def _q_sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true AS approx_ok"
         )
     )
-    return hll.unionByName(tdigest).unionByName(bpe)
+    return (
+        hll.unionByName(tdigest)
+        .unionByName(bpe)
+        .unionByName(_decont_stream_gate(spark, sf_dir))
+    )
+
+
+def _decont_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``stream`` gate row (r9): run the decontamination
+    STREAMING twin (streaming/decontaminate_stream.py —
+    ``foreachBatch`` over a ``FileStreamSource``, availableNow
+    trigger, parquet sink + checkpoint) end-to-end over a sliced
+    train/test split, then
+
+    - ``metric`` = the streamed survivor COUNT, replayed by the
+      oracle with the same 5-gram anti-join SQL (a REAL check on the
+      stream's output, valid at every scale — the slice predicates
+      are modular);
+    - ``approx_ok`` = streamed survivor ID set == the batch
+      operator's survivor set over the same inputs, compared
+      Spark-side via two ``exceptAll`` counts (stronger than an
+      oracle replay: it pins the streaming RUNTIME to the batch
+      plan; until r9 this equivalence was unit-test-only).
+
+    Slices (train %10, test %3 of the decontaminate entry's 1/17
+    split) bound the work: the cost is the fixed streaming-query
+    overhead (~1.3 s warm at sf0.1), not compute. The stream runs
+    EAGERLY here — a streaming query has no lazy form — so
+    ``sketch_quality_gates`` is in bench.py's EAGER_CONSTRUCT set:
+    the oracle pays its anti-join inside measured time, so the
+    Spark side must too (the r5-advisory symmetry rule). Multi-
+    micro-batch ordering/idempotence stays covered by
+    tests/test_decontaminate_stream.py; this gate exercises the
+    production single-pass path the driver can see."""
+    import shutil
+    import tempfile
+
+    from serverless_data_lake_spark.operators.dedup import decontaminate
+    from serverless_data_lake_spark.streaming.decontaminate_stream import (
+        decontaminate_stream,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    train_pred = (F.col("doc_id") % 17 != 0) & (F.col("doc_id") % 10 == 0)
+    test = docs.filter(
+        (F.col("doc_id") % 17 == 0) & (F.col("doc_id") % 3 == 0)
+    )
+    path = _data_path(sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="sdls_decont_stream_gate_")
+    out_path = os.path.join(tmp, "out")
+    try:
+        train_stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", os.path.basename(path))
+            .parquet(os.path.dirname(path))
+            .filter(train_pred)
+        )
+        clean_batch, grams = decontaminate_stream(
+            train_stream, test, "doc_id", "text", n=5
+        )
+
+        def _handle(batch_df: DataFrame, _batch_id: int) -> None:
+            clean_batch(batch_df).select("doc_id").write.mode(
+                "append"
+            ).parquet(out_path)
+
+        q = (
+            train_stream.writeStream.foreachBatch(_handle)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        grams.unpersist()  # the r7 CacheManager replay-credit rule
+        if os.path.isdir(out_path):
+            streamed = spark.read.parquet(out_path).select("doc_id")
+        else:  # zero micro-batches wrote (empty slice at tiny SF)
+            streamed = spark.range(0).select(
+                F.col("id").alias("doc_id")
+            )
+        batch = decontaminate(
+            docs.filter(train_pred), test, "doc_id", "text", n=5
+        ).select("doc_id")
+        n_stream = streamed.count()
+        sym_diff = (
+            streamed.exceptAll(batch).count()
+            + batch.exceptAll(streamed).count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.sql(
+        "SELECT 'stream' AS gate, 'decont_stream_survivors' AS key, "
+        f"CAST({n_stream} AS DOUBLE) AS metric, "
+        f"{'true' if sym_diff == 0 else 'false'} AS approx_ok"
+    )
 
 
 # Fixed BPE probes: (key, text, expected count under the FROZEN
@@ -2253,6 +2353,46 @@ def _sketch_gates_oracle() -> str:
         f"""SELECT 'bpe' AS gate, k AS key,
         CAST(n AS DOUBLE) AS metric, true AS approx_ok
         FROM (VALUES {bpe_vals}) AS t(k, n)"""
+    )
+    # The stream row's metric is REAL SQL — the streamed survivor
+    # count replayed with the batch anti-join over the same slices
+    # (train: %17<>0 AND %10=0; test: %17=0 AND %3=0; 5-grams,
+    # min_shared=1, same tokenization as the decontaminate oracle).
+    # approx_ok (stream set == batch set) is computed Spark-side and
+    # pinned true here, the established gate-boolean pattern.
+    parts.append(
+        """SELECT 'stream' AS gate, 'decont_stream_survivors' AS key,
+        CAST((
+          WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS t
+            FROM documents
+            WHERE (doc_id % 17 = 0 AND doc_id % 3 = 0)
+               OR (doc_id % 17 <> 0 AND doc_id % 10 = 0)
+          ),
+          grams AS (
+            SELECT doc_id, g FROM (
+              SELECT doc_id,
+                     unnest(list_transform(range(len(t) - 4),
+                       i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                            || ' ' || t[i+4] || ' ' || t[i+5])) AS g
+              FROM toks
+            ) WHERE g <> ''
+          ),
+          test_grams AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0
+          ),
+          contaminated AS (
+            SELECT DISTINCT doc_id FROM grams
+            WHERE doc_id % 17 <> 0
+              AND g IN (SELECT g FROM test_grams)
+          )
+          SELECT COUNT(*) FROM documents
+          WHERE doc_id % 17 <> 0 AND doc_id % 10 = 0
+            AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ) AS DOUBLE) AS metric,
+        true AS approx_ok"""
     )
     return "\nUNION ALL\n".join(parts)
 

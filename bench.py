@@ -93,6 +93,11 @@ EAGER_CONSTRUCT = {
     # oracle trains inside its measured time, so the construct
     # belongs in the headline (r5-advisory accounting).
     "lm_perplexity",
+    # the decontamination stream gate (r9) RUNS its streaming query
+    # at construction — a streaming query has no lazy form — and its
+    # oracle row replays the survivor count with a real anti-join in
+    # measured time, so the same accounting rule applies.
+    "sketch_quality_gates",
 }
 
 

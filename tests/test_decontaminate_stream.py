@@ -70,3 +70,35 @@ def test_stream_matches_batch_union(spark, tmp_path):
         ).collect()
     )
     assert got == expect == [1, 3, 5]
+
+
+def test_driver_stream_gate_row(spark):
+    """The r9 driver-visible stream gate (sketch_quality_gates leg
+    'stream'): the streamed survivor set must equal the batch
+    operator's (approx_ok), and the count must equal an
+    independently computed batch count over the same slices."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip(f"driver testdata not present at {sf}")
+    import __spark_entry__ as entrymod
+
+    row = (
+        entrymod._decont_stream_gate(spark, sf)
+        .collect()[0]
+    )
+    assert row.gate == "stream"
+    assert row.approx_ok is True
+    docs = entrymod._read(spark, sf, "documents")
+    test_df = docs.filter(
+        (F.col("doc_id") % 17 == 0) & (F.col("doc_id") % 3 == 0)
+    )
+    train = docs.filter(
+        (F.col("doc_id") % 17 != 0) & (F.col("doc_id") % 10 == 0)
+    )
+    expect = decontaminate(train, test_df, "doc_id", "text", n=5).count()
+    assert row.metric == float(expect)
