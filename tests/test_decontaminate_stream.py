@@ -72,11 +72,12 @@ def test_stream_matches_batch_union(spark, tmp_path):
     assert got == expect == [1, 3, 5]
 
 
-def test_driver_stream_gate_row(spark):
+def test_driver_stream_gate_rows(spark):
     """The r9 driver-visible stream gate (sketch_quality_gates leg
-    'stream'): the streamed survivor set must equal the batch
-    operator's (approx_ok), and the count must equal an
-    independently computed batch count over the same slices."""
+    'stream'): the streamed survivor set's three-moment fingerprint
+    must equal the BATCH operator's over the same slices — the
+    stream==batch equivalence the driver's oracle replays with
+    independent SQL."""
     import os
 
     import pytest
@@ -87,12 +88,15 @@ def test_driver_stream_gate_row(spark):
         pytest.skip(f"driver testdata not present at {sf}")
     import __spark_entry__ as entrymod
 
-    row = (
-        entrymod._decont_stream_gate(spark, sf)
-        .collect()[0]
-    )
-    assert row.gate == "stream"
-    assert row.approx_ok is True
+    rows = {
+        r.key: r for r in entrymod._decont_stream_gate(spark, sf).collect()
+    }
+    assert set(rows) == {
+        "decont_survivor_count",
+        "decont_survivor_idsum",
+        "decont_survivor_sqmod",
+    }
+    assert all(r.approx_ok for r in rows.values())
     docs = entrymod._read(spark, sf, "documents")
     test_df = docs.filter(
         (F.col("doc_id") % 17 == 0) & (F.col("doc_id") % 3 == 0)
@@ -100,5 +104,14 @@ def test_driver_stream_gate_row(spark):
     train = docs.filter(
         (F.col("doc_id") % 17 != 0) & (F.col("doc_id") % 10 == 0)
     )
-    expect = decontaminate(train, test_df, "doc_id", "text", n=5).count()
-    assert row.metric == float(expect)
+    batch = decontaminate(train, test_df, "doc_id", "text", n=5)
+    m = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).alias("idsum"),
+        F.coalesce(
+            F.sum((F.col("doc_id") * F.col("doc_id")) % 1000003), F.lit(0)
+        ).alias("sqmod"),
+    ).collect()[0]
+    assert rows["decont_survivor_count"].metric == float(m["n"])
+    assert rows["decont_survivor_idsum"].metric == float(m["idsum"])
+    assert rows["decont_survivor_sqmod"].metric == float(m["sqmod"])
