@@ -534,7 +534,7 @@ WITH toks AS (
            unnest(list_transform(range(len(toks) - 2),
                   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g
     FROM (SELECT doc_id,
-                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+                 list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
           FROM documents)
   ) WHERE g <> ''
 ),
@@ -918,7 +918,7 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECONTAMINATE_ORACLE = """
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
   FROM documents
 ),
 grams AS (
@@ -1511,7 +1511,12 @@ agg AS (
   FROM scored GROUP BY doc_id
 )
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-       CAST(a.n_bigrams AS BIGINT) AS n_bigrams,
+       -- COALESCE 0, not NULL: a 0/1-token document HAS zero
+       -- bigrams — the operator's explode_outer padding row makes
+       -- Spark report n_bigrams=0 for it (avg_logp/perplexity stay
+       -- NULL on both sides). Latent until a corpus has short docs
+       -- (r9 review).
+       CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        ROUND(a.al, 6) AS avg_logp,
        ROUND(EXP(-ROUND(a.al, 6)), 6) AS perplexity
 FROM documents d
@@ -1998,7 +2003,7 @@ def _decont_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from serverless_data_lake_spark.streaming.decontaminate_stream import (
-        decontaminate_stream,
+        start_decontaminate_stream,
     )
 
     docs = _read(spark, sf_dir, "documents")
@@ -2009,6 +2014,7 @@ def _decont_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _data_path(sf_dir, "documents")
     tmp = tempfile.mkdtemp(prefix="sdls_decont_stream_gate_")
     out_path = os.path.join(tmp, "out")
+    grams = None
     try:
         train_stream = (
             spark.readStream.schema(docs.schema)
@@ -2016,23 +2022,15 @@ def _decont_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(os.path.dirname(path))
             .filter(train_pred)
         )
-        clean_batch, grams = decontaminate_stream(
-            train_stream, test, "doc_id", "text", n=5
-        )
-
-        def _handle(batch_df: DataFrame, _batch_id: int) -> None:
-            clean_batch(batch_df).select("doc_id").write.mode(
-                "append"
-            ).parquet(out_path)
-
-        q = (
-            train_stream.writeStream.foreachBatch(_handle)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
+        # The production wiring, shared with the unit tests — the
+        # gate must exercise the same path they cover.
+        q, grams = start_decontaminate_stream(
+            train_stream, test, "doc_id", "text",
+            out_path=out_path,
+            checkpoint=os.path.join(tmp, "ckpt"),
+            n=5, project=["doc_id"],
         )
         q.awaitTermination()
-        grams.unpersist()  # the r7 CacheManager replay-credit rule
         if os.path.isdir(out_path):
             streamed = spark.read.parquet(out_path).select("doc_id")
         else:  # zero micro-batches wrote (empty slice at tiny SF)
@@ -2050,6 +2048,11 @@ def _decont_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sqmod"),
         ).collect()[0]
     finally:
+        if grams is not None:
+            # Even on a failed query: a leaked persisted gram set
+            # gives later identical plans replay credit (the r7
+            # CacheManager rule).
+            grams.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.sql(
         "SELECT 'stream' AS gate, key, CAST(metric AS DOUBLE) AS metric, "
@@ -2372,7 +2375,7 @@ def _sketch_gates_oracle() -> str:
         FROM (
           WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split(lower(text), ' '),
+                   list_filter(string_split_regex(lower(text), '\\s+'),
                                x -> x <> '') AS t
             FROM documents
             WHERE (doc_id % 17 = 0 AND doc_id % 3 = 0)

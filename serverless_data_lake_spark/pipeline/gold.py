@@ -156,6 +156,15 @@ class GoldRunner:
             raise
 
     def _run_job(self, job: GoldJobConfig) -> GoldResult:
+        # Fail-fast for legacy/hand-built configs that bypassed the
+        # save-path validation: without this, an unknown write_mode
+        # slips through the table-doesn't-exist branch below and
+        # "succeeds" on the FIRST run, erroring only on the second —
+        # the delayed failure the r9 verify probe found. The save
+        # path already validates; this covers rows deserialized from
+        # disk (deserialization is deliberately tolerant so one bad
+        # row can't take down listing) and direct run_job callers.
+        job.validate()
         started = time.time()
         database = self.config.database_name(job.domain, "gold")
         sql = transpile(rewrite_query(job.query))

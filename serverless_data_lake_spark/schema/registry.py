@@ -202,8 +202,9 @@ class GoldJobConfig:
         # where raising on one legacy row with a bad mode would take
         # down listing of the WHOLE registry — a blast-radius
         # regression (r9 review). Creation-time validation lives in
-        # validate() / save_gold_job; run time keeps its own
-        # "unknown write_mode" error for legacy rows.
+        # validate() / save_gold_job; the RUN path calls validate()
+        # at _run_job entry so a legacy bad row fails loudly on its
+        # first run, not its second.
 
     def validate(self) -> "GoldJobConfig":
         """Fail-fast checks for NEW configs (called on the save

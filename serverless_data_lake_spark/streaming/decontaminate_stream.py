@@ -96,21 +96,33 @@ def start_decontaminate_stream(
     n: int = 13,
     min_shared: int = 1,
     broadcast: bool | None = None,
+    project: "list[str] | None" = None,
 ):
     """Start the end-to-end query: clean docs append to parquet at
-    ``out_path`` with exactly-once checkpointing. Returns the
-    StreamingQuery."""
-    clean_batch, _ = decontaminate_stream(
+    ``out_path`` with exactly-once checkpointing.
+
+    Returns ``(query, test_grams)`` — the StreamingQuery plus the
+    persisted eval-gram set, which the caller must ``unpersist()``
+    once done with the stream (in a ``finally``: a failed query must
+    not leak the cache into the session — the r7 CacheManager
+    replay-credit rule). ``project`` optionally narrows the sink's
+    columns (e.g. ``["doc_id"]`` when only survivor ids matter — the
+    driver's stream gate)."""
+    clean_batch, grams = decontaminate_stream(
         train_stream, test, id_col, text_col,
         n=n, min_shared=min_shared, broadcast=broadcast,
     )
 
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        clean_batch(batch_df).write.mode("append").parquet(out_path)
+        cleaned = clean_batch(batch_df)
+        if project is not None:
+            cleaned = cleaned.select(*project)
+        cleaned.write.mode("append").parquet(out_path)
 
-    return (
+    query = (
         train_stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
+    return query, grams

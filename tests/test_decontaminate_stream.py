@@ -52,12 +52,15 @@ def test_stream_matches_batch_union(spark, tmp_path):
         # availableNow processes everything present then stops; run
         # one query per arrival wave to exercise the checkpoint
         # resume path across micro-batches.
-        q = start_decontaminate_stream(
+        q, grams = start_decontaminate_stream(
             stream, test_df, "doc_id", "text",
             out_path=str(out), checkpoint=str(tmp_path / "ckpt"),
             n=5, min_shared=1,
         )
-        q.awaitTermination(120)
+        try:
+            q.awaitTermination(120)
+        finally:
+            grams.unpersist()
 
     got = sorted(
         r.doc_id for r in spark.read.parquet(str(out)).collect()

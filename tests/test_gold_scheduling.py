@@ -189,3 +189,13 @@ def test_bad_write_mode_fails_at_save_not_on_listing(lake, tmp_path):
         yaml.safe_dump(cfg, fh)
     names = {j.name for j in lake.registry.list_gold_jobs("sales")}
     assert {"ok_job", "legacy_job"} <= names  # listing survives
+    # ... but RUNNING the legacy row fails loudly on its FIRST run
+    # (r9 review: without _run_job's validate(), an unknown mode
+    # slipped through the table-doesn't-exist branch, "succeeded"
+    # once, and only errored on the second run) and the failure is
+    # recorded in the execution status.
+    with pytest.raises(ValueError, match="write_mode"):
+        lake.run_gold("sales", "legacy_job")
+    status = lake.registry.get_execution_status("sales", "legacy_job")
+    assert status["status"] == "FAILED"
+    assert "write_mode" in status["error"]

@@ -190,3 +190,35 @@ class TestDSIR:
         n_off = sum(1 for k in kept if k >= 1000)
         assert n_target >= 15          # target docs kept aggressively
         assert n_off <= n_target // 3  # off-domain heavily thinned
+
+
+def test_short_docs_score_zero_bigrams_not_null(spark):
+    """r9 review: a 0/1-token document HAS zero bigrams — it must
+    appear in the scored output with n_bigrams=0 and NULL
+    avg_logp/perplexity (the oracle COALESCEs to the same shape)."""
+    from serverless_data_lake_spark.operators.lm import (
+        perplexity_score,
+        train_bigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "single"),
+            (3, ""),
+            (4, "the cat ran"),
+        ],
+        "doc_id long, text string",
+    )
+    lm = train_bigram_lm(docs, "text")
+    rows = {
+        r["doc_id"]: r
+        for r in perplexity_score(docs, "doc_id", lm).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    for short in (2, 3):
+        assert rows[short]["n_bigrams"] == 0
+        assert rows[short]["avg_logp"] is None
+        assert rows[short]["perplexity"] is None
+    assert rows[1]["n_bigrams"] == 5 and rows[4]["n_bigrams"] == 2
+    assert rows[1]["perplexity"] is not None
