@@ -115,3 +115,34 @@ def test_planted_complex_column_fails_local_canonicalizer():
     # list cells must raise there too, not sort by comparison.
     with pytest.raises(TypeError):
         rowset(["a"], [[[1, 2]], [[3, 4]], [[1, 2]]])
+
+
+def test_bench_eager_construct_accounting_contract():
+    """Entries whose DuckDB oracle replays work the Spark side does
+    at CONSTRUCTION time must stay in bench.py's EAGER_CONSTRUCT set
+    (the r5-advisory symmetry rule) — dropping one silently flatters
+    the paired ratio. The set is pinned here with the reason each
+    member qualifies; removing an entry requires removing the eager
+    work too."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+    must_fold = {
+        # iterative connected-components closure runs eagerly; the
+        # oracle's recursive CTE pays it in measured time
+        "dedup_corpus_survivors",
+        # quantile sketch + per-bucket micro-collect at construct;
+        # oracle packs inside its measured query
+        "pack_sequences",
+        # bigram-LM training collect at construct; oracle trains in
+        # its measured CTEs
+        "lm_perplexity",
+        # the decontamination stream gate RUNS its streaming query at
+        # construct (no lazy form); oracle replays the survivor
+        # fingerprint with a real anti-join
+        "sketch_quality_gates",
+    }
+    assert must_fold <= bench.EAGER_CONSTRUCT, (
+        "bench.py EAGER_CONSTRUCT lost a member whose oracle pays "
+        f"construct-time work: {sorted(must_fold - bench.EAGER_CONSTRUCT)}"
+    )
