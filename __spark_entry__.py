@@ -1435,23 +1435,25 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     and perplexity is recomputed from the ROUNDED average so exp()
     sees bit-identical input on both engines."""
     from serverless_data_lake_spark.operators.lm import (
-        perplexity_score,
-        train_bigram_lm,
+        perplexity_score_inrow,
+        train_bigram_lm_local,
     )
 
-    # explode-first operator: its own keyed exchange parallelizes;
-    # plain read avoids the up-front text shuffle (see the r8 note
-    # at _read_parallel).
+    # map-only operator since r10: no keyed exchange at all, so the
+    # plain read's partitioning is already right (see the r8 note at
+    # _read_parallel).
     docs = _read(spark, sf_dir, "documents")
-    # persist=True: the count tables cache at construction (the
-    # stats collect materializes them), so the reference corpus is
-    # tokenized once; bench.py folds this entry's construct time
-    # into its headline (EAGER_CONSTRUCT) since the oracle performs
-    # the training inside its own measured time.
-    lm = train_bigram_lm(
-        docs.filter(F.col("doc_id") % 20 == 0), persist=True
-    )
-    scored = perplexity_score(docs, "doc_id", lm)
+    # r10: the reference LM is BOUNDED (CCNet shape — a small
+    # reference corpus scores a huge crawl), so train distributed but
+    # collect the count tables into broadcast numpy lookups in ONE
+    # job; scoring is then a shuffle-free Arrow map pass instead of
+    # the r9 explode + three joins + groupBy (4 exchanges of
+    # corpus-proportional bigram rows). In-row == join-path semantics
+    # pinned in tests/test_lm.py. bench.py folds this entry's
+    # construct (the training job) into its headline (EAGER_CONSTRUCT)
+    # since the oracle trains inside its own measured time.
+    loc = train_bigram_lm_local(docs.filter(F.col("doc_id") % 20 == 0))
+    scored = perplexity_score_inrow(docs, "doc_id", loc)
     av = F.round(F.col("avg_logp"), 6)
     return scored.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),

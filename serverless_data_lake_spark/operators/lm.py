@@ -34,7 +34,9 @@ exists.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+
+import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -159,6 +161,416 @@ def train_bigram_lm(
     )
 
 
+@dataclass
+class LocalNGramLM:
+    """A bigram LM collected to driver-resident numpy lookup tables —
+    the broadcastable form of :class:`NGramLM` for in-row scoring.
+
+    The CCNet shape (Wenzek et al. 2020): the reference LM is trained
+    on a BOUNDED corpus (e.g. Wikipedia), so its count tables are
+    driver-sized even when the corpus being scored is 100 TB — ship
+    the model to every executor once and score map-only, instead of
+    shuffling every document's bigrams through three joins. Use the
+    join-based :func:`perplexity_score` when the LM itself is
+    corpus-scale (count tables too big to broadcast).
+
+    Layout: ``vocab_hashes`` is the SORTED unigram token-hash array
+    and ``uni_counts`` aligns with it; bigrams are keyed by
+    ``dense(w1) * (V0 + 1) + dense(w2)`` where ``dense`` is the
+    position in ``vocab_hashes`` — exact (no composite-hash
+    collisions) because every trained bigram's tokens are in the
+    trained vocabulary by construction."""
+
+    vocab_hashes: np.ndarray  # int64, sorted ascending, length V0
+    uni_counts: np.ndarray  # int64, aligned with vocab_hashes
+    bigram_keys: np.ndarray  # int64 dense-composite, sorted ascending
+    bigram_counts: np.ndarray  # int64, aligned with bigram_keys
+    vocab_size: int = field(default=0)  # V0 + 1 (the unseen slot)
+    total_tokens: int = field(default=0)
+
+
+def collect_local_lm(lm: NGramLM) -> LocalNGramLM:
+    """Collect an :class:`NGramLM`'s two count tables into a
+    :class:`LocalNGramLM` (one Arrow ``toPandas`` per table)."""
+    uni = lm.unigrams.toPandas()
+    bi = lm.bigrams.toPandas()
+    return _local_from_frames(
+        uni["w1"].to_numpy(np.int64),
+        uni["c1"].to_numpy(np.int64),
+        bi["w1"].to_numpy(np.int64),
+        bi["w2"].to_numpy(np.int64),
+        bi["c12"].to_numpy(np.int64),
+        vocab_size=lm.vocab_size,
+        total_tokens=lm.total_tokens,
+    )
+
+
+def _local_from_frames(
+    uw, uc, bw1, bw2, bc, vocab_size: int, total_tokens: int
+) -> LocalNGramLM:
+    order = np.argsort(uw, kind="stable")
+    uh = uw[order]
+    ucs = uc[order]
+    v0 = int(uh.size)
+    d1 = np.searchsorted(uh, bw1)
+    d2 = np.searchsorted(uh, bw2)
+    keys = d1 * np.int64(v0 + 1) + d2
+    border = np.argsort(keys, kind="stable")
+    return LocalNGramLM(
+        vocab_hashes=uh,
+        uni_counts=ucs,
+        bigram_keys=keys[border],
+        bigram_counts=bc[border],
+        vocab_size=vocab_size,
+        total_tokens=total_tokens,
+    )
+
+
+def train_bigram_lm_local(
+    df: DataFrame,
+    text_col: str = "text",
+    token_mode: str = "whitespace",
+    merge: str = "partials",
+) -> LocalNGramLM:
+    """Train a bigram LM over a bounded reference corpus and collect
+    it straight to :class:`LocalNGramLM` in ONE Spark job.
+
+    ``merge="partials"`` (default): each partition counts its own
+    unigrams/bigrams with a vectorized numpy kernel inside one
+    ``mapInPandas`` pass — NO shuffle at all — and the driver merges
+    the per-partition partial count tables (a pandas groupby over
+    ``sum(partitions × local vocab)`` rows). This is map-side
+    combining taken to its logical end for a *bounded* reference
+    corpus: tokenization and counting stay distributed, and the
+    driver sees only count tables, never the corpus. One job, zero
+    exchanges — on small reference slices the two-groupBy plan's
+    stage-scheduling floor alone costs more than this whole job
+    (measured 0.75 s vs 0.25 s at sf0.1).
+
+    ``merge="shuffle"``: the two count groupBys run distributed and
+    ride back in a single unioned Arrow collect — the right mode
+    when (partitions × per-partition vocab) outgrows the driver while
+    the GLOBAL count tables still fit (heavy-tailed token
+    distributions at very large reference corpora).
+
+    vocab_size / total_tokens derive locally from the collected
+    unigram counts (identical to the distributed stats aggregate in
+    :func:`train_bigram_lm`)."""
+    if merge == "partials":
+        return _train_local_partials(df, text_col, token_mode)
+    if merge != "shuffle":
+        raise ValueError(f"unknown merge mode: {merge}")
+    th = df.select(
+        _token_hashes(text_col, token_mode).alias("__th")
+    ).persist()
+    try:
+        toks = th.select(F.explode_outer("__th").alias("w1")).filter(
+            F.col("w1").isNotNull()
+        )
+        unigrams = toks.groupBy("w1").agg(F.count("*").alias("c1"))
+        pairs = th.select(
+            F.explode_outer(
+                F.when(
+                    F.size("__th") < 2,
+                    F.array().cast("array<struct<w1:bigint,w2:bigint>>"),
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("__th") - 2),
+                        lambda i: F.struct(
+                            F.get(F.col("__th"), i).alias("w1"),
+                            F.get(F.col("__th"), i + 1).alias("w2"),
+                        ),
+                    )
+                )
+            ).alias("bg")
+        ).filter(F.col("bg").isNotNull())
+        bigrams = pairs.select("bg.w1", "bg.w2").groupBy("w1", "w2").agg(
+            F.count("*").alias("c12")
+        )
+        # Tag column, NOT a nullable w2: a null in the unioned bigint
+        # column would make pandas coerce it to float64, and 64-bit
+        # xxhash values above 2^53 don't round-trip through doubles.
+        both = unigrams.select(
+            F.lit(True).alias("__uni"),
+            "w1",
+            F.lit(0).cast("bigint").alias("w2"),
+            F.col("c1").alias("c"),
+        ).unionAll(
+            bigrams.select(
+                F.lit(False).alias("__uni"), "w1", "w2",
+                F.col("c12").alias("c"),
+            )
+        )
+        pdf = both.toPandas()
+    finally:
+        th.unpersist()
+    uni = pdf[pdf["__uni"]]
+    bi = pdf[~pdf["__uni"]]
+    uw = uni["w1"].to_numpy(np.int64)
+    uc = uni["c"].to_numpy(np.int64)
+    return _local_from_frames(
+        uw,
+        uc,
+        bi["w1"].to_numpy(np.int64),
+        bi["w2"].to_numpy(np.int64),
+        bi["c"].to_numpy(np.int64),
+        vocab_size=int(uw.size) + 1,  # +1 = unseen class
+        total_tokens=int(uc.sum()) if uc.size else 0,
+    )
+
+
+def _count_grams_np(arrs: list) -> tuple:
+    """Vectorized unigram + bigram counting over a list of int64
+    token arrays: (uw, ucnt, bw1, bw2, bcnt). Shared by the
+    per-partition partial counter and unit tests."""
+    n = len(arrs)
+    if n == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e, e, e
+    lens = np.fromiter((a.size for a in arrs), np.int64, n)
+    flat = np.concatenate(arrs)
+    uw, ucnt = np.unique(flat, return_counts=True)
+    ends = np.cumsum(lens)
+    mask = np.ones(flat.size, bool)
+    mask[ends[lens > 0] - 1] = False
+    p = np.flatnonzero(mask)
+    w1, w2 = flat[p], flat[p + 1]
+    if w1.size:
+        o = np.lexsort((w2, w1))
+        w1s, w2s = w1[o], w2[o]
+        new = np.empty(w1s.size, bool)
+        new[0] = True
+        new[1:] = (w1s[1:] != w1s[:-1]) | (w2s[1:] != w2s[:-1])
+        idx = np.flatnonzero(new)
+        bcnt = np.diff(np.append(idx, w1s.size)).astype(np.int64)
+        bw1, bw2 = w1s[idx], w2s[idx]
+    else:
+        bw1 = bw2 = bcnt = np.empty(0, np.int64)
+    return uw, ucnt.astype(np.int64), bw1, bw2, bcnt
+
+
+def _train_local_partials(
+    df: DataFrame, text_col: str, token_mode: str
+) -> LocalNGramLM:
+    import pandas as pd
+
+    def count_partition(batches):
+        arrs: list = []
+        for pdf in batches:
+            arrs.extend(
+                np.asarray(t, dtype=np.int64) for t in pdf["__th"]
+            )
+        uw, ucnt, bw1, bw2, bcnt = _count_grams_np(arrs)
+        if uw.size == 0 and bw1.size == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "uni": np.concatenate(
+                    [np.ones(uw.size, bool), np.zeros(bw1.size, bool)]
+                ),
+                "w1": np.concatenate([uw, bw1]),
+                "w2": np.concatenate(
+                    [np.zeros(uw.size, np.int64), bw2]
+                ),
+                "c": np.concatenate([ucnt, bcnt]),
+            }
+        )
+
+    th = df.select(_token_hashes(text_col, token_mode).alias("__th"))
+    parts = th.mapInPandas(
+        count_partition, schema="uni boolean, w1 long, w2 long, c long"
+    ).toPandas()
+    if len(parts):
+        merged = (
+            parts.groupby(["uni", "w1", "w2"], as_index=False)["c"].sum()
+        )
+    else:
+        merged = parts
+    uni = merged[merged["uni"]] if len(merged) else merged
+    bi = merged[~merged["uni"]] if len(merged) else merged
+    uw = uni["w1"].to_numpy(np.int64) if len(merged) else np.empty(0, np.int64)
+    uc = uni["c"].to_numpy(np.int64) if len(merged) else np.empty(0, np.int64)
+    return _local_from_frames(
+        uw,
+        uc,
+        bi["w1"].to_numpy(np.int64) if len(merged) else np.empty(0, np.int64),
+        bi["w2"].to_numpy(np.int64) if len(merged) else np.empty(0, np.int64),
+        bi["c"].to_numpy(np.int64) if len(merged) else np.empty(0, np.int64),
+        vocab_size=int(uw.size) + 1,
+        total_tokens=int(uc.sum()) if uc.size else 0,
+    )
+
+
+def perplexity_score_inrow(
+    df: DataFrame,
+    id_col: str,
+    lm: LocalNGramLM,
+    text_col: str = "text",
+    alpha: float = 0.1,
+    lam: float = 0.7,
+    token_mode: str = "whitespace",
+) -> DataFrame:
+    """In-row twin of :func:`perplexity_score`: identical semantics
+    (same smoothing arithmetic, same NULL rules — pinned equal by
+    tests/test_lm.py), ZERO shuffles.
+
+    Plan: scan → JVM-side tokenize+xxhash64 → one Arrow pandas_udf
+    over the token-hash array resolving both count lookups against
+    the broadcast :class:`LocalNGramLM` (vectorized ``searchsorted``
+    — no Python dict, no per-row work) → project. The r9 join-based
+    plan moved every bigram through an explode, three joins and a
+    groupBy (4 exchanges of corpus-proportional rows); this is a
+    map-only pass whose only data movement is the scan itself — the
+    shape that survives a 100 TB corpus unchanged. The float
+    arithmetic mirrors :func:`perplexity_score` operation-for-
+    operation (same IEEE doubles; ``log`` may differ in the last ulp
+    across libm/JVM, absorbed by the caller's 6-dp rounding contract
+    exactly as the DuckDB oracle's ``ln`` already is).
+
+    ``alpha=0`` parity: the join path scores an unseen bigram as
+    ``F.log(0) = NULL`` which ``avg`` skips while ``n_bigrams`` still
+    counts the row; the kernel masks non-positive probabilities out
+    of the average the same way."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    sc = df.sparkSession.sparkContext
+    b_lm = sc.broadcast(
+        (
+            lm.vocab_hashes,
+            lm.uni_counts,
+            lm.bigram_keys,
+            lm.bigram_counts,
+            int(lm.vocab_size),
+            int(lm.total_tokens),
+        )
+    )
+    alpha_f = float(alpha)
+    lam_f = float(lam)
+
+    def score_batch(tokens):
+        import pandas as pd
+
+        uh, uc, bk, bc, vsize, ttot = b_lm.value
+        v0 = int(uh.size)
+        av = alpha_f * vsize
+        denom_uni = float(ttot) + av
+        n_docs = len(tokens)
+        arrs = [np.asarray(t, dtype=np.int64) for t in tokens]
+        lens = np.fromiter((a.size for a in arrs), np.int64, n_docs)
+        nb = np.maximum(lens - 1, 0)
+        out_n = nb.astype(np.int64)
+        avg = np.full(n_docs, np.nan)
+        if nb.sum() > 0 and n_docs:
+            flat = (
+                np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+            )
+            ends = np.cumsum(lens)
+            mask = np.ones(flat.size, bool)
+            # last token of each non-empty doc has no w2 (an empty
+            # doc's end-1 would index into its predecessor)
+            mask[ends[lens > 0] - 1] = False
+            pos_w1 = np.flatnonzero(mask)
+            w1 = flat[pos_w1]
+            w2 = flat[pos_w1 + 1]
+
+            def uni_lookup(w):
+                if v0 == 0:
+                    z = np.zeros(w.size, np.int64)
+                    return z, np.full(w.size, v0, np.int64)
+                p = np.searchsorted(uh, w)
+                pc = np.minimum(p, v0 - 1)
+                ok = uh[pc] == w
+                return (
+                    np.where(ok, uc[pc], 0),
+                    np.where(ok, pc, v0).astype(np.int64),
+                )
+
+            c1, dd1 = uni_lookup(w1)
+            c2, dd2 = uni_lookup(w2)
+            key = dd1 * np.int64(v0 + 1) + dd2
+            if bk.size:
+                bp = np.searchsorted(bk, key)
+                bpc = np.minimum(bp, bk.size - 1)
+                c12 = np.where(bk[bpc] == key, bc[bpc], 0)
+            else:
+                c12 = np.zeros(key.size, np.int64)
+            # Mirror perplexity_score's expression tree exactly —
+            # including its alpha=0 denominator guard (unseen context
+            # at alpha=0 gives c1 + aV = 0; lam_eff is exactly 0
+            # there so the bigram term is substituted with 0, never
+            # evaluated as 0/0).
+            c1d = c1.astype(np.float64)
+            lam_eff = (lam_f * c1d) / (c1d + 1.0)
+            bi_denom = c1d + av
+            ok_d = bi_denom > 0.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                p_bi = np.where(
+                    ok_d,
+                    (c12.astype(np.float64) + alpha_f)
+                    / np.where(ok_d, bi_denom, 1.0),
+                    0.0,
+                )
+            p_uni = (c2.astype(np.float64) + alpha_f) / denom_uni
+            p = lam_eff * p_bi + (1.0 - lam_eff) * p_uni
+            ok_p = p > 0.0
+            with np.errstate(divide="ignore"):
+                logp = np.where(ok_p, np.log(np.where(ok_p, p, 1.0)), 0.0)
+            doc_idx = np.repeat(np.arange(n_docs), nb)
+            sums = np.bincount(
+                doc_idx, weights=np.where(ok_p, logp, 0.0),
+                minlength=n_docs,
+            )
+            n_ok = np.bincount(
+                doc_idx, weights=ok_p.astype(np.float64),
+                minlength=n_docs,
+            )
+            has = n_ok > 0
+            avg[has] = sums[has] / n_ok[has]
+        ppl = np.exp(-avg)
+        # Nullable Float64 (masked), not float64-with-NaN: Arrow maps
+        # the mask to real SQL NULLs — a plain NaN would reach Spark
+        # as a (non-null) NaN double and diverge from the join path's
+        # NULL for short / no-evidence documents.
+        no_avg = np.isnan(avg)
+        avg_s = pd.array(np.where(no_avg, 0.0, avg), dtype="Float64")
+        ppl_s = pd.array(np.where(no_avg, 0.0, ppl), dtype="Float64")
+        avg_s[no_avg] = pd.NA
+        ppl_s[no_avg] = pd.NA
+        return pd.DataFrame(
+            {
+                "n_bigrams": out_n,
+                "avg_logp": avg_s,
+                "perplexity": ppl_s,
+            }
+        )
+
+    schema = StructType(
+        [
+            StructField("n_bigrams", LongType()),
+            StructField("avg_logp", DoubleType()),
+            StructField("perplexity", DoubleType()),
+        ]
+    )
+    score_udf = F.pandas_udf(score_batch, schema)
+    th = df.select(
+        F.col(id_col), _token_hashes(text_col, token_mode).alias("__th")
+    )
+    scored = th.select(
+        F.col(id_col), score_udf(F.col("__th")).alias("__s")
+    )
+    return scored.select(
+        id_col,
+        F.col("__s.n_bigrams").alias("n_bigrams"),
+        F.col("__s.avg_logp").alias("avg_logp"),
+        F.col("__s.perplexity").alias("perplexity"),
+    )
+
+
 def perplexity_score(
     df: DataFrame,
     id_col: str,
@@ -222,11 +634,22 @@ def perplexity_score(
     av = float(alpha) * lm.vocab_size
     c1d = F.coalesce(F.col("c1"), F.lit(0)).cast("double")
     lam_eff = F.lit(float(lam)) * c1d / (c1d + F.lit(1.0))
-    p_bi = (
-        F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(float(alpha))
-    ) / (
+    # Denominator guard for the alpha=0 corner: an unseen context
+    # gives c1 + aV = 0, an ANSI divide-by-zero — but lam_eff is
+    # exactly 0 there (c1=0), so the bigram term contributes nothing;
+    # substitute 0 rather than evaluating 0/0 (the in-row kernel's
+    # arithmetic produces the same mask).
+    p_bi_denom = (
         F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.lit(av)
     )
+    p_bi = F.when(
+        p_bi_denom > 0,
+        (
+            F.coalesce(F.col("c12"), F.lit(0)).cast("double")
+            + F.lit(float(alpha))
+        )
+        / p_bi_denom,
+    ).otherwise(F.lit(0.0))
     p_uni = (
         F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(float(alpha))
     ) / F.lit(float(lm.total_tokens) + av)

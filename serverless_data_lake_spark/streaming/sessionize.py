@@ -61,11 +61,30 @@ def sessionize_batch(
     ts_col: str = "ts",
     value_col: str = "value",
     gap_seconds: int = 1800,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Batch sessionization: a new session starts where the gap from
     the previous event of the same key exceeds ``gap_seconds``; the
     session id is the running count of such boundaries (two window
-    passes over one shuffle-partitioning by key)."""
+    passes over one shuffle-partitioning by key, then a groupBy that
+    reuses the same clustering — ONE exchange total).
+
+    ``partitions`` pins the key exchange's width with an explicit
+    REPARTITION_BY_NUM (default: ``sparkContext.defaultParallelism``,
+    i.e. one partition per core). The pin matters: the window stage
+    is CPU-bound (sort + two window passes + aggregate per row) while
+    its shuffle is byte-small — (key, ts, value) is ~30 bytes/row —
+    so byte-based AQE coalescing (``parallelismFirst=false``, the
+    session default that is right for byte-heavy relational shuffles)
+    collapses it to ONE task and single-threads the whole operator.
+    Measured at sf1 (1 M events, 32 cores): 3.4 s coalesced → 0.7 s
+    pinned; the gap *grows* with scale until partitions reach the
+    64 MB advisory size (r10 — this was the only entry whose DuckDB
+    ratio worsened with data size, and the single-task stage was the
+    entire cause)."""
+    if partitions is None:
+        partitions = events.sparkSession.sparkContext.defaultParallelism
+    events = events.repartition(partitions, key_col)
     w = Window.partitionBy(key_col).orderBy(ts_col)
     # TIMESTAMP_NTZ has no direct cast to BIGINT; go through TIMESTAMP
     # first (a no-op for TIMESTAMP inputs). Gaps are differences, so

@@ -136,6 +136,145 @@ class TestLM:
         assert report[-1].rows_out == 1
 
 
+class TestInRowScoring:
+    """r10: the map-only scorer (broadcast LocalNGramLM + one Arrow
+    pandas_udf) must be semantically identical to the join-based
+    plan — same smoothing arithmetic, same NULL rules — and its plan
+    must be exchange-free."""
+
+    DOCS = [
+        (10, "the cat sat on the rug"),
+        (11, "rug mat dog the on sat a"),
+        (12, "completely novel tokens here"),  # all-unseen
+        (13, "single"),
+        (14, ""),
+        (15, "the dog sat on the mat and the cat sat too"),
+    ]
+
+    def test_training_routes_identical(self, spark, lm):
+        import numpy as np
+
+        from serverless_data_lake_spark.operators.lm import (
+            collect_local_lm,
+            train_bigram_lm_local,
+        )
+
+        ref = spark.createDataFrame(REF, SCHEMA)
+        via_collect = collect_local_lm(lm)
+        for mode in ("partials", "shuffle"):
+            loc = train_bigram_lm_local(ref, merge=mode)
+            assert loc.vocab_size == via_collect.vocab_size
+            assert loc.total_tokens == via_collect.total_tokens
+            for f in (
+                "vocab_hashes",
+                "uni_counts",
+                "bigram_keys",
+                "bigram_counts",
+            ):
+                assert np.array_equal(
+                    getattr(loc, f), getattr(via_collect, f)
+                ), (mode, f)
+
+    def test_inrow_equals_join_path(self, spark, lm):
+        from serverless_data_lake_spark.operators.lm import (
+            collect_local_lm,
+            perplexity_score_inrow,
+        )
+
+        docs = spark.createDataFrame(self.DOCS, SCHEMA)
+        joined = {
+            r["doc_id"]: r
+            for r in perplexity_score(docs, "doc_id", lm).collect()
+        }
+        inrow = {
+            r["doc_id"]: r
+            for r in perplexity_score_inrow(
+                docs, "doc_id", collect_local_lm(lm)
+            ).collect()
+        }
+        assert set(joined) == set(inrow)
+        for i in joined:
+            assert joined[i]["n_bigrams"] == inrow[i]["n_bigrams"], i
+            for col in ("avg_logp", "perplexity"):
+                a, b = joined[i][col], inrow[i][col]
+                if a is None:
+                    assert b is None, (i, col)
+                else:
+                    # same IEEE expression tree; only log() may differ
+                    # in the last ulp across libm/JVM (the entry's
+                    # 6-dp rounding contract absorbs far more)
+                    assert b == pytest.approx(a, rel=1e-12), (i, col)
+
+    def test_alpha_zero_unseen_bigrams_masked_like_join_path(
+        self, spark, lm
+    ):
+        """At alpha=0 an unseen bigram's probability is exactly 0:
+        the join path scores it F.log(0)=NULL which avg() skips while
+        n_bigrams still counts the row — the kernel must mask the
+        same way (an all-unseen doc keeps n_bigrams>0, NULL avg)."""
+        from serverless_data_lake_spark.operators.lm import (
+            collect_local_lm,
+            perplexity_score_inrow,
+        )
+
+        docs = spark.createDataFrame(self.DOCS, SCHEMA)
+        joined = {
+            r["doc_id"]: r
+            for r in perplexity_score(
+                docs, "doc_id", lm, alpha=0.0
+            ).collect()
+        }
+        inrow = {
+            r["doc_id"]: r
+            for r in perplexity_score_inrow(
+                docs, "doc_id", collect_local_lm(lm), alpha=0.0
+            ).collect()
+        }
+        assert joined[12]["n_bigrams"] == 3
+        assert joined[12]["avg_logp"] is None
+        for i in joined:
+            assert inrow[i]["n_bigrams"] == joined[i]["n_bigrams"]
+            a, b = joined[i]["avg_logp"], inrow[i]["avg_logp"]
+            if a is None:
+                assert b is None, i
+            else:
+                assert b == pytest.approx(a, rel=1e-12), i
+
+    def test_inrow_plan_has_no_exchange(self, spark, lm):
+        from serverless_data_lake_spark.operators.lm import (
+            collect_local_lm,
+            perplexity_score_inrow,
+        )
+
+        docs = spark.createDataFrame(self.DOCS, SCHEMA)
+        plan = (
+            perplexity_score_inrow(docs, "doc_id", collect_local_lm(lm))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan  # map-only: zero shuffles
+        assert "ArrowEvalPython" in plan  # the one vectorized kernel
+
+    def test_empty_training_corpus(self, spark):
+        from serverless_data_lake_spark.operators.lm import (
+            perplexity_score_inrow,
+            train_bigram_lm_local,
+        )
+
+        empty = spark.createDataFrame([], SCHEMA)
+        loc = train_bigram_lm_local(empty)
+        assert loc.vocab_size == 1 and loc.total_tokens == 0
+        out = {
+            r["doc_id"]: r
+            for r in perplexity_score_inrow(
+                spark.createDataFrame(self.DOCS, SCHEMA), "doc_id", loc
+            ).collect()
+        }
+        # every bigram is unseen but alpha-smoothing still yields a
+        # finite probability; short docs stay NULL
+        assert out[13]["avg_logp"] is None
+        assert out[10]["avg_logp"] is not None
+
+
 class TestDSIR:
     def test_lm_ratio_importance_sampling_enriches_target_domain(self, spark):
         """The DSIR composition (operators/sampling.importance_sample

@@ -217,11 +217,15 @@ def test_mixing_controls_no_python_no_cartesian(plans):
 
 
 def test_lm_perplexity_jvm_only_broadcast_lm(plans):
-    """Whitespace-mode LM scoring must stay JVM-side (the count
-    tables and the smoothing arithmetic are pure Column exprs) with
-    the LM sides broadcast — a shuffle join against a bounded
-    reference LM would shuffle the whole corpus' bigram explosion."""
+    """r10: LM scoring is a MAP-ONLY pass — tokenize+xxhash64 stay
+    JVM-side and the broadcast LocalNGramLM resolves every count
+    lookup inside ONE vectorized Arrow kernel. The plan must carry
+    no exchange at all (the r9 join shape moved every bigram through
+    an explode, three joins and a groupBy — 4 corpus-proportional
+    shuffles) and exactly one Arrow boundary; a BatchEvalPython
+    would mean the kernel fell off the vectorized path."""
     plan = plans("lm_perplexity")
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
-    assert _count_nodes(plan, "BroadcastHashJoin") == 3  # bi, uni1, uni2
+    assert _count_nodes(plan, "ArrowEvalPython") == 1  # the scorer
+    assert "Exchange" not in plan  # zero shuffles: scan → score
+    assert "Join" not in plan
