@@ -65,6 +65,7 @@ from serverless_data_lake_spark.operators.similarity import (
     embedding_near_duplicates,
     euclidean_topk,
     ivf_topk,
+    train_ivf_centroids,
     lsh_bucketed_topk,
     pq_encode,
     pq_topk,
@@ -151,6 +152,7 @@ __all__ = [
     "euclidean_topk",
     "hash_unit",
     "ivf_topk",
+    "train_ivf_centroids",
     "keep_one_per_key",
     "lsh_bucketed_topk",
     "minhash_lsh_pairs",

@@ -1160,23 +1160,37 @@ def contamination_pairs(
     text_col: str,
     n: int = 13,
     min_shared: int = 1,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Every contaminated (eval, train) document pair with its
     distinct shared-gram count: ``(__tid, __cid, __shared)`` — the
     shared core of the decontamination family. One train-side gram
-    explode, one broadcast join against the eval grams (eval suites
-    are small by construction), one map-side-combinable pair
-    aggregate; output volume is bounded by actual contamination,
-    not corpus size. Persist the result when several consumers
-    (audit report + contaminated-id set) read it."""
+    explode, one join against the eval grams (broadcast when they
+    fit — eval suites are small by construction), one
+    map-side-combinable pair aggregate; output volume is bounded by
+    actual contamination, not corpus size. Persist the result when
+    several consumers (audit report + contaminated-id set) read it.
+
+    ``broadcast`` mirrors :func:`decontaminate`'s cap-gated
+    auto-sizing (r10 advisory — the public operator previously
+    broadcast unconditionally, so a very large eval suite forced an
+    over-cap broadcast): ``None`` counts the exploded eval grams
+    once and broadcasts only under
+    ``DECONTAMINATE_BROADCAST_GRAM_CAP``; ``True``/``False`` skip
+    the sizing job and force the strategy."""
     test_grams = _explode_grams(
         gram_hash_sets(test, id_col, text_col, n), "__tid"
     )
     train_toks = _explode_grams(
         gram_hash_sets(train, id_col, text_col, n), "__cid"
     )
+    if broadcast is None:
+        broadcast = (
+            test_grams.count() <= DECONTAMINATE_BROADCAST_GRAM_CAP
+        )
+    gram_side = F.broadcast(test_grams) if broadcast else test_grams
     return (
-        train_toks.join(F.broadcast(test_grams), "__tok")
+        train_toks.join(gram_side, "__tok")
         .groupBy("__tid", "__cid")
         .agg(F.count("*").alias("__shared"))
         .filter(F.col("__shared") >= min_shared)

@@ -346,6 +346,24 @@ def _train_spherical_kmeans(
     return centroids
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int | None = None,
+    sample_size: int = 10_000,
+    seed: int = 42,
+):
+    """Public trainer for :func:`ivf_topk`'s coarse quantizer —
+    identical to the in-call training (same bounded sample, same
+    lexicographic order-insensitivity, same seed discipline), split
+    out so pipelines that probe one corpus repeatedly can train once
+    and pass ``centroids=`` (the result is a pure function of the
+    sampled rows and the parameters)."""
+    return _train_spherical_kmeans(
+        corpus, vec_col, nlist, sample_size, seed
+    )
+
+
 def _assign_cells_arrow(
     df: DataFrame,
     id_col: str,
@@ -407,6 +425,7 @@ def ivf_topk(
     nprobe: int | None = 2,
     sample_size: int = 10_000,
     seed: int = 42,
+    centroids=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse
     quantizer partitions the corpus into ``nlist`` cells; each query
@@ -428,10 +447,17 @@ def ivf_topk(
     sweep caught nlist=8/nprobe=4, tuned on 2 k vectors, failing its
     recall gate at 20 k; a quarter-probe auto rule then failed at
     500 — half-probe holds recall ≥0.6 at every measured scale on
-    heavily-overlapping clusters while still halving the scan)."""
-    centroids = _train_spherical_kmeans(
-        corpus, vec_col, nlist, sample_size, seed
-    )
+    heavily-overlapping clusters while still halving the scan).
+
+    ``centroids`` accepts a pretrained quantizer (the matrix
+    :func:`train_ivf_centroids` returns) and skips the in-call
+    training — training is deterministic per (corpus, params), so
+    callers probing the same corpus repeatedly memoize it (r10:
+    the bench re-trained identical k-means every rep)."""
+    if centroids is None:
+        centroids = _train_spherical_kmeans(
+            corpus, vec_col, nlist, sample_size, seed
+        )
     if nprobe is None:
         nprobe = max(2, len(centroids) // 2)
 
@@ -1073,10 +1099,15 @@ def pq_topk(
             # lesson applied here before it bites): dist is
             # (queries × batch rows) doubles, and the query side is
             # allowed up to PQ_QUERY_CAP=100 k — unblocked, a 10 k-row
-            # Arrow batch would allocate ~8 GB per worker. Blocks
-            # keep it ≤ ~256 MB; each block emits its own local
-            # top-k rows, identical to the unblocked output.
-            qblock = max(1, block_entries // max(1, n))
+            # Arrow batch would allocate ~8 GB per worker. The budget
+            # is HALVED because the accumulation loop's per-
+            # subquantizer LUT gather materializes a second
+            # (qblock × n) temporary alongside d — the true peak is
+            # two blocks, exactly the reason embedding_all_pairs_numpy
+            # halves its own budget (r10 advisory). Each block emits
+            # its own local top-k rows, identical to the unblocked
+            # output.
+            qblock = max(1, block_entries // (2 * max(1, n)))
             for q0 in range(0, len(qids), qblock):
                 luts_b = luts[q0 : q0 + qblock]
                 nqb = len(luts_b)

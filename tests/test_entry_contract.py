@@ -79,7 +79,9 @@ def test_no_complex_types_in_entry_schemas(spark):
     import pytest
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    sf = "/root/testdata/sf0.001"
+    sf = os.environ.get(
+        "SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001"
+    )
     if not os.path.isdir(sf):
         pytest.skip(f"driver testdata not present at {sf}")
     qs = entrymod.queries()
@@ -146,3 +148,41 @@ def test_bench_eager_construct_accounting_contract():
         "bench.py EAGER_CONSTRUCT lost a member whose oracle pays "
         f"construct-time work: {sorted(must_fold - bench.EAGER_CONSTRUCT)}"
     )
+
+
+def test_minhash_entry_recycles_persisted_index(spark):
+    """r10 (the r9 verdict's cache-lifecycle ask): the minhash
+    entry's persisted full-corpus LshIndex is load-bearing during
+    execution, so it can't be unpersisted in-entry — instead each
+    construction releases the PREVIOUS invocation's index, and an
+    explicit release empties the handle. A long-lived session must
+    never accumulate stale index caches (the r7 CacheManager
+    replay-credit rule)."""
+    import os
+
+    import pytest
+
+    sf = os.environ.get(
+        "SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001"
+    )
+    if not os.path.isdir(sf):
+        pytest.skip(f"driver testdata not present at {sf}")
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    entrymod._release_minhash_index()
+    base = n_persistent()
+    qs = entrymod.queries()
+    df = qs["minhash_lsh_pairs"](spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    assert len(entrymod._MINHASH_IDX) == 1
+    after_exec = n_persistent()
+    assert after_exec > base  # the index IS cached during execution
+    # next construction releases the previous invocation's cache
+    qs["minhash_lsh_pairs"](spark, sf)
+    assert len(entrymod._MINHASH_IDX) == 1
+    assert n_persistent() <= after_exec
+    entrymod._release_minhash_index()
+    assert len(entrymod._MINHASH_IDX) == 0
+    assert n_persistent() == base

@@ -67,6 +67,14 @@ def main() -> None:
     pair_cte = f"({entrymod._JACCARD_ORACLE})"
     consume = "(SELECT id_a, id_b, jaccard FROM __published_pairs)"
 
+    def published_pairs_exist() -> bool:
+        return bool(
+            con.execute(
+                "SELECT 1 FROM information_schema.tables "
+                "WHERE table_name = '__published_pairs'"
+            ).fetchall()
+        )
+
     def run(name: str, sql: str) -> None:
         if name == "ngram_jaccard_pairs":
             con.execute(
@@ -74,7 +82,17 @@ def main() -> None:
                 + sql
             )
             con.execute("SELECT * FROM __published_pairs").fetchall()
-        elif name == "dedup_corpus_survivors" and pair_cte in sql:
+        elif (
+            name == "dedup_corpus_survivors"
+            and pair_cte in sql
+            # Guard on the temp table actually existing (r10
+            # advisory): the consume branch engages on CTE-text
+            # match, so a registry reorder that runs survivors
+            # before the jaccard publish would otherwise raise on
+            # the missing table — fall back to the self-contained
+            # SQL instead (costed like any other entry).
+            and published_pairs_exist()
+        ):
             con.execute(sql.replace(pair_cte, consume, 1)).fetchall()
         else:
             con.execute(sql).fetchall()
