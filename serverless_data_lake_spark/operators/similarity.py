@@ -454,6 +454,8 @@ def ivf_topk(
     training — training is deterministic per (corpus, params), so
     callers probing the same corpus repeatedly memoize it (r10:
     the bench re-trained identical k-means every rep)."""
+    import numpy as np
+
     if centroids is None:
         centroids = _train_spherical_kmeans(
             corpus, vec_col, nlist, sample_size, seed
@@ -461,40 +463,54 @@ def ivf_topk(
     if nprobe is None:
         nprobe = max(2, len(centroids) // 2)
 
-    cent_cols = [
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-    ]
-
-    def cell_scores(vec: Column) -> Column:
-        return F.array(*[_dot(vec, c) for c in cent_cols])
-
     c = _assign_cells_arrow(
         corpus, id_col, vec_col, centroids,
         id_out=id_col, vec_out="__cvec", cell_out="__cell",
         norm_out="__cnorm",
     )
-    # Each query probes its nprobe best cells.
-    q = queries.select(
+    # Each query probes its nprobe best cells. Probe SELECTION runs
+    # driver-side in numpy over the collected (bounded, capped like
+    # PQ's query side) query set: until r10 the probe scores were a
+    # JVM expression over nlist literal centroid arrays — nlist × dim
+    # `F.lit` Columns (6,400 py4j round-trips at nlist=100/dim=64,
+    # ~3 s of pure PLAN CONSTRUCTION per call) evaluating nlist
+    # zip_with/aggregate folds per query row. The selected (query,
+    # cell) pairs become a small broadcast frame joined back to
+    # `queries`, so every piece of float math on the SCORING path
+    # (_dot/_norm/cosine) is untouched; only which cells get probed
+    # is computed in numpy (dot products may differ from the JVM
+    # fold in the last ulp on near-tied cells — the same class of
+    # tie the JVM expression resolved arbitrarily-but-
+    # deterministically, and the recall gates have margin by
+    # design). Tie-break mirrors the old struct sort: descending
+    # score, then descending cell index.
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if len(qrows) > PQ_QUERY_CAP:
+        raise ValueError(
+            f"more than PQ_QUERY_CAP={PQ_QUERY_CAP} query vectors; "
+            "ivf_topk collects the query side for probe selection — "
+            "batch oversized query sets into several calls"
+        )
+    cent = np.asarray(
+        [[float(x) for x in row] for row in centroids],
+        dtype=np.float64,
+    )
+    cell_ids = np.arange(len(cent))
+    probe_rows = []
+    for r in qrows:
+        scores = cent @ np.asarray(r[1], dtype=np.float64)
+        order = np.lexsort((cell_ids, scores))[::-1][:nprobe]
+        probe_rows.extend((r[0], int(ci)) for ci in order)
+    spark = queries.sparkSession
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    probes = spark.createDataFrame(
+        probe_rows, schema=f"{query_id_col} {qid_type}, __cell int"
+    )
+    q = queries.join(F.broadcast(probes), query_id_col).select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         _norm(F.col(vec_col)).alias("__qnorm"),
-        F.explode(
-            F.slice(
-                F.reverse(
-                    F.array_sort(
-                        F.zip_with(
-                            cell_scores(F.col(vec_col)),
-                            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                            lambda s, i: F.struct(
-                                s.alias("score"), i.alias("cell")
-                            ),
-                        )
-                    )
-                ),
-                1,
-                nprobe,
-            ).cell
-        ).alias("__cell"),
+        F.col("__cell"),
     )
     scored = c.join(F.broadcast(q), on="__cell").select(
         F.col(query_id_col),
