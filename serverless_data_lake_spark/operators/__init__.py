@@ -73,9 +73,13 @@ from serverless_data_lake_spark.operators.similarity import (
     train_pq_codebooks,
 )
 from serverless_data_lake_spark.operators.lm import (
+    LocalNGramLM,
     NGramLM,
+    collect_local_lm,
     perplexity_score,
+    perplexity_score_inrow,
     train_bigram_lm,
+    train_bigram_lm_local,
 )
 from serverless_data_lake_spark.operators.mixing import (
     cap_per_group,
@@ -156,14 +160,18 @@ __all__ = [
     "keep_one_per_key",
     "lsh_bucketed_topk",
     "minhash_lsh_pairs",
+    "LocalNGramLM",
     "NGramLM",
     "cap_per_group",
     "extract_domain",
     "normalize_url",
     "rebalance_sources",
     "source_mix_report",
+    "collect_local_lm",
     "perplexity_score",
+    "perplexity_score_inrow",
     "train_bigram_lm",
+    "train_bigram_lm_local",
     "ngram_jaccard_pairs",
     "ngram_jaccard_prefix",
     "reference_span_grams",

@@ -270,15 +270,31 @@ class CurationPipeline:
     ) -> "CurationPipeline":
         """CCNet-style LM filter: drop documents whose bigram-LM
         perplexity under a reference model exceeds the cut (docs with
-        no bigram evidence are kept — length gates own that case)."""
+        no bigram evidence are kept — length gates own that case).
+
+        ``lm`` accepts either an :class:`operators.lm.NGramLM` (the
+        join-based scorer — right when the LM itself is corpus-scale)
+        or an :class:`operators.lm.LocalNGramLM` (r10 — the map-only
+        broadcast scorer: the filter stage then adds ZERO shuffles to
+        the pipeline plan; semantics are pinned identical)."""
         from serverless_data_lake_spark.operators.lm import (
+            LocalNGramLM,
             perplexity_score,
+            perplexity_score_inrow,
         )
 
         def run(df: DataFrame) -> DataFrame:
-            scored = perplexity_score(
-                df, self.id_col, lm, text_col=self.text_col, alpha=alpha
-            ).select(
+            if isinstance(lm, LocalNGramLM):
+                scored = perplexity_score_inrow(
+                    df, self.id_col, lm,
+                    text_col=self.text_col, alpha=alpha,
+                )
+            else:
+                scored = perplexity_score(
+                    df, self.id_col, lm,
+                    text_col=self.text_col, alpha=alpha,
+                )
+            scored = scored.select(
                 F.col(self.id_col).alias("__pid"), "perplexity"
             )
             keep = scored.filter(

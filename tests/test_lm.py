@@ -254,6 +254,42 @@ class TestInRowScoring:
         assert "Exchange" not in plan  # map-only: zero shuffles
         assert "ArrowEvalPython" in plan  # the one vectorized kernel
 
+    def test_curation_filter_accepts_local_lm(self, spark, lm):
+        """pipeline.curation.perplexity_filter dispatches on the LM
+        type: a LocalNGramLM routes through the map-only scorer and
+        must keep exactly the documents the NGramLM path keeps."""
+        from serverless_data_lake_spark.operators.lm import (
+            collect_local_lm,
+        )
+        from serverless_data_lake_spark.pipeline.curation import (
+            CurationPipeline,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat"),
+                (2, "zz qq ww ee rr tt yy"),
+            ],
+            SCHEMA,
+        )
+        ppl = {
+            r["doc_id"]: r["perplexity"]
+            for r in perplexity_score(docs, "doc_id", lm).collect()
+        }
+        cut = (ppl[1] + ppl[2]) / 2
+        kept: dict = {}
+        pipe = CurationPipeline("doc_id", "text").perplexity_filter(
+            collect_local_lm(lm), max_perplexity=cut
+        )
+        _out, report = pipe.execute(
+            docs,
+            sink=lambda d: kept.update(
+                {r["doc_id"]: True for r in d.collect()}
+            ),
+        )
+        assert sorted(kept) == [1]
+        assert report[-1].rows_out == 1
+
     def test_empty_training_corpus(self, spark):
         from serverless_data_lake_spark.operators.lm import (
             perplexity_score_inrow,
