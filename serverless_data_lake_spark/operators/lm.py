@@ -460,7 +460,15 @@ def perplexity_score_inrow(
         av = alpha_f * vsize
         denom_uni = float(ttot) + av
         n_docs = len(tokens)
-        arrs = [np.asarray(t, dtype=np.int64) for t in tokens]
+        # NULL text reaches the kernel as a None element (split(NULL)
+        # is NULL): treat it as an empty token array, mirroring the
+        # join path's explode_outer padding (n_bigrams 0, NULL score).
+        arrs = [
+            np.asarray(t, dtype=np.int64)
+            if t is not None
+            else np.empty(0, np.int64)
+            for t in tokens
+        ]
         lens = np.fromiter((a.size for a in arrs), np.int64, n_docs)
         nb = np.maximum(lens - 1, 0)
         out_n = nb.astype(np.int64)

@@ -149,6 +149,8 @@ class TestInRowScoring:
         (13, "single"),
         (14, ""),
         (15, "the dog sat on the mat and the cat sat too"),
+        (16, None),  # NULL text: join path pads via explode_outer;
+        # the kernel must see None as an empty token array (r10 fix)
     ]
 
     def test_training_routes_identical(self, spark, lm):
