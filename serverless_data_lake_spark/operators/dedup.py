@@ -1177,7 +1177,15 @@ def contamination_pairs(
     over-cap broadcast): ``None`` counts the exploded eval grams
     once and broadcasts only under
     ``DECONTAMINATE_BROADCAST_GRAM_CAP``; ``True``/``False`` skip
-    the sizing job and force the strategy."""
+    the sizing job and force the strategy. In auto mode the eval
+    grams are persisted around the sizing count so the under-cap
+    broadcast build reads the cached rows instead of re-running the
+    explode (r11 advisory); the ≤cap cache (≲160 MB worst case,
+    typically far less) stays until session eviction — hot loops
+    should pass an explicit strategy or a precomputed gram set to
+    :func:`decontaminate`. An over-cap suite is unpersisted
+    immediately (its shuffle join recomputes the scan-side explode
+    once — caching 160 MB+ indefinitely is the worse trade)."""
     test_grams = _explode_grams(
         gram_hash_sets(test, id_col, text_col, n), "__tid"
     )
@@ -1185,9 +1193,12 @@ def contamination_pairs(
         gram_hash_sets(train, id_col, text_col, n), "__cid"
     )
     if broadcast is None:
+        test_grams = test_grams.persist()
         broadcast = (
             test_grams.count() <= DECONTAMINATE_BROADCAST_GRAM_CAP
         )
+        if not broadcast:
+            test_grams.unpersist()
     gram_side = F.broadcast(test_grams) if broadcast else test_grams
     return (
         train_toks.join(gram_side, "__tok")

@@ -357,8 +357,13 @@ def _train_local_partials(
     def count_partition(batches):
         arrs: list = []
         for pdf in batches:
+            # NULL text arrives as a None element (not an empty
+            # array) — skip it, mirroring perplexity_score_inrow
+            # and the merge="shuffle" trainer's isNotNull filter.
             arrs.extend(
-                np.asarray(t, dtype=np.int64) for t in pdf["__th"]
+                np.asarray(t, dtype=np.int64)
+                for t in pdf["__th"]
+                if t is not None
             )
         uw, ucnt, bw1, bw2, bcnt = _count_grams_np(arrs)
         if uw.size == 0 and bw1.size == 0:

@@ -484,7 +484,14 @@ def ivf_topk(
     # deterministically, and the recall gates have margin by
     # design). Tie-break mirrors the old struct sort: descending
     # score, then descending cell index.
-    qrows = queries.select(query_id_col, vec_col).collect()
+    # Bound the collect itself (limit before materializing) so an
+    # oversized query side is rejected without ever shipping more
+    # than CAP+1 rows to the driver — same pattern as pq_topk.
+    qrows = (
+        queries.select(query_id_col, vec_col)
+        .limit(PQ_QUERY_CAP + 1)
+        .collect()
+    )
     if len(qrows) > PQ_QUERY_CAP:
         raise ValueError(
             f"more than PQ_QUERY_CAP={PQ_QUERY_CAP} query vectors; "

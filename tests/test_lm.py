@@ -161,7 +161,13 @@ class TestInRowScoring:
             train_bigram_lm_local,
         )
 
-        ref = spark.createDataFrame(REF, SCHEMA)
+        # NULL text must be a training no-op on BOTH routes (r11
+        # advisory: the partials route's np.asarray(None) crashed
+        # where the shuffle route's explode_outer+isNotNull and the
+        # scorer's None-guard already tolerated it) — so the NULL
+        # row is added here and the counts must still equal the
+        # NULL-free collect_local_lm baseline.
+        ref = spark.createDataFrame(REF + [(4, None)], SCHEMA)
         via_collect = collect_local_lm(lm)
         for mode in ("partials", "shuffle"):
             loc = train_bigram_lm_local(ref, merge=mode)

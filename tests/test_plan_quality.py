@@ -198,9 +198,22 @@ def test_sessionize_single_shuffle(plans):
     """Batch sessionization: both window passes and the session
     aggregation reuse ONE hash-partitioning by user_id — a second
     exchange would mean the windows and the groupBy disagree on
-    partitioning."""
+    partitioning.
+
+    r11 (verdict #3): the single exchange must also be the EXPLICIT
+    width pin (`repartition(defaultParallelism, key)` →
+    REPARTITION_BY_NUM, which AQE's byte-based coalescing is
+    exempt from). Dropping the pin in sessionize_batch would STILL
+    show one Exchange (the window's own hashpartitioning), so an
+    exchange count alone can't catch the regression — but that
+    exchange would silently coalesce the CPU-dense window stage to
+    one task at scale (the r9 divergent-ratio cause)."""
     plan = plans("sessionize_events")
     assert _count_nodes(plan, "Exchange") == 1
+    assert "REPARTITION_BY_NUM" in plan, (
+        "sessionize's key exchange lost its explicit width pin — "
+        "AQE byte-coalescing will single-thread the window stage"
+    )
 
 
 def test_mixing_controls_no_python_no_cartesian(plans):
