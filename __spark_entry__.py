@@ -2062,40 +2062,61 @@ def _q_sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decont_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ``stream`` gate row (r9): run the decontamination
-    STREAMING twin (streaming/decontaminate_stream.py —
-    ``foreachBatch`` over a ``FileStreamSource``, availableNow
-    trigger, parquet sink + checkpoint) end-to-end over a sliced
-    train/test split, then
+    """The ``stream`` gate rows (r9, widened r11): ONE availableNow
+    streaming query (``FileStreamSource`` + ``foreachBatch`` +
+    checkpoint) runs TWO curation twins over the shared micro-batch
+    — benchmark decontamination (streaming/decontaminate_stream.py)
+    and reference-span scrubbing (streaming/span_dedup_stream.py) —
+    via the fan-out wiring (streaming/curation_fanout.py), then
 
-    emit a three-moment fingerprint of the streamed survivor ID set
-    — COUNT, SUM(id), SUM(id² mod 1000003) — each replayed by the
-    oracle with the same 5-gram anti-join SQL (REAL checks on the
-    stream's output, valid at every scale: the slice predicates are
-    modular and the moments stay exactly representable as doubles
-    through sf10). Matching all three pins the streamed set to the
-    SQL-defined correct answer, which is also the batch operator's
-    answer — so the stream==batch equivalence (unit-test-only until
-    r9) is driver-visible without recomputing the batch side here.
-    An earlier shape did recompute it (exceptAll both ways); that
-    doubled the entry's cost for a strictly weaker check than the
-    oracle replay (measured 5.7 → ~3 s warm total entry).
+    emits a three-moment fingerprint of the streamed survivor ID set
+    — COUNT, SUM(id), SUM(id² mod 1000003) — plus a three-moment
+    fingerprint of the streamed SCRUB output — doc COUNT,
+    SUM(n_kept), SUM(n_removed) — each replayed by REAL oracle SQL
+    (the decont moments by the 5-gram anti-join, the scrub moments by
+    the reference-span covered-position replay with RAW-case tokens,
+    matching ``remove_reference_spans``'s no-lowercase contract).
+
+    The scrub REFERENCE is a sub-slice of the streamed docs
+    themselves (train ∧ id%20==10) — the re-crawl/re-ingest
+    production shape: documents already in the published corpus
+    arrive again and must scrub to (near-)nothing. Self-containment
+    makes the gate NON-VACUOUS at every scale (a reference doc's
+    every position is covered, so removed-token mass ≥ the slice's
+    token mass > 0) where a cross-slice reference measured 0 hits at
+    sf0.01 on this synthetic corpus — a 0==0 gate would never catch
+    a broken covered-position expansion.
+    Matching all six pins both streamed outputs to the SQL-defined
+    correct answers, which are the batch operators' answers — so both
+    stream==batch equivalences are driver-visible. The r10 verdict's
+    cost condition holds by construction: the span twin SHARES the
+    existing query's fixed per-query overhead (one source pass, one
+    trigger, one checkpoint) instead of paying a second ~1.5-2 s
+    streaming query; its marginal cost is the per-batch scrub plan +
+    one tiny parquet sink (measured ≤ ~0.5 s at sf0.1,
+    docs/bench.md r11).
 
     Slices (train %10, test %3 of the decontaminate entry's 1/17
-    split) bound the work: the cost is the fixed streaming-query
-    overhead (~1.3 s warm at sf0.1) plus one aggregate job, not
-    compute. The stream runs EAGERLY here — a streaming query has
-    no lazy form — so ``sketch_quality_gates`` is in bench.py's
+    split; the test slice doubles as the scrub REFERENCE corpus)
+    bound the work. The stream runs EAGERLY here — a streaming query
+    has no lazy form — so ``sketch_quality_gates`` is in bench.py's
     EAGER_CONSTRUCT set: the oracle pays its anti-join inside
     measured time, so the Spark side must too (the r5-advisory
     symmetry rule). Multi-micro-batch ordering/idempotence stays
-    covered by tests/test_decontaminate_stream.py; this gate
-    exercises the production single-pass path the driver can see."""
+    covered by tests/test_decontaminate_stream.py and the fanout
+    stream==batch test (tests/test_curation_fanout.py)."""
     import shutil
     import tempfile
 
+    from serverless_data_lake_spark.streaming.curation_fanout import (
+        CurationSink,
+        start_curation_fanout_stream,
+    )
     from serverless_data_lake_spark.streaming.decontaminate_stream import (
-        start_decontaminate_stream,
+        decontaminate_stream,
+    )
+    from serverless_data_lake_spark.streaming.span_dedup_stream import (
+        span_scrub_stream,
     )
 
     docs = _read(spark, sf_dir, "documents")
@@ -2105,8 +2126,7 @@ def _decont_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _data_path(sf_dir, "documents")
     tmp = tempfile.mkdtemp(prefix="sdls_decont_stream_gate_")
-    out_path = os.path.join(tmp, "out")
-    grams = None
+    grams = ref_grams = None
     try:
         train_stream = (
             spark.readStream.schema(docs.schema)
@@ -2114,50 +2134,95 @@ def _decont_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(os.path.dirname(path))
             .filter(train_pred)
         )
-        # The production wiring, shared with the unit tests — the
-        # gate must exercise the same path they cover.
-        q, grams = start_decontaminate_stream(
-            train_stream, test, "doc_id", "text",
-            out_path=out_path,
+        # The production handler builders, shared with the unit
+        # tests — the gate must exercise the same paths they cover.
+        clean_decont, grams = decontaminate_stream(
+            train_stream, test, "doc_id", "text", n=5,
+        )
+        ref_scrub = docs.filter(train_pred & (F.col("doc_id") % 20 == 10))
+        clean_span, ref_grams = span_scrub_stream(
+            ref_scrub, "doc_id", "text", k=5,
+        )
+        # ONE sink, tag-unioned (measured r11, docs/bench.md): a
+        # second parquet sink + second read-back put the span twin's
+        # marginal cost at ~0.9 s; unioning both products into one
+        # tagged sink (one write job per batch, one read-back agg)
+        # brings it to ~0.0-0.5 s — the fan-out stays per-batch
+        # (both transforms run on the shared micro-batch), only the
+        # sink is shared. The two-sink wiring remains the general
+        # production shape (tests/test_curation_fanout.py).
+        def both(batch_df: DataFrame) -> DataFrame:
+            d = clean_decont(batch_df).select(
+                F.lit("d").alias("kind"),
+                "doc_id",
+                F.lit(None).cast("long").alias("n_kept"),
+                F.lit(None).cast("long").alias("n_removed"),
+            )
+            s = clean_span(batch_df).select(
+                F.lit("s").alias("kind"),
+                "doc_id",
+                F.col("n_kept"),
+                F.col("n_removed"),
+            )
+            return d.unionByName(s)
+
+        out_path = os.path.join(tmp, "out")
+        q = start_curation_fanout_stream(
+            train_stream,
+            [CurationSink(both, out_path)],
             checkpoint=os.path.join(tmp, "ckpt"),
-            n=5, project=["doc_id"],
         )
         q.awaitTermination()
+
         if os.path.isdir(out_path):
-            streamed = spark.read.parquet(out_path).select("doc_id")
+            streamed = spark.read.parquet(out_path)
         else:  # zero micro-batches wrote (empty slice at tiny SF)
-            streamed = spark.range(0).select(
-                F.col("id").alias("doc_id")
+            streamed = spark.createDataFrame(
+                [], "kind string, doc_id long, n_kept long, "
+                    "n_removed long"
             )
-        # One aggregate job fingerprints the streamed set; the
-        # oracle replays every moment with independent SQL. The
-        # square is taken mod-first — ((id%p)*(id%p))%p — so the
-        # bigint product can't overflow at any id scale (r10
-        # advisory: id*id wraps silently in Spark past ~3.03e9 while
-        # DuckDB's checked arithmetic errors — the gate would have
-        # diverged instead of staying valid).
+        # ONE job fingerprints both streamed sets; the oracle replays
+        # every moment with independent SQL. The square is taken
+        # mod-first — ((id%p)*(id%p))%p — so the bigint product can't
+        # overflow at any id scale (r10 advisory: id*id wraps
+        # silently in Spark past ~3.03e9 while DuckDB's checked
+        # arithmetic errors — the gate would have diverged instead
+        # of staying valid).
+        d = F.col("kind") == "d"
         idm = F.col("doc_id") % 1000003
         m = streamed.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("doc_id"), F.lit(0)).alias("idsum"),
             F.coalesce(
-                F.sum((idm * idm) % 1000003),
-                F.lit(0),
+                F.sum(F.when(d, 1).otherwise(0)), F.lit(0)
+            ).alias("n"),
+            F.coalesce(F.sum(F.when(d, F.col("doc_id"))), F.lit(0)).alias(
+                "idsum"
+            ),
+            F.coalesce(
+                F.sum(F.when(d, (idm * idm) % 1000003)), F.lit(0)
             ).alias("sqmod"),
+            F.coalesce(
+                F.sum(F.when(~d, 1).otherwise(0)), F.lit(0)
+            ).alias("sn"),
+            F.coalesce(F.sum("n_kept"), F.lit(0)).alias("skept"),
+            F.coalesce(F.sum("n_removed"), F.lit(0)).alias("sremoved"),
         ).collect()[0]
     finally:
-        if grams is not None:
-            # Even on a failed query: a leaked persisted gram set
-            # gives later identical plans replay credit (the r7
-            # CacheManager rule).
-            grams.unpersist()
+        for cached in (grams, ref_grams):
+            if cached is not None:
+                # Even on a failed query: a leaked persisted gram set
+                # gives later identical plans replay credit (the r7
+                # CacheManager rule).
+                cached.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.sql(
         "SELECT 'stream' AS gate, key, CAST(metric AS DOUBLE) AS metric, "
         "true AS approx_ok FROM VALUES "
         f"('decont_survivor_count', {int(m['n'])}), "
         f"('decont_survivor_idsum', {int(m['idsum'])}), "
-        f"('decont_survivor_sqmod', {int(m['sqmod'])}) AS t(key, metric)"
+        f"('decont_survivor_sqmod', {int(m['sqmod'])}), "
+        f"('scrub_doc_count', {int(m['sn'])}), "
+        f"('scrub_kept_sum', {int(m['skept'])}), "
+        f"('scrub_removed_sum', {int(m['sremoved'])}) AS t(key, metric)"
     )
 
 
@@ -2515,6 +2580,67 @@ def _sketch_gates_oracle() -> str:
                                     * (doc_id % 1000003)) % 1000003),
                                0) AS DOUBLE)
           FROM survivors
+        ) t"""
+    )
+    # The scrub rows (r11): the reference-span streaming twin's
+    # fingerprint, replayed by the batch covered-position SQL. RAW
+    # tokens (no lower()) — remove_reference_spans rewrites text, so
+    # its tokens round-trip in original case (operators/dedup.py
+    # _raw_tokens), unlike the decontaminate family's lowercased
+    # grams above. Reference corpus = the re-crawl slice
+    # (train ∧ id%20==10 — a subset of the streamed docs, so the
+    # gate is non-vacuous at every scale); scrub target = the train
+    # slice; k=5.
+    parts.append(
+        """SELECT 'stream' AS gate, t.k AS key, t.v AS metric,
+               true AS approx_ok
+        FROM (
+          WITH rtoks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+            WHERE doc_id % 17 <> 0 AND doc_id % 10 = 0
+          ),
+          ref_grams AS (
+            SELECT DISTINCT
+                   array_to_string(list_slice(t, pos + 1, pos + 5),
+                                   ' ') AS g
+            FROM (SELECT t, unnest(range(len(t) - 4)) AS pos
+                  FROM rtoks
+                  WHERE doc_id % 20 = 10 AND len(t) >= 5)
+          ),
+          cover AS (
+            SELECT DISTINCT doc_id,
+                   unnest(range(pos, pos + 5)) AS cpos
+            FROM (SELECT doc_id, pos,
+                         array_to_string(
+                           list_slice(t, pos + 1, pos + 5), ' ') AS g
+                  FROM (SELECT doc_id, t,
+                               unnest(range(len(t) - 4)) AS pos
+                        FROM rtoks
+                        WHERE doc_id % 17 <> 0 AND len(t) >= 5))
+            WHERE g IN (SELECT g FROM ref_grams)
+          ),
+          scrub AS (
+            SELECT r.doc_id, len(r.t) AS n_orig,
+                   COALESCE(c.nc, 0) AS n_removed
+            FROM (SELECT doc_id, t FROM rtoks
+                  WHERE doc_id % 17 <> 0) r
+            LEFT JOIN (SELECT doc_id, count(*) AS nc
+                       FROM cover GROUP BY doc_id) c
+              USING (doc_id)
+          )
+          SELECT 'scrub_doc_count' AS k,
+                 CAST(COUNT(*) AS DOUBLE) AS v FROM scrub
+          UNION ALL
+          SELECT 'scrub_kept_sum',
+                 CAST(COALESCE(SUM(n_orig - n_removed), 0) AS DOUBLE)
+          FROM scrub
+          UNION ALL
+          SELECT 'scrub_removed_sum',
+                 CAST(COALESCE(SUM(n_removed), 0) AS DOUBLE)
+          FROM scrub
         ) t"""
     )
     return "\nUNION ALL\n".join(parts)

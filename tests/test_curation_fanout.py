@@ -1,0 +1,120 @@
+"""Shared-query curation fan-out (streaming/curation_fanout.py):
+ONE availableNow query feeding several product sinks must produce,
+at every sink, exactly what that product's batch operator produces
+over the union of all micro-batches — the stream==batch property of
+each twin is preserved under fan-out (per-document transforms are
+independent, so sharing the micro-batch cannot couple them)."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from serverless_data_lake_spark.operators.dedup import (
+    decontaminate,
+    remove_reference_spans,
+)
+from serverless_data_lake_spark.streaming.curation_fanout import (
+    CurationSink,
+    start_curation_fanout_stream,
+)
+from serverless_data_lake_spark.streaming.decontaminate_stream import (
+    decontaminate_stream,
+)
+from serverless_data_lake_spark.streaming.span_dedup_stream import (
+    span_scrub_stream,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+LEAK = "the exact answer to benchmark question forty two is this"
+
+DOCS = [
+    (1, "clean document about weather patterns entirely here"),
+    (2, f"contaminated document containing {LEAK} verbatim"),
+    (3, "another clean one about cooking rice slowly today"),
+    (4, f"partial overlap with {LEAK} inside a longer passage"),
+    (5, "benign mention of benchmark question without the answer"),
+]
+
+
+def test_fanout_matches_both_batch_twins(spark, tmp_path):
+    ref_df = spark.createDataFrame(
+        [(100, f"eval prompt: {LEAK}?")], SCHEMA
+    )
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    spark.createDataFrame(DOCS, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).json(str(src))
+
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    clean_decont, grams = decontaminate_stream(
+        stream, ref_df, "doc_id", "text", n=5
+    )
+    clean_span, ref_grams = span_scrub_stream(
+        ref_df, "doc_id", "text", k=5
+    )
+    out_decont = str(tmp_path / "decont")
+    out_spans = str(tmp_path / "spans")
+    try:
+        q = start_curation_fanout_stream(
+            stream,
+            [
+                CurationSink(clean_decont, out_decont, ["doc_id"]),
+                CurationSink(
+                    clean_span, out_spans,
+                    ["doc_id", "n_kept", "n_removed"],
+                ),
+            ],
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+
+        docs_df = spark.createDataFrame(DOCS, SCHEMA)
+        got_decont = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(out_decont).collect()
+        )
+        want_decont = sorted(
+            r["doc_id"]
+            for r in decontaminate(
+                docs_df, ref_df, "doc_id", "text", n=5
+            ).collect()
+        )
+        assert got_decont == want_decont
+        # the leak-quoting docs (2 and 4) are dropped, so the check
+        # is non-vacuous
+        assert 2 not in got_decont and 4 not in got_decont
+
+        got_spans = sorted(
+            (r["doc_id"], r["n_kept"], r["n_removed"])
+            for r in spark.read.parquet(out_spans).collect()
+        )
+        want_spans = sorted(
+            (r["doc_id"], r["n_kept"], r["n_removed"])
+            for r in remove_reference_spans(
+                docs_df,
+                ref_grams,
+                "doc_id",
+                "text",
+                k=5,
+            ).collect()
+        )
+        assert got_spans == want_spans
+        # every doc survives scrubbing (span removal, not doc
+        # removal) and at least one doc actually lost tokens
+        assert len(got_spans) == len(DOCS)
+        assert any(removed > 0 for _i, _k, removed in got_spans)
+    finally:
+        grams.unpersist()
+        ref_grams.unpersist()

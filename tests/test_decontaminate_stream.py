@@ -76,15 +76,21 @@ def test_stream_matches_batch_union(spark, tmp_path):
 
 
 def test_driver_stream_gate_rows(spark):
-    """The r9 driver-visible stream gate (sketch_quality_gates leg
-    'stream'): the streamed survivor set's three-moment fingerprint
-    must equal the BATCH operator's over the same slices — the
-    stream==batch equivalence the driver's oracle replays with
-    independent SQL."""
+    """The driver-visible stream gate (sketch_quality_gates leg
+    'stream', r9; widened to the shared fan-out query in r11): the
+    streamed survivor set's three-moment fingerprint AND the
+    streamed span-scrub output's three-moment fingerprint must equal
+    the BATCH operators' over the same slices — the stream==batch
+    equivalences the driver's oracle replays with independent SQL."""
     import os
 
     import pytest
     from pyspark.sql import functions as F
+
+    from serverless_data_lake_spark.operators.dedup import (
+        reference_span_grams,
+        remove_reference_spans,
+    )
 
     sf = "/root/testdata/sf0.001"
     if not os.path.isdir(sf):
@@ -98,6 +104,9 @@ def test_driver_stream_gate_rows(spark):
         "decont_survivor_count",
         "decont_survivor_idsum",
         "decont_survivor_sqmod",
+        "scrub_doc_count",
+        "scrub_kept_sum",
+        "scrub_removed_sum",
     }
     assert all(r.approx_ok for r in rows.values())
     docs = entrymod._read(spark, sf, "documents")
@@ -118,3 +127,22 @@ def test_driver_stream_gate_rows(spark):
     assert rows["decont_survivor_count"].metric == float(m["n"])
     assert rows["decont_survivor_idsum"].metric == float(m["idsum"])
     assert rows["decont_survivor_sqmod"].metric == float(m["sqmod"])
+    # the gate's scrub reference is the re-crawl slice: a subset of
+    # the streamed docs themselves (train ∧ id%20==10), so removals
+    # are guaranteed non-zero at every scale
+    ref_grams = reference_span_grams(
+        train.filter(F.col("doc_id") % 20 == 10), "doc_id", "text", k=5
+    )
+    scrub = remove_reference_spans(
+        train, ref_grams, "doc_id", "text", k=5
+    )
+    s = scrub.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("n_kept"), F.lit(0)).alias("kept"),
+        F.coalesce(F.sum("n_removed"), F.lit(0)).alias("removed"),
+    ).collect()[0]
+    assert rows["scrub_doc_count"].metric == float(s["n"])
+    assert rows["scrub_kept_sum"].metric == float(s["kept"])
+    assert rows["scrub_removed_sum"].metric == float(s["removed"])
+    # non-vacuous at this SF: the stream really scrubbed something
+    assert rows["scrub_removed_sum"].metric > 0
