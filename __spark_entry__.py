@@ -1234,6 +1234,15 @@ def _ann_queries_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     same rows come back as a ``createDataFrame`` LocalRelation:
     collects and broadcast builds over it are driver-local, while
     the corpus side of every leg still scans and computes for real."""
+    schema, rows = _ann_query_rows(spark, sf_dir)
+    return spark.createDataFrame(rows, schema)
+
+
+def _ann_query_rows(spark: SparkSession, sf_dir: str):
+    """(schema, rows) of the memoized ANN query set — the rows feed
+    the ``query_rows`` fast path of ivf_topk/pq_topk directly (their
+    probe/LUT math needs the vectors driver-side either way; an
+    in-call collect is a ~0.6 s Spark job for 5 rows)."""
     key = (_session_key(spark), sf_dir, "ann_query_rows")
     cached = _ANN_TRAIN_CACHE.get(key)
     if cached is None:
@@ -1242,8 +1251,7 @@ def _ann_queries_local(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("vec_id").alias("query_id"), "embedding")
         cached = (df.schema, df.collect())
         _ANN_TRAIN_CACHE[key] = cached
-    schema, rows = cached
-    return spark.createDataFrame(rows, schema)
+    return cached
 
 
 def _ann_exact_baseline(
@@ -1295,11 +1303,12 @@ def _q_ann_ivf(
             "embedding", nlist=None,
         )
         _ANN_TRAIN_CACHE[key] = cents
+    qrows = _ann_query_rows(spark, sf_dir)[1]
     return _ann_quality_gate(
         spark, sf_dir,
         lambda emb, q: ivf_topk(emb, q, dim=64, id_col="vec_id", k=10,
                                 nlist=None, nprobe=None,
-                                centroids=cents),
+                                centroids=cents, query_rows=qrows),
         exact=exact,
     )
 
@@ -1360,7 +1369,10 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = max(50, n // 20)
     codes = pq_encode(emb, "vec_id", "embedding", books)
     queries_df = _ann_queries_local(spark, sf_dir)
-    pq = pq_topk(codes, queries_df, books, k=cand)
+    pq = pq_topk(
+        codes, queries_df, books, k=cand,
+        query_rows=_ann_query_rows(spark, sf_dir)[1],
+    )
     exact = _ann_exact_baseline(spark, sf_dir, "euclidean")
     recall = ann_recall_at_k(pq, exact, k=10)
     return recall.select(

@@ -207,13 +207,19 @@ def lsh_bucketed_topk(
     the clustering actually present in the corpus; the quality gate
     in the driver entry (`ann_recall_at_k`) makes the achieved
     recall an asserted, regression-checked number either way."""
+    # ONE signature Column reused by both sides: Column objects are
+    # immutable expression trees resolvable against any DataFrame
+    # carrying ``vec_col``, and building the planes×dim HOF
+    # expression costs ~0.3 s of py4j round-trips per build (r11
+    # construct profile) — the r10 bounded-plan-construction
+    # invariant applied to expression REUSE.
+    sig = _hyperplane_signature(F.col(vec_col), dim, planes)
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__cvec"),
         _norm(F.col(vec_col)).alias("__cnorm"),
-        _hyperplane_signature(F.col(vec_col), dim, planes).alias("__bucket"),
+        sig.alias("__bucket"),
     )
-    sig = _hyperplane_signature(F.col(vec_col), dim, planes)
     probe_cols = [sig]
     if multiprobe >= 1:
         probe_cols += [sig.bitwiseXOR(F.lit(1 << b)) for b in range(planes)]
@@ -426,6 +432,7 @@ def ivf_topk(
     sample_size: int = 10_000,
     seed: int = 42,
     centroids=None,
+    query_rows=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse
     quantizer partitions the corpus into ``nlist`` cells; each query
@@ -453,7 +460,15 @@ def ivf_topk(
     :func:`train_ivf_centroids` returns) and skips the in-call
     training — training is deterministic per (corpus, params), so
     callers probing the same corpus repeatedly memoize it (r10:
-    the bench re-trained identical k-means every rep)."""
+    the bench re-trained identical k-means every rep).
+
+    ``query_rows`` accepts the query side pre-collected as
+    ``[(query_id, vector), ...]`` rows and skips the in-call
+    collect (r11: probe selection needs the query vectors on the
+    driver either way, and a serving layer that already holds its
+    query batch driver-side — or memoizes a fixed gate query set —
+    shouldn't pay a Spark job to round-trip 5 rows; ~0.6 s of
+    fixed per-call cost on this host). The cap applies identically."""
     import numpy as np
 
     if centroids is None:
@@ -487,11 +502,13 @@ def ivf_topk(
     # Bound the collect itself (limit before materializing) so an
     # oversized query side is rejected without ever shipping more
     # than CAP+1 rows to the driver — same pattern as pq_topk.
-    qrows = (
-        queries.select(query_id_col, vec_col)
-        .limit(PQ_QUERY_CAP + 1)
-        .collect()
-    )
+    qrows = query_rows
+    if qrows is None:
+        qrows = (
+            queries.select(query_id_col, vec_col)
+            .limit(PQ_QUERY_CAP + 1)
+            .collect()
+        )
     if len(qrows) > PQ_QUERY_CAP:
         raise ValueError(
             f"more than PQ_QUERY_CAP={PQ_QUERY_CAP} query vectors; "
@@ -1057,6 +1074,7 @@ def pq_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    query_rows=None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: each query builds one
     ``(m, k_codes)`` lookup table of exact subspace distances to the
@@ -1079,9 +1097,14 @@ def pq_topk(
 
     books = np.asarray(codebooks, dtype=np.float64)
     m, kc, sub = books.shape
-    qrows = queries.select(query_id_col, vec_col).limit(
-        PQ_QUERY_CAP + 1
-    ).collect()
+    # ``query_rows``: pre-collected [(query_id, vector), ...] skips
+    # the in-call collect — same serving-cache rationale as
+    # ivf_topk's parameter; the cap check applies identically.
+    qrows = query_rows
+    if qrows is None:
+        qrows = queries.select(query_id_col, vec_col).limit(
+            PQ_QUERY_CAP + 1
+        ).collect()
     if not qrows:
         raise ValueError("no query vectors")
     if len(qrows) > PQ_QUERY_CAP:

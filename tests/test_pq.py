@@ -179,3 +179,61 @@ def test_all_pairs_row_blocking_invisible(spark, monkeypatch):
         embedding_all_pairs_numpy(df, threshold=0.2).collect()
     )
     assert blocked == unblocked and len(unblocked) > 0
+
+
+def test_topk_precollected_query_rows_identical(spark):
+    """The ``query_rows`` fast path (r11 — serving layers that hold
+    their query batch driver-side skip the in-call collect) must
+    produce byte-identical output to the default collect path, and
+    the query cap must apply to pre-collected rows too."""
+    from serverless_data_lake_spark.operators import similarity as sim
+
+    df, rows = _clustered_corpus(spark)
+    books = train_pq_codebooks(df, "embedding", dim=16, m=4, k=8)
+    codes = pq_encode(df, "vec_id", "embedding", books)
+    q = df.filter("vec_id < 4").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    qrows = q.collect()
+    a = sorted(map(tuple, pq_topk(codes, q, books, k=5).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pq_topk(codes, q, books, k=5, query_rows=qrows).collect(),
+        )
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="PQ_QUERY_CAP"):
+        pq_topk(
+            codes, q, books, k=5,
+            query_rows=[(i, [0.0] * 16) for i in range(sim.PQ_QUERY_CAP + 1)],
+        )
+
+
+def test_ivf_precollected_query_rows_identical(spark):
+    from serverless_data_lake_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    df, _rows = _clustered_corpus(spark)
+    cents = train_ivf_centroids(df, "embedding", nlist=4)
+    q = df.filter("vec_id < 4").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    qrows = q.collect()
+    a = sorted(
+        map(
+            tuple,
+            ivf_topk(df, q, dim=16, k=5, nlist=4, nprobe=2,
+                     centroids=cents).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            ivf_topk(df, q, dim=16, k=5, nlist=4, nprobe=2,
+                     centroids=cents, query_rows=qrows).collect(),
+        )
+    )
+    assert a == b
