@@ -1224,6 +1224,26 @@ def _ann_quality_gate(
 _ANN_TRAIN_CACHE: dict = {}
 
 
+def _memo_local_relation(
+    spark: SparkSession, sf_dir: str, kind: str, build
+) -> DataFrame:
+    """Deterministic-artifact memo → local relation (r11): ``build()``
+    must return a SMALL DataFrame that is a pure function of
+    (sf_dir, fixed params) — its collected rows are cached per
+    (session, sf_dir) in ``_ANN_TRAIN_CACHE`` (the same staleness
+    contract) and come back as a ``createDataFrame`` LocalRelation,
+    so later constructions collect/broadcast it driver-locally
+    instead of re-deriving it from a parquet scan."""
+    key = (_session_key(spark), sf_dir, kind)
+    cached = _ANN_TRAIN_CACHE.get(key)
+    if cached is None:
+        df = build()
+        cached = (df.schema, df.collect())
+        _ANN_TRAIN_CACHE[key] = cached
+    schema, rows = cached
+    return spark.createDataFrame(rows, schema)
+
+
 def _ann_queries_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN gates' 5-query set (vec_id < 5) as a memoized LOCAL
     relation (r11): every leg re-derived it as a filter over the
@@ -2164,12 +2184,33 @@ def _decont_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # The production handler builders, shared with the unit
         # tests — the gate must exercise the same paths they cover.
+        # Both static gram sets (eval grams for decont, reference
+        # grams for the scrub) are pure functions of (sf_dir, slice,
+        # n/k) and SMALL (a few thousand 8-byte hashes at sf0.1) —
+        # memoized as local relations so reps broadcast them
+        # driver-locally instead of re-deriving each from a corpus
+        # scan + persist (the ANN-artifact pattern, r11).
+        from serverless_data_lake_spark.operators.dedup import (
+            eval_gram_set,
+            reference_span_grams,
+        )
+
         clean_decont, grams = decontaminate_stream(
-            train_stream, test, "doc_id", "text", n=5,
+            train_stream, test, "doc_id", "text", n=5, broadcast=True,
+            test_grams=_memo_local_relation(
+                spark, sf_dir, "gate_decont_grams",
+                lambda: eval_gram_set(test, "doc_id", "text", 5),
+            ),
         )
         ref_scrub = docs.filter(train_pred & (F.col("doc_id") % 20 == 10))
         clean_span, ref_grams = span_scrub_stream(
             ref_scrub, "doc_id", "text", k=5,
+            ref_grams=_memo_local_relation(
+                spark, sf_dir, "gate_scrub_ref_grams",
+                lambda: reference_span_grams(
+                    ref_scrub, "doc_id", "text", 5
+                ),
+            ),
         )
         # ONE sink, tag-unioned (measured r11, docs/bench.md): a
         # second parquet sink + second read-back put the span twin's

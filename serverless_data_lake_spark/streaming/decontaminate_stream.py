@@ -51,6 +51,7 @@ def decontaminate_stream(
     n: int = 13,
     min_shared: int = 1,
     broadcast: bool | None = None,
+    test_grams: DataFrame | None = None,
 ) -> tuple[Callable[[DataFrame, int], None], DataFrame]:
     """Build the ``foreachBatch`` handler for streaming
     decontamination.
@@ -61,8 +62,21 @@ def decontaminate_stream(
     inside your own closure around :func:`make_batch_filter`. The
     persisted ``test_grams`` is returned so the caller can
     ``unpersist()`` it when the query stops.
+
+    ``test_grams`` accepts a precomputed gram set (e.g. a small
+    collected set rebuilt as a local relation — the eval corpus is
+    STATIC by construction, so its grams are a pure function of
+    (test, n) that a caller re-wiring the same stream repeatedly
+    shouldn't re-derive from a scan each time, r11). When given, it
+    is used as-is: no persist happens here and the caller owns its
+    lifecycle (unpersisting it is a no-op for an unpersisted local
+    relation).
     """
-    grams = eval_gram_set(test, id_col, text_col, n).persist()
+    grams = (
+        test_grams
+        if test_grams is not None
+        else eval_gram_set(test, id_col, text_col, n).persist()
+    )
     if broadcast is None:
         # Size the strategy ONCE here rather than per micro-batch.
         from serverless_data_lake_spark.operators.dedup import (

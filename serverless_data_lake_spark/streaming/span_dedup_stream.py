@@ -51,12 +51,22 @@ def span_scrub_stream(
     text_col: str,
     k: int = 13,
     broadcast: bool = True,
+    ref_grams: DataFrame | None = None,
 ) -> tuple[Callable[[DataFrame], DataFrame], DataFrame]:
     """Build the per-micro-batch scrubber. Returns
     ``(clean_batch, ref_grams)``; the persisted ``ref_grams`` is
     returned so the caller can ``unpersist()`` when the query
-    stops."""
-    grams = reference_span_grams(ref, id_col, text_col, k).persist()
+    stops.
+
+    ``ref_grams`` accepts a precomputed gram set (the reference
+    corpus is static — same rationale and lifecycle contract as
+    ``decontaminate_stream``'s ``test_grams`` parameter): when
+    given, no persist happens here and it is used as-is."""
+    grams = (
+        ref_grams
+        if ref_grams is not None
+        else reference_span_grams(ref, id_col, text_col, k).persist()
+    )
 
     def clean_batch(batch_df: DataFrame) -> DataFrame:
         return remove_reference_spans(
