@@ -118,3 +118,66 @@ def test_fanout_matches_both_batch_twins(spark, tmp_path):
     finally:
         grams.unpersist()
         ref_grams.unpersist()
+
+
+def test_precomputed_gram_params_match_default(spark, tmp_path):
+    """The r11 `test_grams` / `ref_grams` builder parameters (the
+    gate feeds memoized LOCAL gram relations through them) must
+    yield exactly the default derive-and-persist path's outputs."""
+    from serverless_data_lake_spark.operators.dedup import (
+        eval_gram_set,
+        reference_span_grams,
+    )
+
+    ref_df = spark.createDataFrame(
+        [(100, f"eval prompt: {LEAK}?")], SCHEMA
+    )
+    docs_df = spark.createDataFrame(DOCS, SCHEMA)
+
+    def run(precomputed: bool, tag: str):
+        src = tmp_path / f"in_{tag}"
+        src.mkdir()
+        docs_df.coalesce(1).write.mode("append").json(str(src))
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        tg = rg_pre = None
+        if precomputed:
+            g = eval_gram_set(ref_df, "doc_id", "text", 5)
+            tg = spark.createDataFrame(g.collect(), g.schema)
+            r = reference_span_grams(ref_df, "doc_id", "text", 5)
+            rg_pre = spark.createDataFrame(r.collect(), r.schema)
+        cd, grams = decontaminate_stream(
+            stream, ref_df, "doc_id", "text", n=5,
+            broadcast=True if precomputed else None, test_grams=tg,
+        )
+        cs, rg = span_scrub_stream(
+            ref_df, "doc_id", "text", k=5, ref_grams=rg_pre
+        )
+        try:
+            q = start_curation_fanout_stream(
+                stream,
+                [
+                    CurationSink(cd, str(tmp_path / f"d_{tag}"), ["doc_id"]),
+                    CurationSink(
+                        cs, str(tmp_path / f"s_{tag}"),
+                        ["doc_id", "n_kept", "n_removed"],
+                    ),
+                ],
+                checkpoint=str(tmp_path / f"ckpt_{tag}"),
+            )
+            q.awaitTermination()
+        finally:
+            grams.unpersist()
+            rg.unpersist()
+        d = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / f"d_{tag}")).collect()
+        )
+        s = sorted(
+            map(
+                tuple,
+                spark.read.parquet(str(tmp_path / f"s_{tag}")).collect(),
+            )
+        )
+        return d, s
+
+    assert run(False, "default") == run(True, "pre")
