@@ -21,13 +21,24 @@ gate's fixed-cost query").
 Semantics: each stage's per-batch plan is EXACTLY its batch
 operator (the stream==batch property every streaming twin in this
 package pins), and stages are independent per-document transforms,
-so fanning out cannot change any stage's output. Exactly-once: the
-checkpoint commits a micro-batch only after the handler returns,
-i.e. after ALL sinks appended — a mid-handler crash replays the
-whole batch into every sink, so each sink needs the same idempotence
-story a single-product ``foreachBatch`` needs (parquet re-append is
-deduplicated downstream by ``__batch_id`` partition overwrite in the
-silver twin; the availableNow gates use fresh sink dirs).
+so fanning out cannot change any stage's output.
+
+Exactly-once: the checkpoint commits a micro-batch only after the
+handler returns, i.e. after ALL sinks ran — a mid-handler crash
+replays the whole batch into every sink, so each product needs a
+replay story:
+
+- **Parquet sinks** write a ``__batch_id`` column (r11 advisory):
+  a replayed batch appends rows identical up to and including their
+  batch id, so downstream consumers can deduplicate exactly
+  (``SELECT DISTINCT``-with-batch-id collapses ONLY replays, never
+  legitimately repeated rows from different batches) or overwrite
+  idempotently when the sink partitions by ``__batch_id`` — the
+  silver twin's dynamic-partition-overwrite contract.
+- **Driver-side aggregates** (``consume``) receive
+  ``(product_df, batch_id)`` and should key any accumulated state by
+  ``batch_id`` so a replay overwrites rather than double-counts (the
+  stream gate's moments dict does exactly this).
 """
 
 from __future__ import annotations
@@ -36,25 +47,89 @@ from dataclasses import dataclass
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BATCH_ID_COL = "__batch_id"
 
 
 @dataclass
 class CurationSink:
     """One product of the shared pass: ``transform`` is the batch
-    operator (micro-batch DataFrame in, product DataFrame out),
-    ``out_path`` the parquet append target, ``project`` an optional
-    column narrowing applied before the write (e.g. drop rewritten
-    text when only the counts are consumed)."""
+    operator (micro-batch DataFrame in, product DataFrame out);
+    ``project`` an optional column narrowing applied before the
+    sink (e.g. drop rewritten text when only the counts are
+    consumed). Exactly one consumption mode:
+
+    - ``out_path`` — parquet append target; each append carries a
+      ``__batch_id`` column (set ``stamp_batch_id=False`` only for a
+      sink whose downstream contract cannot tolerate the column).
+    - ``consume`` — a driver-side callback ``(product_df, batch_id)``
+      that runs the product's action itself (aggregate + collect,
+      metrics push, ...) with NO intermediate files. This is the
+      cheap path for fingerprint/audit products: one aggregate job
+      per micro-batch instead of a parquet write per batch plus a
+      read-back job (measured ~1 s saved per availableNow run at
+      sf0.1, r12 stream-gate A/B in docs/bench.md).
+    """
 
     transform: Callable[[DataFrame], DataFrame]
-    out_path: str
+    out_path: str | None = None
     project: Sequence[str] | None = None
+    consume: Callable[[DataFrame, int], None] | None = None
+    stamp_batch_id: bool = True
+
+    def __post_init__(self) -> None:
+        if (self.out_path is None) == (self.consume is None):
+            raise ValueError(
+                "CurationSink needs exactly one of out_path (parquet "
+                "append) or consume (driver-side callback)"
+            )
+
+
+def build_fanout_handler(
+    sinks: Sequence[CurationSink],
+    persist_batch: bool = False,
+) -> Callable[[DataFrame, int], None]:
+    """The ``foreachBatch`` handler, exposed for unit tests (replay
+    behavior is tested by invoking it twice with the same batch id).
+
+    ``persist_batch`` caches the micro-batch across the sinks'
+    actions and unpersists before returning — the fan-out is
+    multi-consumer by design (every product re-scans the batch
+    otherwise; operators like the span scrub scan it 2-3× alone), so
+    this is the r7 persist rule's "persist only multi-consumer
+    results" case. Off by default: for byte-small micro-batches the
+    columnar cache round-trip can cost as much as the re-scan
+    (measured both ways at sf0.1 — see docs/bench.md r12)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if persist_batch:
+            batch_df = batch_df.persist()
+        try:
+            for sink in sinks:
+                out = sink.transform(batch_df)
+                if sink.project is not None:
+                    out = out.select(*sink.project)
+                if sink.consume is not None:
+                    sink.consume(out, batch_id)
+                else:
+                    if sink.stamp_batch_id:
+                        out = out.withColumn(
+                            BATCH_ID_COL, F.lit(batch_id).cast("long")
+                        )
+                    out.write.mode("append").parquet(sink.out_path)
+        finally:
+            if persist_batch:
+                batch_df.unpersist()
+
+    return handle
 
 
 def start_curation_fanout_stream(
     doc_stream: DataFrame,
     sinks: Sequence[CurationSink],
     checkpoint: str,
+    persist_batch: bool = False,
 ):
     """Start ONE availableNow query applying every sink's transform
     to each shared micro-batch. Returns the StreamingQuery.
@@ -66,16 +141,13 @@ def start_curation_fanout_stream(
     helpers and unpersist them when the query stops, exactly as with
     single-product wiring."""
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        for sink in sinks:
-            out = sink.transform(batch_df)
-            if sink.project is not None:
-                out = out.select(*sink.project)
-            out.write.mode("append").parquet(sink.out_path)
-
     return (
-        doc_stream.writeStream.foreachBatch(handle)
+        doc_stream.writeStream.foreachBatch(
+            build_fanout_handler(sinks, persist_batch=persist_batch)
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
+
+

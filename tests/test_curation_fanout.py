@@ -96,9 +96,12 @@ def test_fanout_matches_both_batch_twins(spark, tmp_path):
         # is non-vacuous
         assert 2 not in got_decont and 4 not in got_decont
 
+        spans_raw = spark.read.parquet(out_spans)
+        # every parquet append carries the replay-detection batch id
+        assert "__batch_id" in spans_raw.columns
         got_spans = sorted(
             (r["doc_id"], r["n_kept"], r["n_removed"])
-            for r in spark.read.parquet(out_spans).collect()
+            for r in spans_raw.collect()
         )
         want_spans = sorted(
             (r["doc_id"], r["n_kept"], r["n_removed"])
@@ -175,9 +178,65 @@ def test_precomputed_gram_params_match_default(spark, tmp_path):
         s = sorted(
             map(
                 tuple,
-                spark.read.parquet(str(tmp_path / f"s_{tag}")).collect(),
+                spark.read.parquet(str(tmp_path / f"s_{tag}"))
+                .select("doc_id", "n_kept", "n_removed")
+                .collect(),
             )
         )
         return d, s
 
     assert run(False, "default") == run(True, "pre")
+
+
+def test_handler_replay_detectable_and_consume_idempotent(
+    spark, tmp_path
+):
+    """The at-least-once replay contract (r11 advisory): a replayed
+    micro-batch's parquet appends are exact duplicates INCLUDING
+    ``__batch_id``, so ``DISTINCT`` collapses only replays — while a
+    legitimately repeated row from a DIFFERENT batch survives (it
+    differs in batch id). Driver-side ``consume`` products keyed by
+    batch id overwrite on replay instead of double-counting."""
+    import pytest
+
+    from serverless_data_lake_spark.streaming.curation_fanout import (
+        build_fanout_handler,
+    )
+
+    out = str(tmp_path / "sink")
+    moments = {}
+
+    def consume(df, batch_id):
+        moments[batch_id] = df.count()
+
+    handler = build_fanout_handler(
+        [
+            CurationSink(lambda df: df, out_path=out),
+            CurationSink(lambda df: df, consume=consume),
+        ]
+    )
+    b0 = spark.createDataFrame(DOCS[:3], SCHEMA)
+    b1 = spark.createDataFrame(DOCS[2:3], SCHEMA)  # doc 3 repeats
+
+    handler(b0, 0)
+    handler(b0, 0)  # crash-replay of batch 0
+    handler(b1, 1)  # a different batch re-delivering doc 3
+
+    raw = spark.read.parquet(out)
+    assert raw.count() == 7  # 3 + 3 (replay) + 1
+    deduped = raw.distinct()
+    # replays collapse; the cross-batch repeat of doc 3 survives
+    # because its __batch_id differs
+    assert deduped.count() == 4
+    assert (
+        deduped.filter("doc_id = 3").count() == 2
+        and deduped.filter("doc_id = 1").count() == 1
+    )
+    # consume keyed by batch id: replay overwrote, no double count
+    assert moments == {0: 3, 1: 1}
+
+    # exactly one consumption mode per sink
+    with pytest.raises(ValueError):
+        CurationSink(lambda df: df)
+    with pytest.raises(ValueError):
+        CurationSink(lambda df: df, out_path=out, consume=consume)
