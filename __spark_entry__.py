@@ -161,7 +161,7 @@ def _read_parallel(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     the CONSTRUCT time of the eager entries."""
     df = _read(spark, sf_dir, table)
     cores = spark.sparkContext.defaultParallelism
-    key = (_session_key(spark), sf_dir, table)
+    key = (_session_key(spark), sf_dir, _sf_fingerprint(sf_dir), table)
     needs = _scan_partitions_cache.get(key)
     if needs is None:
         needs = df.rdd.getNumPartitions() < cores
@@ -1218,10 +1218,45 @@ def _ann_quality_gate(
 #: sitting reproduced byte-identical results (~2-3 s training +
 #: ~1.5 s exact scan per rep at sf0.1). The recall GATES stay exact
 #: — the first computation in a session is real and measured;
-#: later reps replay its value. Keyed per sf_dir: regenerated data
-#: under the SAME path within one session would serve stale
-#: artifacts (the nanocache has the same contract).
+#: later reps replay its value. Keys carry a file-stat fingerprint
+#: of the sf_dir (r12, r11 advisory): regenerating data under the
+#: SAME path changes sizes/mtimes, so the stale-serve window the
+#: doc-only contract left open is closed; ``clear_ann_cache()``
+#: force-drops everything for tools that rewrite data in place.
 _ANN_TRAIN_CACHE: dict = {}
+
+
+def clear_ann_cache() -> None:
+    """Drop every memoized ANN/gate artifact and partition probe —
+    call after regenerating data in place within a session (the
+    stat fingerprint in the keys already catches rewrites that
+    change any file size or mtime; this is the explicit override)."""
+    _ANN_TRAIN_CACHE.clear()
+    _scan_partitions_cache.clear()
+
+
+def _sf_fingerprint(path: str) -> tuple:
+    """Cheap data fingerprint folded into memo keys: sorted
+    (name, size, mtime_ns) of the parquet files under ``path`` (one
+    level of directory-style parquet supported). A handful of stat
+    calls — microseconds against construct times in seconds."""
+    out = []
+    try:
+        entries = sorted(os.listdir(path))
+    except OSError:
+        return (("missing", path),)
+    for n in entries:
+        p = os.path.join(path, n)
+        if os.path.isdir(p):
+            for pn in sorted(os.listdir(p)):
+                if pn.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(p, pn))
+                out.append((f"{n}/{pn}", st.st_size, st.st_mtime_ns))
+        elif n.endswith(".parquet"):
+            st = os.stat(p)
+            out.append((n, st.st_size, st.st_mtime_ns))
+    return tuple(out)
 
 
 def _memo_local_relation(
@@ -1234,12 +1269,47 @@ def _memo_local_relation(
     contract) and come back as a ``createDataFrame`` LocalRelation,
     so later constructions collect/broadcast it driver-locally
     instead of re-deriving it from a parquet scan."""
-    key = (_session_key(spark), sf_dir, kind)
+    key = (_session_key(spark), sf_dir, _sf_fingerprint(sf_dir), kind)
     cached = _ANN_TRAIN_CACHE.get(key)
     if cached is None:
         df = build()
         cached = (df.schema, df.collect())
         _ANN_TRAIN_CACHE[key] = cached
+    schema, rows = cached
+    return spark.createDataFrame(rows, schema)
+
+
+#: Row cap for gram sets memoized as driver-local relations by the
+#: stream gate (r12, r11 advisory): ~1 M 8-byte hashes collect in
+#: ~1-2 s and broadcast comfortably; far under
+#: ``DECONTAMINATE_BROADCAST_GRAM_CAP`` (20 M), which bounds the
+#: EXECUTOR-side broadcast of a distributed frame, not a driver
+#: collect. Above this the gate falls back to the builders' own
+#: persisted distributed path (validated at sf5 in r9).
+_GATE_LOCAL_GRAM_CAP = 1_000_000
+
+
+def _memo_local_relation_capped(
+    spark: SparkSession, sf_dir: str, kind: str, build, cap: int
+) -> DataFrame | None:
+    """`_memo_local_relation` with a row-cap refusal: returns None
+    (memoized too, so the sizing probe runs once per data
+    fingerprint) when ``build()`` yields more than ``cap`` rows —
+    the caller must then use its distributed path. The probe
+    collects at most ``cap + 1`` rows (`limit` bounds the transfer,
+    the ivf_topk r11-advisory pattern)."""
+    key = (
+        _session_key(spark), sf_dir, _sf_fingerprint(sf_dir),
+        f"{kind}@cap{cap}",
+    )
+    cached = _ANN_TRAIN_CACHE.get(key)
+    if cached is None:
+        df = build()
+        rows = df.limit(cap + 1).collect()
+        cached = ("OVERCAP",) if len(rows) > cap else (df.schema, rows)
+        _ANN_TRAIN_CACHE[key] = cached
+    if cached == ("OVERCAP",):
+        return None
     schema, rows = cached
     return spark.createDataFrame(rows, schema)
 
@@ -1263,7 +1333,7 @@ def _ann_query_rows(spark: SparkSession, sf_dir: str):
     the ``query_rows`` fast path of ivf_topk/pq_topk directly (their
     probe/LUT math needs the vectors driver-side either way; an
     in-call collect is a ~0.6 s Spark job for 5 rows)."""
-    key = (_session_key(spark), sf_dir, "ann_query_rows")
+    key = (_session_key(spark), sf_dir, _sf_fingerprint(sf_dir), "ann_query_rows")
     cached = _ANN_TRAIN_CACHE.get(key)
     if cached is None:
         df = _read(spark, sf_dir, "embeddings").filter(
@@ -1290,7 +1360,7 @@ def _ann_exact_baseline(
         euclidean_topk,
     )
 
-    key = (_session_key(spark), sf_dir, f"exact_{metric}_top10")
+    key = (_session_key(spark), sf_dir, _sf_fingerprint(sf_dir), f"exact_{metric}_top10")
     cached = _ANN_TRAIN_CACHE.get(key)
     if cached is None:
         emb = _read_parallel(spark, sf_dir, "embeddings")
@@ -1315,7 +1385,7 @@ def _q_ann_ivf(
     # (sqrt-of-sample cells, half probed): fixed toy-size
     # constants (nlist=8/nprobe=4) passed the gate at sf0.01-0.1 but
     # lost recall at the sf1 sweep's 20k vectors.
-    key = (_session_key(spark), sf_dir, "ivf_centroids")
+    key = (_session_key(spark), sf_dir, _sf_fingerprint(sf_dir), "ivf_centroids")
     cents = _ANN_TRAIN_CACHE.get(key)
     if cents is None:
         cents = train_ivf_centroids(
@@ -1375,7 +1445,7 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _read_parallel(spark, sf_dir, "embeddings")
-    key = (_session_key(spark), sf_dir, "pq_books")
+    key = (_session_key(spark), sf_dir, _sf_fingerprint(sf_dir), "pq_books")
     cached = _ANN_TRAIN_CACHE.get(key)
     if cached is None:
         cached = (
@@ -2208,22 +2278,34 @@ def _decont_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             reference_span_grams,
         )
 
+        # The local-relation memo is CAPPED (r12, r11 advisory): a
+        # collected gram list plus a forced broadcast could strain
+        # the driver at sf5-sf10 where the old wiring auto-sized
+        # down to a shuffle join. Over _GATE_LOCAL_GRAM_CAP the
+        # builders take their own persisted distributed path —
+        # decontaminate_stream re-sizes against
+        # DECONTAMINATE_BROADCAST_GRAM_CAP (broadcast=None), the
+        # span side degrades to an AQE-planned keyed join.
+        tg = _memo_local_relation_capped(
+            spark, sf_dir, "gate_decont_grams",
+            lambda: eval_gram_set(test, "doc_id", "text", 5),
+            _GATE_LOCAL_GRAM_CAP,
+        )
         clean_decont, grams = decontaminate_stream(
-            train_stream, test, "doc_id", "text", n=5, broadcast=True,
-            test_grams=_memo_local_relation(
-                spark, sf_dir, "gate_decont_grams",
-                lambda: eval_gram_set(test, "doc_id", "text", 5),
-            ),
+            train_stream, test, "doc_id", "text", n=5,
+            broadcast=True if tg is not None else None,
+            test_grams=tg,
         )
         ref_scrub = docs.filter(train_pred & (F.col("doc_id") % 20 == 10))
+        rg = _memo_local_relation_capped(
+            spark, sf_dir, "gate_scrub_ref_grams",
+            lambda: reference_span_grams(ref_scrub, "doc_id", "text", 5),
+            _GATE_LOCAL_GRAM_CAP,
+        )
         clean_span, ref_grams = span_scrub_stream(
             ref_scrub, "doc_id", "text", k=5,
-            ref_grams=_memo_local_relation(
-                spark, sf_dir, "gate_scrub_ref_grams",
-                lambda: reference_span_grams(
-                    ref_scrub, "doc_id", "text", 5
-                ),
-            ),
+            broadcast=rg is not None,
+            ref_grams=rg,
         )
         # ONE tag-unioned product, consumed DRIVER-SIDE (r12, the
         # r11-verdict #1 ask): both twins' outputs union into one

@@ -1161,6 +1161,7 @@ def contamination_pairs(
     n: int = 13,
     min_shared: int = 1,
     broadcast: bool | None = None,
+    test_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Every contaminated (eval, train) document pair with its
     distinct shared-gram count: ``(__tid, __cid, __shared)`` — the
@@ -1171,34 +1172,40 @@ def contamination_pairs(
     actual contamination, not corpus size. Persist the result when
     several consumers (audit report + contaminated-id set) read it.
 
+    ``test_grams`` accepts the precomputed per-eval-doc gram pairs
+    ``(__tid, __tok)`` (the ``_explode_grams(gram_hash_sets(test,
+    ...), "__tid")`` shape — NOT the distinct set
+    :func:`eval_gram_set` yields); the caller owns its lifecycle.
+
     ``broadcast`` mirrors :func:`decontaminate`'s cap-gated
     auto-sizing (r10 advisory — the public operator previously
     broadcast unconditionally, so a very large eval suite forced an
-    over-cap broadcast): ``None`` counts the exploded eval grams
-    once and broadcasts only under
-    ``DECONTAMINATE_BROADCAST_GRAM_CAP``; ``True``/``False`` skip
-    the sizing job and force the strategy. In auto mode the eval
-    grams are persisted around the sizing count so the under-cap
-    broadcast build reads the cached rows instead of re-running the
-    explode (r11 advisory); the ≤cap cache (≲160 MB worst case,
-    typically far less) stays until session eviction — hot loops
-    should pass an explicit strategy or a precomputed gram set to
-    :func:`decontaminate`. An over-cap suite is unpersisted
-    immediately (its shuffle join recomputes the scan-side explode
-    once — caching 160 MB+ indefinitely is the worse trade)."""
-    test_grams = _explode_grams(
-        gram_hash_sets(test, id_col, text_col, n), "__tid"
+    over-cap broadcast): ``None`` sizes the exploded eval grams with
+    a ``limit(cap + 1)``-bounded count (an over-cap suite
+    short-circuits instead of paying the full explode) and
+    broadcasts only under ``DECONTAMINATE_BROADCAST_GRAM_CAP``;
+    ``True``/``False`` skip the sizing job and force the strategy.
+    The probe does NOT cache anything (r12, r11 advisory: the r11
+    persisted-sizing variant left a session-lifetime cache no
+    caller could unpersist, handing later canonically-identical
+    plans silent replay credit — the exact CacheManager mechanism
+    the r7 rule exists for), so in auto mode an under-cap suite's
+    explode runs once for the probe and once for the build — eval
+    suites are small by construction, and hot loops should pass
+    ``test_grams`` (a precomputed, caller-owned gram set, ideally
+    persisted or a collected local relation) or an explicit
+    strategy to skip the probe entirely."""
+    test_grams = (
+        _explode_grams(gram_hash_sets(test, id_col, text_col, n), "__tid")
+        if test_grams is None
+        else test_grams
     )
     train_toks = _explode_grams(
         gram_hash_sets(train, id_col, text_col, n), "__cid"
     )
     if broadcast is None:
-        test_grams = test_grams.persist()
-        broadcast = (
-            test_grams.count() <= DECONTAMINATE_BROADCAST_GRAM_CAP
-        )
-        if not broadcast:
-            test_grams.unpersist()
+        cap = DECONTAMINATE_BROADCAST_GRAM_CAP
+        broadcast = test_grams.limit(cap + 1).count() <= cap
     gram_side = F.broadcast(test_grams) if broadcast else test_grams
     return (
         train_toks.join(gram_side, "__tok")

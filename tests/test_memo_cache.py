@@ -1,0 +1,61 @@
+"""Staleness contract of the entry-file artifact memos (r12,
+r11-verdict what's-wrong #3 + advisory): `_memo_local_relation`
+keys carry a file-stat fingerprint of the data directory, so
+
+- an UNCHANGED directory serves the cached rows (no rebuild),
+- regenerating data under the SAME path (size or mtime change)
+  invalidates and rebuilds,
+- `clear_ann_cache()` force-drops everything.
+"""
+
+from __future__ import annotations
+
+import os
+
+import __spark_entry__ as entry
+
+
+def _write_table(spark, d: str, val: int) -> None:
+    spark.createDataFrame(
+        [(1, val)], "id long, v long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "t.parquet")
+    )
+
+
+def test_memo_fingerprint_invalidation(spark, tmp_path):
+    d = str(tmp_path)
+    _write_table(spark, d, 10)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.read.parquet(os.path.join(d, "t.parquet"))
+
+    got1 = entry._memo_local_relation(spark, d, "contract_probe", build)
+    assert [r["v"] for r in got1.collect()] == [10]
+    # unchanged dir: cached rows, no rebuild
+    got2 = entry._memo_local_relation(spark, d, "contract_probe", build)
+    assert [r["v"] for r in got2.collect()] == [10]
+    assert len(calls) == 1
+
+    # regenerate under the SAME path -> fingerprint changes -> rebuild
+    _write_table(spark, d, 20)
+    got3 = entry._memo_local_relation(spark, d, "contract_probe", build)
+    assert [r["v"] for r in got3.collect()] == [20]
+    assert len(calls) == 2
+
+    # force mtime-only change (same bytes): still invalidates
+    part = next(
+        os.path.join(d, "t.parquet", f)
+        for f in os.listdir(os.path.join(d, "t.parquet"))
+        if f.endswith(".parquet")
+    )
+    os.utime(part, ns=(1, 1))
+    entry._memo_local_relation(spark, d, "contract_probe", build)
+    assert len(calls) == 3
+
+    # explicit override drops the memo even with no file change
+    entry.clear_ann_cache()
+    entry._memo_local_relation(spark, d, "contract_probe", build)
+    assert len(calls) == 4
