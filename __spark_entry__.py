@@ -2102,6 +2102,12 @@ def _q_sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
       the shipped vocab, pre-tokenizer, or merge procedure shifts
       them and fails the gate loudly.
 
+    - ``qc`` rows (r12): the FROZEN quality classifier
+      (``operators/qc_model/``) scores five fixed probes through
+      the real distributed pipeline; ``metric`` is the 6-dp
+      probability (oracle literal, scale-independent) and
+      ``approx_ok`` the >0.5/<0.5 boundary gate. See ``_qc_gate``.
+
     - ``stream`` rows (r9): the decontamination STREAMING twin run
       end-to-end (availableNow ``foreachBatch``) over a sliced
       split; ``metric`` carries a three-moment fingerprint of the
@@ -2185,8 +2191,92 @@ def _q_sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fused
         .unionByName(bpe)
+        .unionByName(_qc_gate(spark))
         .unionByName(_decont_stream_gate(spark, sf_dir))
     )
+
+
+def _qc_model(spark: SparkSession):
+    """The frozen quality classifier, loaded once per session (the
+    ml-persistence read is ~3 tiny jobs ≈ 0.5-1 s; the artifact is
+    corpus-independent, so no data fingerprint in the key)."""
+    key = (_session_key(spark), "qc_frozen_model")
+    model = _ANN_TRAIN_CACHE.get(key)
+    if model is None:
+        from serverless_data_lake_spark.operators.classifier import (
+            default_quality_model,
+        )
+
+        model = default_quality_model()
+        _ANN_TRAIN_CACHE[key] = model
+    return model
+
+
+def _qc_gate(spark: SparkSession) -> DataFrame:
+    """``qc`` gate rows (r12, r11-verdict #5: the score-only
+    classifier driver row): the FROZEN quality classifier
+    (operators/classifier.py ``default_quality_model``, trained and
+    committed by tools/train_qc_model.py) scores five fixed probe
+    strings through the real distributed pipeline — SQLTransformer
+    token+bigram prep, HashingTF, logistic — all JVM-side, map-only,
+    no shuffle. ``metric`` is the probability rounded to 6 dp (the
+    LM oracle's rounding precedent) pinned by the oracle as
+    literals valid at every scale; ``approx_ok`` is a REAL side
+    gate — quality probes must score > 0.5 and junk probes < 0.5
+    under the frozen boundary (the probes recombine training
+    vocabulary, see the tool's docstring). Any change to the
+    tokenizer SQL, hashing, training set, or scoring path shifts the
+    scores and fails the gate loudly — this makes the last
+    unit-only operator family driver-visible at ~0.2 s marginal
+    (training stays out of the hot path per the r9 cost
+    declination; the model is frozen, not fit here)."""
+    from serverless_data_lake_spark.operators.classifier import (
+        QUALITY_SCORE_COL,
+        score_quality,
+    )
+
+    probes = spark.createDataFrame(
+        [(k, t, q) for k, t, _s, q in _QC_PROBES],
+        "key string, text string, __is_quality boolean",
+    )
+    scored = score_quality(probes, _qc_model(spark))
+    return scored.select(
+        F.lit("qc").alias("gate"),
+        "key",
+        F.round(F.col(QUALITY_SCORE_COL), 6).alias("metric"),
+        (
+            (F.col(QUALITY_SCORE_COL) > 0.5) == F.col("__is_quality")
+        ).alias("approx_ok"),
+    )
+
+
+# Fixed classifier probes: (key, text, frozen 6-dp score under the
+# SHIPPED model, is_quality). Scores are constants of the frozen
+# artifact — the oracle pins them as literals at every scale.
+# Regenerate with tools/train_qc_model.py if the model is retrained;
+# the texts here must stay byte-identical to the tool's PROBES
+# (pinned by tests/test_classifier.py).
+_QC_PROBES = [
+    ("quality_recombined",
+     "the committee reviewed the evidence from the archives and "
+     "published its findings on trade and employment in the valley",
+     0.938936, True),
+    ("junk_recombined",
+     "click here buy now free shipping best deals subscribe "
+     "newsletter follow us casino bonus free spins",
+     0.001863, False),
+    ("junk_unseen_gibberish",
+     "zxqwv plmnk ajsdh qwerty zxcvb poiuy lkjhg mnbvc xswza qazxs",
+     0.083768, False),
+    ("quality_recombined_2",
+     "researchers compared the treatments and the court held that "
+     "the findings applied to patients in the trial",
+     0.961142, True),
+    ("junk_recombined_2",
+     "home about contact login register page 1 page 2 next previous "
+     "sitemap privacy terms error 404 not found",
+     0.000957, False),
+]
 
 
 def _decont_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2705,6 +2795,17 @@ def _sketch_gates_oracle() -> str:
         f"""SELECT 'bpe' AS gate, k AS key,
         CAST(n AS DOUBLE) AS metric, true AS approx_ok
         FROM (VALUES {bpe_vals}) AS t(k, n)"""
+    )
+    # qc rows: the frozen classifier's probe scores are constants of
+    # the shipped artifact (tools/train_qc_model.py regenerates) —
+    # literal like the bpe counts, valid at every scale.
+    qc_vals = ", ".join(
+        f"('{k}', {s})" for k, _t, s, _q in _QC_PROBES
+    )
+    parts.append(
+        f"""SELECT 'qc' AS gate, k AS key,
+        CAST(s AS DOUBLE) AS metric, true AS approx_ok
+        FROM (VALUES {qc_vals}) AS t(k, s)"""
     )
     # The stream rows' metrics are REAL SQL — a three-moment
     # fingerprint of the streamed survivor set, replayed with the

@@ -23,6 +23,8 @@ feature space.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.ml import Pipeline, PipelineModel
 from pyspark.ml.classification import LogisticRegression
 from pyspark.ml.feature import HashingTF, SQLTransformer
@@ -103,6 +105,26 @@ def train_quality_classifier(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return model
+
+
+#: The frozen classifier shipped with the package (r12): trained by
+#: ``tools/train_qc_model.py`` on its fixed labeled set and committed
+#: as a standard ml-persistence directory (~64 KB — JSON metadata +
+#: one coefficient parquet). The BPE-vocab precedent: scoring frozen
+#: probes through the REAL distributed pipeline yields constants an
+#: oracle can pin as literals at every scale; any change to the
+#: tokenizer SQL, hashing, or training set shifts them and fails the
+#: gate loudly. Regenerate with the tool if the operator changes.
+_QC_MODEL_DIR = os.path.join(os.path.dirname(__file__), "qc_model")
+
+
+def default_quality_model() -> PipelineModel:
+    """Load the frozen document-quality ``PipelineModel`` shipped
+    with the package (train your own with
+    :func:`train_quality_classifier` for real corpora — this one is
+    a 20-document demonstration model whose value is pinning the
+    scoring path, not its boundary)."""
+    return PipelineModel.load(_QC_MODEL_DIR)
 
 
 def score_quality(

@@ -160,3 +160,31 @@ def test_curation_stage_both_modes(spark, model):
 
     with pytest.raises(ValueError, match="exactly one"):
         CurationPipeline().classifier_filter(model)
+
+
+def test_frozen_model_reproduces_pinned_probe_scores(spark):
+    """The shipped qc_model artifact + the entry's `_QC_PROBES`
+    literals + the training tool's PROBES must agree three ways
+    (r12): same probe texts, same 6-dp scores, and the >0.5/<0.5
+    side gates hold — the driver gate's oracle pins these as
+    literals, so drift here means the CORRECTNESS row fails."""
+    import __spark_entry__ as entry
+    from tools.train_qc_model import PROBES
+
+    from serverless_data_lake_spark.operators.classifier import (
+        default_quality_model,
+        score_quality,
+    )
+
+    # single source of truth: entry literals == tool probe texts
+    assert [(k, t) for k, t, _s, _q in entry._QC_PROBES] == PROBES
+
+    model = default_quality_model()
+    probes = spark.createDataFrame(PROBES, "key string, text string")
+    got = {
+        r["key"]: r["quality_prob"]
+        for r in score_quality(probes, model).collect()
+    }
+    for key, _text, frozen, is_quality in entry._QC_PROBES:
+        assert round(got[key], 6) == frozen, key
+        assert (got[key] > 0.5) == is_quality, key
