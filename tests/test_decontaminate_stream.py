@@ -146,3 +146,31 @@ def test_driver_stream_gate_rows(spark):
     assert rows["scrub_removed_sum"].metric == float(s["removed"])
     # non-vacuous at this SF: the stream really scrubbed something
     assert rows["scrub_removed_sum"].metric > 0
+
+
+def test_gate_overcap_fallback_matches_local_path(spark, monkeypatch):
+    """Force the stream gate's gram memo over its cap (r12 advisory
+    wiring): with `_GATE_LOCAL_GRAM_CAP` monkeypatched to 0 both
+    builders must take their persisted DISTRIBUTED path (decont
+    re-sizes against the broadcast cap, span degrades to a keyed
+    join) and the six fingerprint moments must be identical to the
+    local-relation fast path's."""
+    import os
+
+    import pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip(f"driver testdata not present at {sf}")
+    import __spark_entry__ as entrymod
+
+    fast = {
+        (r.key, r.metric)
+        for r in entrymod._decont_stream_gate(spark, sf).collect()
+    }
+    monkeypatch.setattr(entrymod, "_GATE_LOCAL_GRAM_CAP", 0)
+    slow = {
+        (r.key, r.metric)
+        for r in entrymod._decont_stream_gate(spark, sf).collect()
+    }
+    assert fast == slow and len(fast) == 6
