@@ -152,14 +152,24 @@ def _hyperplane_signature(
     """Random-hyperplane LSH signature as an int: bit p = sign of the
     dot product with pseudo-random plane p. Plane components are
     derived from ``xxhash64(p, i, seed)`` mapped to [-1, 1] — fully
-    deterministic, no plane table to ship."""
-    def plane_component(p: int, i: Column) -> Column:
-        h = F.xxhash64(F.lit(p), i, F.lit(seed))
+    deterministic, no plane table to ship.
+
+    Built as ONE nested higher-order-function tree (r12): the
+    original per-plane Python loop created ``planes`` separate
+    aggregate Columns ≈ 30+ py4j lambda round-trips ≈ 0.7 s of plan
+    construction per call at planes=16 (the r10 bounded-construction
+    rule, measured with cProfile); this form is ~0.09 s to build and
+    evaluates the same arithmetic (A/B: identical signatures on the
+    sf0.1 corpus, exec equal-or-faster). The bit fold sums
+    ``2^p`` over set bits via a (sig, weight) struct accumulator —
+    numerically identical to OR-ing ``1 << p`` since the powers are
+    distinct."""
+    def plane_component(p: Column, i: Column) -> Column:
+        h = F.xxhash64(p, i, F.lit(seed))
         return F.pmod(h, F.lit(2000001)).cast("double") / F.lit(1000000.0) - F.lit(1.0)
 
-    sig = F.lit(0).cast("long")
-    for p in range(planes):
-        proj = F.aggregate(
+    def proj(p: Column) -> Column:
+        return F.aggregate(
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.lit(dim - 1)),
@@ -168,12 +178,25 @@ def _hyperplane_signature(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        sig = sig.bitwiseOR(
-            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return sig
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(planes - 1)), lambda p: proj(p) > 0
+    )
+    return F.aggregate(
+        bits,
+        F.struct(
+            F.lit(0).cast("long").alias("s"),
+            F.lit(1).cast("long").alias("w"),
+        ),
+        lambda acc, b: F.struct(
+            (
+                acc["s"]
+                + F.when(b, acc["w"]).otherwise(F.lit(0).cast("long"))
+            ).alias("s"),
+            (acc["w"] * F.lit(2).cast("long")).alias("w"),
+        ),
+        lambda acc: acc["s"],
+    )
 
 
 def lsh_bucketed_topk(
