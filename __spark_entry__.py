@@ -130,8 +130,24 @@ def _engine_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+#: Memoized lazy scan DataFrames (r12): `spark.read.parquet` costs
+#: ~0.07-0.2 s of py4j plan construction + file-index listing per
+#: call, and the eager entries (ann/sketch/lm) pay it up to 3× per
+#: measured construct. A DataFrame is an immutable LAZY plan, so
+#: sharing the object is pure construction memoization — no data is
+#: materialized, no replay credit. Keys carry the file-stat
+#: fingerprint: the captured InMemoryFileIndex would otherwise
+#: serve a stale file list after an in-place regen.
+_read_cache: dict = {}
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(_data_path(sf_dir, table))
+    key = (_session_key(spark), sf_dir, _sf_fingerprint(sf_dir), table)
+    df = _read_cache.get(key)
+    if df is None:
+        df = spark.read.parquet(_data_path(sf_dir, table))
+        _read_cache[key] = df
+    return df
 
 
 def _session_key(spark: SparkSession) -> str:
@@ -1233,6 +1249,7 @@ def clear_ann_cache() -> None:
     change any file size or mtime; this is the explicit override)."""
     _ANN_TRAIN_CACHE.clear()
     _scan_partitions_cache.clear()
+    _read_cache.clear()
 
 
 def _sf_fingerprint(path: str) -> tuple:
