@@ -2135,34 +2135,40 @@ def _q_sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     All booleans are deterministic, so the approximate operators
     stay oracle-checkable (the ANN-gate pattern)."""
     orders = _read(spark, sf_dir, "orders")
-    # TWO one-row aggregates cross-joined, rows built by exploding
-    # an array of structs over the joined one-row result (r12,
-    # r11-verdict #3's fuse rule applied here): previously the hll
-    # side ran TWO full profile scans (exact + approx) plus a join,
-    # and the tdigest side a third scan. Measured shapes at sf0.1
-    # (5-rep medians, docs/bench.md r12): old 3-scan 1.78 s; ONE
-    # fully-fused aggregate 1.87 s — WORSE, because the exact
+    # One-row aggregate SUBTREES cross-joined, rows built by
+    # exploding an array of structs over the joined one-row result
+    # (r12, r11-verdict #3's fuse rule applied here): previously the
+    # hll side ran TWO full profile scans (exact + approx) plus a
+    # join, and the tdigest side a third scan. Measured shapes at
+    # sf0.1 (5-rep medians, docs/bench.md r12): old 3-scan 1.78 s;
+    # ONE fully-fused aggregate 1.87 s — WORSE, because the exact
     # percentile buffer then rides the multi-count_distinct Expand
-    # (×4 rows); distinct-agg ⨯ percentile-agg as two subtrees of
-    # one action 0.97 s (the subtrees' stages run in parallel and
-    # each keeps its natural shape). The explode-structs projection
-    # (not a unionByName of two selects) guarantees each aggregate
-    # is computed once — union branches don't share non-exchange
-    # subplans.
+    # (×4 rows); distinct-agg ⨯ percentile-agg as two parallel
+    # subtrees 0.97 s; percentile ⨯ one subtree PER distinct column
+    # 0.63-0.73 s (no Expand anywhere, every scan column-pruned).
+    # The explode-structs projection (not a unionByName of two
+    # selects) guarantees each aggregate is computed once — union
+    # branches don't share non-exchange subplans.
     qs = [0.25, 0.5, 0.75, 0.9]
     arr = "array(" + ",".join(str(q) for q in qs) + ")"
-    aggs = []
-    for c in _PROFILE_COLS:
-        aggs.append(F.count_distinct(F.col(c)).alias(f"__e_{c}"))
-        aggs.append(F.approx_count_distinct(c).alias(f"__a_{c}"))
-    pct = orders.agg(
+    row = orders.agg(
         F.expr(
             f"percentile_approx(o_totalprice, {arr}, 10000)"
         ).alias("__qa"),
         F.expr(f"percentile(o_totalprice, {arr})").alias("__qe"),
         (F.max("o_totalprice") - F.min("o_totalprice")).alias("__range"),
     )
-    row = orders.agg(*aggs).crossJoin(pct)
+    # ... and the distincts split one subtree per column, the
+    # profile_table r12 finding re-applied (one 3-distinct Expand
+    # agg ⨯ pct 0.84-0.86 s → per-column subtrees 0.63-0.73 s at
+    # sf0.1; each subtree scan is column-pruned).
+    for c in _PROFILE_COLS:
+        row = row.crossJoin(
+            orders.agg(
+                F.count_distinct(F.col(c)).alias(f"__e_{c}"),
+                F.approx_count_distinct(c).alias(f"__a_{c}"),
+            )
+        )
     entries = []
     for c in _PROFILE_COLS:
         e, a = F.col(f"__e_{c}"), F.col(f"__a_{c}")
