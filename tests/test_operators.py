@@ -1497,3 +1497,46 @@ class TestSplitLeakage:
             assert report == []  # landed together: no cross-split pair
         else:
             assert len(report) == 1 and report[0].n_pairs == 1
+
+
+def test_hyperplane_signature_frozen_literals(spark):
+    """Bit-exact pin of the hyperplane-LSH signature (r12): the
+    expression was rebuilt from a per-plane loop into one nested
+    HOF tree, value-identity A/B'd on the sf0.1 corpus at the time
+    — these frozen literals keep any FUTURE restructure honest (the
+    signature feeds bucketing, so silent drift would change every
+    LSH bucket assignment). Independent pins: a one-hot vector, a
+    ±1 alternating vector, and a ramp, at two (planes, seed)
+    settings."""
+    from pyspark.sql import functions as F
+
+    from serverless_data_lake_spark.operators.similarity import (
+        _hyperplane_signature,
+    )
+
+    frozen = [
+        ("unit_x", 9951, 1054),
+        ("alternating", 12037, 3150),
+        ("ramp", 2602, 176),
+    ]
+    df = spark.createDataFrame(
+        [
+            ("unit_x", [1.0] + [0.0] * 7),
+            ("alternating", [(-1.0) ** i for i in range(8)]),
+            ("ramp", [i / 10 for i in range(8)]),
+        ],
+        "key string, v array<double>",
+    )
+    got = {
+        r.key: (r.s, r.s7)
+        for r in df.select(
+            "key",
+            _hyperplane_signature(F.col("v"), 8, 16).alias("s"),
+            _hyperplane_signature(F.col("v"), 8, 12, seed=7).alias("s7"),
+        ).collect()
+    }
+    for key, s, s7 in frozen:
+        assert got[key] == (s, s7), key
+    # signatures fit their plane budget
+    assert all(0 <= s < (1 << 16) and 0 <= s7 < (1 << 12)
+               for s, s7 in got.values())
