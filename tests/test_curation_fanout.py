@@ -240,3 +240,36 @@ def test_handler_replay_detectable_and_consume_idempotent(
         CurationSink(lambda df: df)
     with pytest.raises(ValueError):
         CurationSink(lambda df: df, out_path=out, consume=consume)
+
+
+def test_consume_receives_projected_frame_and_persist_batch(
+    spark, tmp_path
+):
+    """`project` narrows what a consume callback sees (the same
+    contract parquet sinks get), and `persist_batch=True` caches the
+    micro-batch across sinks without changing any product."""
+    from serverless_data_lake_spark.streaming.curation_fanout import (
+        build_fanout_handler,
+    )
+
+    seen = {}
+
+    def consume(df, batch_id):
+        seen[batch_id] = (df.columns, df.count())
+
+    out = str(tmp_path / "p_sink")
+    handler = build_fanout_handler(
+        [
+            CurationSink(lambda df: df, consume=consume,
+                         project=["doc_id"]),
+            CurationSink(lambda df: df, out_path=out,
+                         project=["doc_id"]),
+        ],
+        persist_batch=True,
+    )
+    b = spark.createDataFrame(DOCS[:2], SCHEMA)
+    handler(b, 7)
+    assert seen == {7: (["doc_id"], 2)}
+    assert not b.is_cached  # unpersisted before the handler returned
+    cols = spark.read.parquet(out).columns
+    assert sorted(cols) == ["__batch_id", "doc_id"]

@@ -1540,3 +1540,25 @@ def test_hyperplane_signature_frozen_literals(spark):
     # signatures fit their plane budget
     assert all(0 <= s < (1 << 16) and 0 <= s7 < (1 << 12)
                for s, s7 in got.values())
+
+
+def test_profile_split_handles_unorderable_and_null_columns(spark):
+    """The r12 split-distinct path must agree with the fused plan on
+    the awkward columns too: unorderable types (array — NULL
+    min/max, distinct still counted) and all-NULL columns."""
+    from serverless_data_lake_spark.operators.profile import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [([1, 2], None), ([1, 2], None), ([3], None)],
+        "arr array<long>, dead string",
+    )
+    split = sorted(map(tuple, profile_table(df).collect()))
+    fused = sorted(
+        map(tuple, profile_table(df, split_distinct=False).collect())
+    )
+    assert split == fused
+    prof = {r[0]: r for r in split}
+    assert prof["arr"][3] == 2 and prof["arr"][4] is None  # n_distinct, min
+    assert prof["dead"][2] == 3 and prof["dead"][3] == 0   # nulls, distinct
