@@ -860,48 +860,57 @@ def simhash_signatures(
      64-column codegen aggregate for the same arithmetic; in-row is
     ~2× faster at sf0.1 and removes the shuffle entirely.)
 
-    Bit plumbing, since HOF lambdas can't variable-shift: each token
-    hash becomes its 64-char two's-complement bit string
-    (``lpad(bin(h))``, MSB first); the fold accumulates a 64-slot
-    vote array via ``zip_with``; the winning bits re-assemble through
-    ``conv(binary_string, 2, 10)`` in two 32-bit halves (unsigned
-    ``conv`` of a full 64-bit string would overflow the signed cast).
+    Bit plumbing is pure 64-bit integer arithmetic (r12; the r6-r11
+    shape rendered each hash as its 64-char ``bin`` string and voted
+    by comparing single-char substrings — byte-identical signatures,
+    but every token paid a 64-char string alloc + split + 64 string
+    compares; the SQL ``>>`` operator takes an expression shift the
+    ``F.shiftright`` wrapper does not expose, so the vote is
+    ``(h >> b) & 1`` inside a ``zip_with`` over ``sequence(0,63)``).
+    Bit b is set iff ``2·ones_b > n_tokens`` — exactly the old
+    strict-majority vote (``ones - (n - ones) > 0``). Measured at
+    sf0.1: entry median 1.52 → 1.30 s; at scale the win is the
+    per-token constant, not the floor.
 
     Near-duplicates are signature pairs within a small Hamming
     distance: ``bit_count(a ^ b) <= d`` — cheap to evaluate on any
     candidate set (e.g. band on signature prefixes, same trick as
     MinHash-LSH)."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
-    barr = F.transform(
-        F.array_distinct(toks), lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, "0")
-    )
+    harr = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
     # Materialized in its own projection: the fold references the
     # array once per row, but keeping tokenization out of the fold
     # expression keeps the plan readable and the projection cached.
     # Empty-doc drop on the CHEAP raw-token predicate BEFORE the
-    # projection — a post-projection filter(size(__b) > 0) would be
-    # pushed below it and re-evaluate barr (distinct + bin + lpad
-    # per token) inside the predicate, doubling the signature pass.
+    # projection — a post-projection filter(size(__h) > 0) would be
+    # pushed below it and re-evaluate harr (distinct + xxhash64 per
+    # token) inside the predicate, doubling the signature pass.
     base = df.filter(F.size(toks) > 0).select(
-        F.col(id_col), barr.alias("__b")
+        F.col(id_col), harr.alias("__h")
     )
-    counts = F.aggregate(
-        F.col("__b"),
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, s: F.zip_with(
-            acc,
-            F.split(s, ""),
-            lambda a, c: a + F.when(c == "1", 1).otherwise(-1),
-        ),
+    # Sign bit (b=63): arithmetic >> sign-extends, but & 1 still
+    # isolates the true bit; shiftleft(1L, 63) is MIN_LONG, so the
+    # final fold assembles with | (never +) to avoid overflow.
+    sig = F.expr(
+        """
+        aggregate(
+          zip_with(
+            aggregate(
+              __h,
+              array_repeat(0L, 64),
+              (acc, h) -> zip_with(acc, sequence(0, 63),
+                                   (a, b) -> a + ((h >> b) & 1L))
+            ),
+            sequence(0, 63),
+            (c, b) -> IF(2 * c > size(__h),
+                         shiftleft(1L, CAST(b AS INT)), 0L)
+          ),
+          0L,
+          (s, x) -> s | x
+        )
+        """
     )
-    sig_str = F.array_join(
-        F.transform(counts, lambda c: F.when(c > 0, "1").otherwise("0")), ""
-    )
-    staged = base.select(F.col(id_col), sig_str.alias("__s"))
-    hi = F.conv(F.substring("__s", 1, 32), 2, 10).cast("long")
-    lo = F.conv(F.substring("__s", 33, 32), 2, 10).cast("long")
-    sig = F.shiftleft(hi, 32).bitwiseOR(lo)
-    return staged.select(F.col(id_col), sig.alias("simhash"))
+    return base.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_duplicates(
@@ -913,7 +922,14 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on ``64/prefix_bits`` signature
     chunks (a pair within Hamming d must agree exactly on at least one
-    of d+1 chunks — pigeonhole), verify ``bit_count(xor) <= d``."""
+    of d+1 chunks — pigeonhole), verify ``bit_count(xor) <= d``.
+
+    The signature projection is cached because BOTH sides of the
+    block self-join consume it; uncached, each side re-runs the
+    corpus scan + 64-hash vote (measured r12: 1.3 → 5.6 s at sf0.1).
+    The blocks are signature-sized (16 B/doc) and the cache drops at
+    the caller's ``spark.catalog.clearCache()`` — the same published
+    -intermediate lifecycle as ``ngram_jaccard_pairs``."""
     sig = simhash_signatures(df, id_col, text_col).cache()
     chunks = 64 // prefix_bits
     mask = (1 << prefix_bits) - 1
