@@ -41,8 +41,15 @@ def _corpus() -> list[dict]:
             docs.append({"doc_id": did, "text": seed + variant})
             did += 1
     for k in range(21):
-        # Distinct shuffled-vocabulary filler, long enough to shingle.
-        words = [f"w{(k * 7 + i * 13) % 97}" for i in range(40)]
+        # Per-doc disjoint vocabulary, long enough to shingle. (The
+        # r6-r11 filler drew from ONE shared mod-97 arithmetic
+        # progression, so filler trigram sets were shifted overlaps
+        # of each other — exact Jaccard up to 0.949, i.e. genuine
+        # near-dups at the 0.5 threshold. The order-sensitive band
+        # bug hid them; the fixed MinHash banding correctly collapses
+        # them, so the fixture now makes the fillers actually
+        # unrelated, matching its stated intent.)
+        words = [f"k{k}w{i}" for i in range(40)]
         docs.append({"doc_id": did, "text": " ".join(words)})
         did += 1
     return docs

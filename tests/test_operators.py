@@ -212,6 +212,127 @@ class TestSimilarityDedup:
         }
         assert lsh == exact
 
+    def test_band_hash_matches_sql_and_set_semantics(self, spark):
+        """r12 regression: the PySpark-built band expression must
+        equal the SQL-textual spelling. The r6-r11 inner lambda used
+        the ``lambda t, _j=j:`` default-param idiom; PySpark picks
+        the HOF form from the PARAMETER COUNT, so the default second
+        parameter silently selected the two-argument
+        ``(element, position)`` transform and the position column
+        overrode the captured ``j`` — band hashes keyed on
+        ``b*rows + gram_position`` (order-sensitive, both band rows
+        identical). MinHash band hashes must be a function of the
+        gram SET, not its order."""
+        from serverless_data_lake_spark.operators.dedup import (
+            _band_hash_arr,
+        )
+
+        g = spark.createDataFrame(
+            [(1, [10, 20, 30, 40]), (2, [40, 30, 20, 10])],
+            ["__cid", "__grams"],
+        )
+        built = {
+            r["__cid"]: list(r.b)
+            for r in g.select(
+                "__cid", _band_hash_arr(F.col("__grams"), 4, 2).alias("b")
+            ).collect()
+        }
+        g.createOrReplaceTempView("__band_fix_g")
+        sql = {
+            r["__cid"]: list(r.b)
+            for r in spark.sql(
+                """SELECT __cid, transform(sequence(0,3), b ->
+                     xxhash64(
+                       array_min(transform(__grams,
+                                           t -> xxhash64(t, b*2+0))),
+                       array_min(transform(__grams,
+                                           t -> xxhash64(t, b*2+1))))) AS b
+                   FROM __band_fix_g"""
+            ).collect()
+        }
+        spark.catalog.dropTempView("__band_fix_g")
+        assert built == sql
+        # set semantics: permuting the gram array must not move a
+        # document to different buckets.
+        assert built[1] == built[2]
+
+    def test_banded_rows_kernel_matches_expression_spec(self, spark):
+        """The Arrow banding kernel (production path) must be
+        bit-identical to the JVM expression spec ``_band_hash_arr``,
+        including the empty/NULL-gram no-row contract."""
+        from serverless_data_lake_spark.operators.dedup import (
+            _band_hash_arr,
+            _banded_rows,
+        )
+
+        g = spark.createDataFrame(
+            [
+                (1, [10, 20, 30, 40]),
+                (2, [40, 30, 20, 10]),
+                (3, [-5]),
+                (4, []),
+                (5, None),
+            ],
+            "`__cid` bigint, `__grams` array<bigint>",
+        )
+        kernel = _banded_rows(g, 4, 2, id_out="__cid")
+        bases = F.col("__grams")
+        # NULL gram arrays are excluded from the spec comparison:
+        # ``xxhash64`` SKIPS null children, so the expression
+        # spelling degenerates to the bare seed (__bh = 42) there —
+        # but NULL is unreachable from gram_hash_sets (NULL text
+        # maps to []), and the kernel pins the sane no-row contract.
+        hof = g.filter(bases.isNotNull()).select(
+            F.col("__cid"),
+            F.posexplode_outer(
+                F.when(
+                    F.size(bases) == 0, F.array().cast("array<bigint>")
+                ).otherwise(_band_hash_arr(bases, 4, 2))
+            ).alias("__band", "__bh"),
+        ).filter(F.col("__bh").isNotNull())
+        k = {tuple(r) for r in kernel.collect()}
+        h = {tuple(r) for r in hof.collect()}
+        assert k == h
+        assert {r[0] for r in k} == {1, 2, 3}  # empty/NULL emit nothing
+
+    def test_xxhash_np_matches_spark(self, spark):
+        """The numpy XXH64 ports must reproduce ``F.xxhash64`` on the
+        long path (seed 42), the int path (chained seed), and the
+        multi-long chain — the three forms the banding kernel uses."""
+        import random
+
+        import numpy as np
+
+        from serverless_data_lake_spark.operators.xxhash_np import (
+            SEED,
+            xxh64_int,
+            xxh64_long,
+        )
+
+        random.seed(7)
+        rows = [
+            (random.randint(-(2**63), 2**63 - 1),
+             random.randint(-(2**63), 2**63 - 1),
+             random.randint(0, 127))
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(rows, ["a", "b", "i"]).select(
+            "a", "b", F.col("i").cast("int").alias("i")
+        )
+        got = df.select(
+            "a", "b", "i",
+            F.xxhash64("a").alias("ha"),
+            F.xxhash64("a", "i").alias("hai"),
+            F.xxhash64("a", "b").alias("hab"),
+        ).collect()
+        for r in got:
+            a = np.uint64(np.int64(r.a))
+            b = np.uint64(np.int64(r.b))
+            ha = xxh64_long(a, SEED)
+            assert np.int64(ha) == r.ha
+            assert np.int64(xxh64_int(np.uint64(r.i), ha)) == r.hai
+            assert np.int64(xxh64_long(b, ha)) == r.hab
+
     def test_simhash_identical_docs_same_signature(self, spark, near_dup_docs):
         sigs = {
             r.doc_id: r.simhash
