@@ -295,6 +295,56 @@ class TestSimilarityDedup:
         assert k == h
         assert {r[0] for r in k} == {1, 2, 3}  # empty/NULL emit nothing
 
+    def test_banded_rows_kernel_random_equivalence(self, spark):
+        """Seeded-random kernel-vs-spec sweep: 200 gram arrays with
+        extreme longs (MIN/MAX), duplicates, singletons and skewed
+        lengths must produce identical banded rows through the Arrow
+        kernel and the JVM expression spec."""
+        import random
+
+        from serverless_data_lake_spark.operators.dedup import (
+            _band_hash_arr,
+            _banded_rows,
+        )
+
+        rng = random.Random(20260816)
+        extremes = [-(2**63), 2**63 - 1, 0, -1, 1, 42]
+        rows = []
+        for i in range(200):
+            n = rng.choice([1, 2, 3, 7, 40, 150])
+            g = [
+                rng.choice(extremes)
+                if rng.random() < 0.1
+                else rng.randint(-(2**63), 2**63 - 1)
+                for _ in range(n)
+            ]
+            if rng.random() < 0.2 and g:
+                g = g + [g[0]]  # duplicates
+            rows.append((i, g))
+        df = spark.createDataFrame(
+            rows, "`__cid` bigint, `__grams` array<bigint>"
+        )
+        kernel = {
+            tuple(r) for r in _banded_rows(df, 8, 4, id_out="__cid").collect()
+        }
+        bases = F.col("__grams")
+        spec = {
+            tuple(r)
+            for r in df.select(
+                F.col("__cid"),
+                F.posexplode_outer(
+                    F.when(
+                        F.size(bases) == 0,
+                        F.array().cast("array<bigint>"),
+                    ).otherwise(_band_hash_arr(bases, 8, 4))
+                ).alias("__band", "__bh"),
+            )
+            .filter(F.col("__bh").isNotNull())
+            .collect()
+        }
+        assert kernel == spec
+        assert len(kernel) == 200 * 8
+
     def test_xxhash_np_matches_spark(self, spark):
         """The numpy XXH64 ports must reproduce ``F.xxhash64`` on the
         long path (seed 42), the int path (chained seed), and the
