@@ -187,87 +187,3 @@ def test_minhash_entry_recycles_persisted_index(spark):
     assert len(entrymod._MINHASH_IDX) == 0
     assert n_persistent() == base
 
-
-def test_memo_local_relation_staleness_contract(spark, tmp_path):
-    """The r11-advisory fix made the ANN/gate memos self-invalidating:
-    their keys fold in a file-stat fingerprint of the sf_dir, so
-    regenerating data under the SAME path (size or mtime change) must
-    serve a FRESH build, while an untouched dir replays the memo and
-    ``clear_ann_cache()`` force-drops everything. This pins that
-    contract (the r11 verdict's What's-wrong #3: doc-only until now)."""
-    import os
-
-    d = tmp_path / "sfdir"
-    d.mkdir()
-    f = d / "t.parquet"
-    f.write_bytes(b"x" * 10)
-
-    calls = []
-
-    def build():
-        calls.append(1)
-        return spark.createDataFrame([(len(calls),)], "v int")
-
-    key_dir = str(d)
-    assert entrymod._memo_local_relation(
-        spark, key_dir, "stale-probe", build
-    ).collect()[0].v == 1
-    # untouched dir → memo replay, build NOT re-run
-    assert entrymod._memo_local_relation(
-        spark, key_dir, "stale-probe", build
-    ).collect()[0].v == 1
-    assert len(calls) == 1
-    # rewrite (size change) → fingerprint changes → fresh build
-    f.write_bytes(b"y" * 20)
-    assert entrymod._memo_local_relation(
-        spark, key_dir, "stale-probe", build
-    ).collect()[0].v == 2
-    assert len(calls) == 2
-    # same-size rewrite caught via mtime_ns
-    os.utime(f, ns=(1, 1))
-    assert entrymod._memo_local_relation(
-        spark, key_dir, "stale-probe", build
-    ).collect()[0].v == 3
-    assert len(calls) == 3
-    # explicit override
-    entrymod.clear_ann_cache()
-    entrymod._memo_local_relation(spark, key_dir, "stale-probe", build)
-    assert len(calls) == 4
-
-
-def test_memo_local_relation_capped_overcap_probe_memoized(spark, tmp_path):
-    """The capped variant must refuse over-cap gram sets with None AND
-    memoize the refusal per data fingerprint (the sizing probe runs
-    once, not per construction) — then re-probe after the data
-    changes."""
-    d = tmp_path / "sfdir2"
-    d.mkdir()
-    f = d / "t.parquet"
-    f.write_bytes(b"x")
-
-    calls = []
-
-    def build():
-        calls.append(1)
-        return spark.range(5).selectExpr("id AS v")
-
-    out = entrymod._memo_local_relation_capped(
-        spark, str(d), "cap-probe", build, cap=3
-    )
-    assert out is None and len(calls) == 1
-    # refusal memoized: second construction does NOT re-probe
-    assert entrymod._memo_local_relation_capped(
-        spark, str(d), "cap-probe", build, cap=3
-    ) is None
-    assert len(calls) == 1
-    # under-cap path returns the rows
-    under = entrymod._memo_local_relation_capped(
-        spark, str(d), "cap-probe-under", build, cap=10
-    )
-    assert under is not None and under.count() == 5
-    # data change → fingerprint change → the over-cap key re-probes
-    f.write_bytes(b"xy")
-    assert entrymod._memo_local_relation_capped(
-        spark, str(d), "cap-probe", build, cap=3
-    ) is None
-    assert len(calls) == 3  # initial probe + under-cap build + re-probe

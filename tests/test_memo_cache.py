@@ -59,3 +59,41 @@ def test_memo_fingerprint_invalidation(spark, tmp_path):
     entry.clear_ann_cache()
     entry._memo_local_relation(spark, d, "contract_probe", build)
     assert len(calls) == 4
+
+
+def test_memo_local_relation_capped_overcap_probe_memoized(spark, tmp_path):
+    """The capped variant must refuse over-cap gram sets with None AND
+    memoize the refusal per data fingerprint (the sizing probe runs
+    once, not per construction) — then re-probe after the data
+    changes."""
+    d = tmp_path / "sfdir2"
+    d.mkdir()
+    f = d / "t.parquet"
+    f.write_bytes(b"x")
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5).selectExpr("id AS v")
+
+    out = entry._memo_local_relation_capped(
+        spark, str(d), "cap-probe", build, cap=3
+    )
+    assert out is None and len(calls) == 1
+    # refusal memoized: second construction does NOT re-probe
+    assert entry._memo_local_relation_capped(
+        spark, str(d), "cap-probe", build, cap=3
+    ) is None
+    assert len(calls) == 1
+    # under-cap path returns the rows
+    under = entry._memo_local_relation_capped(
+        spark, str(d), "cap-probe-under", build, cap=10
+    )
+    assert under is not None and under.count() == 5
+    # data change → fingerprint change → the over-cap key re-probes
+    f.write_bytes(b"xy")
+    assert entry._memo_local_relation_capped(
+        spark, str(d), "cap-probe", build, cap=3
+    ) is None
+    assert len(calls) == 3  # initial probe + under-cap build + re-probe
