@@ -25,6 +25,7 @@ Numeric determinism notes (so value-hashes match DuckDB):
 from __future__ import annotations
 
 import os
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -141,12 +142,36 @@ def _engine_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 _read_cache: dict = {}
 
 
+def _memo_put(cache: dict, key: tuple, value) -> None:
+    """Insert into a fingerprint-keyed memo, evicting the SAME
+    (session, sf_dir, kind) slot's entries under any OLD fingerprint
+    (r12 close-out review): without eviction the dicts were
+    append-only, so a long-lived session regenerating data in place
+    stranded one dead entry set — stale plans plus collected row
+    lists up to ``_GATE_LOCAL_GRAM_CAP`` — per old fingerprint.
+    Keys are ``(session, sf_dir, fingerprint, kind)``; non-4-tuple
+    keys (e.g. the corpus-independent qc model) are left alone."""
+    if len(key) == 4:
+        stale = [
+            k
+            for k in cache
+            if len(k) == 4
+            and k[0] == key[0]
+            and k[1] == key[1]
+            and k[3] == key[3]
+            and k[2] != key[2]
+        ]
+        for k in stale:
+            del cache[k]
+    cache[key] = value
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     key = (_session_key(spark), sf_dir, _sf_fingerprint(sf_dir), table)
     df = _read_cache.get(key)
     if df is None:
         df = spark.read.parquet(_data_path(sf_dir, table))
-        _read_cache[key] = df
+        _memo_put(_read_cache, key, df)
     return df
 
 
@@ -158,7 +183,7 @@ def _session_key(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
-_scan_partitions_cache: dict[tuple[str, str, str], bool] = {}
+_scan_partitions_cache: dict = {}
 
 
 def _read_parallel(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -181,7 +206,7 @@ def _read_parallel(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     needs = _scan_partitions_cache.get(key)
     if needs is None:
         needs = df.rdd.getNumPartitions() < cores
-        _scan_partitions_cache[key] = needs
+        _memo_put(_scan_partitions_cache, key, needs)
     if needs:
         df = df.repartition(cores)
     return df
@@ -1255,8 +1280,12 @@ def clear_ann_cache() -> None:
 def _sf_fingerprint(path: str) -> tuple:
     """Cheap data fingerprint folded into memo keys: sorted
     (name, size, mtime_ns) of the parquet files under ``path`` (one
-    level of directory-style parquet supported). A handful of stat
-    calls — microseconds against construct times in seconds."""
+    level of directory-style parquet supported). Cost is O(total
+    files under sf_dir) PER READ CALL, cache hit or not — measured
+    sub-millisecond at the test layouts (hundreds of stat calls
+    ≈ 0.1-0.3 ms) against construct times in seconds; staleness
+    safety is worth that. Revisit only if a layout reaches tens of
+    thousands of part files per directory."""
     out = []
     try:
         entries = sorted(os.listdir(path))
@@ -1264,15 +1293,23 @@ def _sf_fingerprint(path: str) -> tuple:
         return (("missing", path),)
     for n in entries:
         p = os.path.join(path, n)
-        if os.path.isdir(p):
-            for pn in sorted(os.listdir(p)):
-                if pn.startswith(("_", ".")):
-                    continue
-                st = os.stat(os.path.join(p, pn))
-                out.append((f"{n}/{pn}", st.st_size, st.st_mtime_ns))
-        elif n.endswith(".parquet"):
-            st = os.stat(p)
-            out.append((n, st.st_size, st.st_mtime_ns))
+        try:
+            if os.path.isdir(p):
+                for pn in sorted(os.listdir(p)):
+                    if pn.startswith(("_", ".")):
+                        continue
+                    st = os.stat(os.path.join(p, pn))
+                    out.append((f"{n}/{pn}", st.st_size, st.st_mtime_ns))
+            elif n.endswith(".parquet"):
+                st = os.stat(p)
+                out.append((n, st.st_size, st.st_mtime_ns))
+        except OSError:
+            # a file vanished between listdir and stat — a regen is
+            # rewriting this dir in place RIGHT NOW. Record a marker
+            # (distinct from every stable fingerprint, so this call
+            # memoizes nothing durable) instead of crashing the read;
+            # the next call after the regen settles sees real stats.
+            out.append(("vanished-mid-scan", n, time.monotonic_ns()))
     return tuple(out)
 
 
@@ -1291,7 +1328,7 @@ def _memo_local_relation(
     if cached is None:
         df = build()
         cached = (df.schema, df.collect())
-        _ANN_TRAIN_CACHE[key] = cached
+        _memo_put(_ANN_TRAIN_CACHE, key, cached)
     schema, rows = cached
     return spark.createDataFrame(rows, schema)
 
@@ -1324,7 +1361,7 @@ def _memo_local_relation_capped(
         df = build()
         rows = df.limit(cap + 1).collect()
         cached = ("OVERCAP",) if len(rows) > cap else (df.schema, rows)
-        _ANN_TRAIN_CACHE[key] = cached
+        _memo_put(_ANN_TRAIN_CACHE, key, cached)
     if cached == ("OVERCAP",):
         return None
     schema, rows = cached
@@ -1357,7 +1394,7 @@ def _ann_query_rows(spark: SparkSession, sf_dir: str):
             F.col("vec_id") < 5
         ).select(F.col("vec_id").alias("query_id"), "embedding")
         cached = (df.schema, df.collect())
-        _ANN_TRAIN_CACHE[key] = cached
+        _memo_put(_ANN_TRAIN_CACHE, key, cached)
     return cached
 
 
@@ -1385,7 +1422,7 @@ def _ann_exact_baseline(
         fn = cosine_topk if metric == "cosine" else euclidean_topk
         df = fn(emb, queries_df, id_col="vec_id", k=10)
         cached = (df.schema, df.collect())
-        _ANN_TRAIN_CACHE[key] = cached
+        _memo_put(_ANN_TRAIN_CACHE, key, cached)
     schema, rows = cached
     return spark.createDataFrame(rows, schema)
 
@@ -1409,7 +1446,7 @@ def _q_ann_ivf(
             _read_parallel(spark, sf_dir, "embeddings"),
             "embedding", nlist=None,
         )
-        _ANN_TRAIN_CACHE[key] = cents
+        _memo_put(_ANN_TRAIN_CACHE, key, cents)
     qrows = _ann_query_rows(spark, sf_dir)[1]
     return _ann_quality_gate(
         spark, sf_dir,
@@ -1471,7 +1508,7 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 emb, "embedding", dim=64, m=8, k=64, iters=5
             ),
         )
-        _ANN_TRAIN_CACHE[key] = cached
+        _memo_put(_ANN_TRAIN_CACHE, key, cached)
     n, books = cached
     cand = max(50, n // 20)
     codes = pq_encode(emb, "vec_id", "embedding", books)

@@ -1279,10 +1279,16 @@ def contamination_pairs(
     auto-sizing (r10 advisory — the public operator previously
     broadcast unconditionally, so a very large eval suite forced an
     over-cap broadcast): ``None`` sizes the exploded eval grams with
-    a ``limit(cap + 1)``-bounded count (an over-cap suite
-    short-circuits instead of paying the full explode) and
-    broadcasts only under ``DECONTAMINATE_BROADCAST_GRAM_CAP``;
-    ``True``/``False`` skip the sizing job and force the strategy.
+    a plain parallel count and broadcasts only under
+    ``DECONTAMINATE_BROADCAST_GRAM_CAP``; ``True``/``False`` skip
+    the sizing job and force the strategy. (The probe is
+    deliberately NOT ``limit(cap + 1).count()`` — the r12 first
+    attempt: a non-terminal limit plans ``LocalLimit → Exchange
+    SinglePartition → GlobalLimit``, funneling up to
+    partitions × (cap + 1) row headers through ONE task — verified
+    on the physical plan — while the per-partition LocalLimit
+    almost never stops the explode early; ``count()`` moves one
+    partial count per partition and nothing else.)
     The probe does NOT cache anything (r12, r11 advisory: the r11
     persisted-sizing variant left a session-lifetime cache no
     caller could unpersist, handing later canonically-identical
@@ -1303,7 +1309,7 @@ def contamination_pairs(
     )
     if broadcast is None:
         cap = DECONTAMINATE_BROADCAST_GRAM_CAP
-        broadcast = test_grams.limit(cap + 1).count() <= cap
+        broadcast = test_grams.count() <= cap
     gram_side = F.broadcast(test_grams) if broadcast else test_grams
     return (
         train_toks.join(gram_side, "__tok")

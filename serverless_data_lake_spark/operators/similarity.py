@@ -160,10 +160,15 @@ def _hyperplane_signature(
     construction per call at planes=16 (the r10 bounded-construction
     rule, measured with cProfile); this form is ~0.09 s to build and
     evaluates the same arithmetic (A/B: identical signatures on the
-    sf0.1 corpus, exec equal-or-faster). The bit fold sums
-    ``2^p`` over set bits via a (sig, weight) struct accumulator —
-    numerically identical to OR-ing ``1 << p`` since the powers are
-    distinct."""
+    sf0.1 corpus, exec equal-or-faster). The bit fold ORs
+    ``shiftleft(1, p)`` over set bits — BITWISE, not an arithmetic
+    ``acc + 2^p`` sum: the first r12 form doubled a running weight
+    column inside the fold, and the final (unused) doubling computed
+    ``2^planes``, which overflows bigint under ANSI mode for
+    planes >= 63 — a crash the original per-plane ``shiftleft`` loop
+    never had (caught by the r12 close-out review; pinned by the
+    planes=64 round-trip test). Values are identical for every
+    ``planes`` since the set-bit positions are distinct."""
     def plane_component(p: Column, i: Column) -> Column:
         h = F.xxhash64(p, i, F.lit(seed))
         return F.pmod(h, F.lit(2000001)).cast("double") / F.lit(1000000.0) - F.lit(1.0)
@@ -179,23 +184,15 @@ def _hyperplane_signature(
             lambda acc, x: acc + x,
         )
 
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(planes - 1)), lambda p: proj(p) > 0
-    )
     return F.aggregate(
-        bits,
-        F.struct(
-            F.lit(0).cast("long").alias("s"),
-            F.lit(1).cast("long").alias("w"),
-        ),
-        lambda acc, b: F.struct(
-            (
-                acc["s"]
-                + F.when(b, acc["w"]).otherwise(F.lit(0).cast("long"))
-            ).alias("s"),
-            (acc["w"] * F.lit(2).cast("long")).alias("w"),
-        ),
-        lambda acc: acc["s"],
+        F.sequence(F.lit(0), F.lit(planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: F.when(
+            proj(p) > 0,
+            acc.bitwiseOR(
+                F.call_function("shiftleft", F.lit(1).cast("long"), p)
+            ),
+        ).otherwise(acc),
     )
 
 

@@ -30,11 +30,14 @@ replay story:
 
 - **Parquet sinks** write a ``__batch_id`` column (r11 advisory):
   a replayed batch appends rows identical up to and including their
-  batch id, so downstream consumers can deduplicate exactly
-  (``SELECT DISTINCT``-with-batch-id collapses ONLY replays, never
-  legitimately repeated rows from different batches) or overwrite
-  idempotently when the sink partitions by ``__batch_id`` — the
-  silver twin's dynamic-partition-overwrite contract.
+  batch id. The SAFE recovery is partition-overwrite by
+  ``__batch_id`` (the silver twin's dynamic-partition-overwrite
+  contract) — idempotent for any row content. A
+  ``SELECT DISTINCT``-with-batch-id recovery collapses cross-batch
+  repeats correctly but ALSO merges legitimately identical rows
+  WITHIN one micro-batch (two equal product rows in the same batch
+  share a batch id); use it only when the product carries a unique
+  row key or duplicate rows are semantically collapsible.
 - **Driver-side aggregates** (``consume``) receive
   ``(product_df, batch_id)`` and should key any accumulated state by
   ``batch_id`` so a replay overwrites rather than double-counts (the

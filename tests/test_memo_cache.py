@@ -97,3 +97,29 @@ def test_memo_local_relation_capped_overcap_probe_memoized(spark, tmp_path):
         spark, str(d), "cap-probe", build, cap=3
     ) is None
     assert len(calls) == 3  # initial probe + under-cap build + re-probe
+
+
+def test_memo_put_evicts_stale_fingerprints(spark, tmp_path):
+    """r12 close-out review: the fingerprint-keyed memos must not be
+    append-only — inserting under a NEW data fingerprint evicts the
+    same (session, sf_dir, kind) slot's old-fingerprint entries, so
+    repeated in-place regens cannot grow driver memory without
+    bound. Non-4-tuple keys (corpus-independent artifacts) survive."""
+    d = str(tmp_path)
+    _write_table(spark, d, 1)
+
+    def build():
+        return spark.createDataFrame([(1,)], "v long")
+
+    entry.clear_ann_cache()
+    entry._ANN_TRAIN_CACHE[("sess", "independent")] = "keep-me"
+    for val in (1, 2, 3):
+        _write_table(spark, d, val)
+        entry._memo_local_relation(spark, d, "evict_probe", build)
+    probe_keys = [
+        k for k in entry._ANN_TRAIN_CACHE
+        if len(k) == 4 and k[3] == "evict_probe"
+    ]
+    assert len(probe_keys) == 1, probe_keys
+    assert entry._ANN_TRAIN_CACHE[("sess", "independent")] == "keep-me"
+    del entry._ANN_TRAIN_CACHE[("sess", "independent")]

@@ -1711,6 +1711,22 @@ def test_hyperplane_signature_frozen_literals(spark):
     # signatures fit their plane budget
     assert all(0 <= s < (1 << 16) and 0 <= s7 < (1 << 12)
                for s, s7 in got.values())
+    # full 64-bit signatures must not raise (r12 close-out review:
+    # the first HOF form's arithmetic weight-doubling fold computed
+    # an unused 2^planes and threw ARITHMETIC_OVERFLOW under ANSI
+    # for planes >= 63; the bitwise OR fold matches the original
+    # per-plane shiftleft loop's full range)
+    wide = df.select(
+        _hyperplane_signature(F.col("v"), 8, 63).alias("s63"),
+        _hyperplane_signature(F.col("v"), 8, 64).alias("s64"),
+    ).collect()
+    assert len(wide) == 3
+    for r in wide:
+        # 63-plane signature occupies bits 0..62; the 64-plane one
+        # shares those bits exactly and may additionally set the
+        # (two's-complement sign) bit 63
+        assert 0 <= r.s63 < (1 << 63)
+        assert r.s64 % (1 << 63) == r.s63  # low 63 bits agree
 
 
 def test_profile_split_handles_unorderable_and_null_columns(spark):

@@ -24,7 +24,7 @@ import os
 import shutil
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Positives: reference-quality prose. Negatives: crawl junk —
 # boilerplate, keyword stuffing, navigation chrome, gibberish.
