@@ -228,3 +228,62 @@ def test_single_column_mode(lake):
     )
     assert res.row_count == 2
     assert {r["x"] for r in res.rows} == {"1", None}
+
+
+def test_strict_endpoint_drops_invalid_and_keeps_silver_typed(lake):
+    """strict_validation=True must gate malformed records at ingest,
+    keeping silver numerically queryable (pinned after the r12
+    /verify drive walked both modes end-to-end)."""
+    import dataclasses
+
+    lake.create_endpoint(dataclasses.replace(
+        ORDERS_SCHEMA, strict_validation=True,
+    ))
+    res = lake.ingest_batch("sales", "orders", [
+        {"order_id": 1, "customer_id": 10, "total_amount": 100.0,
+         "status": "new", "created_at": "2024-01-15T10:30:00Z"},
+        {"order_id": "bad", "customer_id": 10, "total_amount": "x",
+         "status": "new", "created_at": "2024-01-15T10:30:00Z"},
+    ])
+    assert (res.accepted, res.failed) == (1, 1)
+    assert res.errors[0]["index"] == 1
+    lake.process_silver("sales", "orders")
+    agg = lake.query(
+        "SELECT CAST(SUM(CAST(total_amount AS DECIMAL(38,6))) AS DOUBLE)"
+        " AS total FROM sales.silver.orders"
+    )
+    assert agg.rows == [{"total": 100.0}]
+
+
+def test_non_strict_widening_caveat(lake):
+    """The DOCUMENTED non-strict contract (validate_batch docstring,
+    faithful to the reference): a malformed record is reported AND
+    ingested as-is, widening the silver column to string — a
+    downstream numeric aggregate then fails at query time, not at
+    ingest. This pin keeps the caveat honest in both directions: the
+    record must arrive (no silent drop) and the widening must be
+    observable."""
+    from serverless_data_lake_spark.plans.query import (
+        QueryExecutionError,
+    )
+
+    lake.create_endpoint(ORDERS_SCHEMA)  # default: non-strict
+    res = lake.ingest_batch("sales", "orders", [
+        {"order_id": 1, "customer_id": 10, "total_amount": 100.0,
+         "status": "new", "created_at": "2024-01-15T10:30:00Z"},
+        {"order_id": "bad", "customer_id": 10, "total_amount": "x",
+         "status": "new", "created_at": "2024-01-15T10:30:00Z"},
+    ])
+    assert (res.accepted, res.failed) == (2, 1)  # reported, not dropped
+    lake.process_silver("sales", "orders")
+    rows = lake.query(
+        "SELECT total_amount FROM sales.silver.orders ORDER BY order_id"
+    ).rows
+    assert {r["total_amount"] for r in rows} == {"100.0", "x"}  # widened
+    import pytest
+
+    with pytest.raises(QueryExecutionError):
+        lake.query(
+            "SELECT CAST(SUM(CAST(total_amount AS DECIMAL(38,6))) AS"
+            " DOUBLE) AS total FROM sales.silver.orders"
+        )
