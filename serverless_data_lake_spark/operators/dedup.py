@@ -516,6 +516,26 @@ def _band_hash_arr(bases, bands: int, rows: int):
     )
 
 
+# Id types that survive the Arrow→pandas→Arrow round-trip losslessly
+# once nulls are filtered (integrals stay int64, strings stay object,
+# etc.). Anything else — DecimalType, nested structs/arrays/maps —
+# routes to the JVM expression path in _banded_rows.
+_PANDAS_SAFE_ID_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.StringType,
+    T.BooleanType,
+    T.BinaryType,
+    T.DateType,
+    T.TimestampType,
+    T.TimestampNTZType,
+)
+
+
 def _banded_rows(
     gram_sets: DataFrame, bands: int, rows: int, id_out: str = "__id"
 ) -> DataFrame:
@@ -536,15 +556,35 @@ def _banded_rows(
     ``xxhash64(m_0 … m_{r-1})`` does.
 
     Empty and NULL gram arrays emit no rows — the contract the old
-    ``posexplode_outer`` + null-filter spelling had."""
+    ``posexplode_outer`` + null-filter spelling had. NULL-id rows
+    emit no rows either (r13, both paths): a null id can never reach
+    emitted output — every consumer joins or ``<``-compares on the id,
+    which drops nulls — and filtering them BEFORE the kernel keeps an
+    int64 id column int64 through the Arrow→pandas round-trip (with a
+    null present, pandas widens the batch to float64/NaN and the cast
+    back to the declared LongType fails). Id types without a lossless
+    pandas round-trip (decimal, nested, ...) skip the kernel and run
+    the JVM expression spec directly — same rows, no pandas."""
     import pandas as pd  # noqa: F401 — mapInPandas dependency
 
     from .xxhash_np import SEED, xxh64_int, xxh64_long
 
     num_hashes = bands * rows
     id_in = gram_sets.columns[0]
-    src = gram_sets.select(F.col(id_in).alias(id_out), "__grams")
+    src = gram_sets.select(F.col(id_in).alias(id_out), "__grams").filter(
+        F.col(id_out).isNotNull()
+    )
     id_field = src.schema[0]
+    if not isinstance(id_field.dataType, _PANDAS_SAFE_ID_TYPES):
+        # Exotic id type: the JVM expression path handles anything.
+        return src.filter(
+            F.col("__grams").isNotNull() & (F.size("__grams") > 0)
+        ).select(
+            id_out,
+            F.posexplode(
+                _band_hash_arr(F.col("__grams"), bands, rows)
+            ).alias("__band", "__bh"),
+        )
     out_schema = T.StructType(
         [
             T.StructField(id_out, id_field.dataType, id_field.nullable),
@@ -1001,6 +1041,7 @@ def simhash_near_duplicates(
     text_col: str,
     max_hamming: int = 3,
     prefix_bits: int = 16,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on ``64/prefix_bits`` signature
     chunks (a pair within Hamming d must agree exactly on at least one
@@ -1011,8 +1052,18 @@ def simhash_near_duplicates(
     corpus scan + 64-hash vote (measured r12: 1.3 → 5.6 s at sf0.1).
     The blocks are signature-sized (16 B/doc) and the cache drops at
     the caller's ``spark.catalog.clearCache()`` — the same published
-    -intermediate lifecycle as ``ngram_jaccard_pairs``."""
-    sig = simhash_signatures(df, id_col, text_col).cache()
+    -intermediate lifecycle as ``ngram_jaccard_pairs``. A long-lived
+    session that never clears the catalog should instead pass
+    ``signatures`` (``simhash_signatures(df, id, text).persist()``)
+    and ``unpersist()`` it after the action — the caller owns the
+    lifecycle and this function caches nothing (the r12 ADVICE item;
+    the ``contamination_pairs``/``test_grams`` escape-hatch
+    precedent)."""
+    sig = (
+        signatures
+        if signatures is not None
+        else simhash_signatures(df, id_col, text_col).cache()
+    )
     chunks = 64 // prefix_bits
     mask = (1 << prefix_bits) - 1
     chunk_cols = [
@@ -1278,17 +1329,23 @@ def contamination_pairs(
     ``broadcast`` mirrors :func:`decontaminate`'s cap-gated
     auto-sizing (r10 advisory — the public operator previously
     broadcast unconditionally, so a very large eval suite forced an
-    over-cap broadcast): ``None`` sizes the exploded eval grams with
-    a plain parallel count and broadcasts only under
-    ``DECONTAMINATE_BROADCAST_GRAM_CAP``; ``True``/``False`` skip
-    the sizing job and force the strategy. (The probe is
-    deliberately NOT ``limit(cap + 1).count()`` — the r12 first
+    over-cap broadcast): ``None`` sizes the exploded eval grams and
+    broadcasts only under ``DECONTAMINATE_BROADCAST_GRAM_CAP``;
+    ``True``/``False`` skip the sizing job and force the strategy.
+    When this function builds the grams itself the probe is
+    ``SUM(size(__grams))`` over the PRE-explode projection — exact
+    (``gram_hash_sets`` arrays are per-doc distinct, and
+    ``_explode_grams`` drops exactly the null/empty rows that
+    contribute nothing to the sum) and it never materializes a row
+    per gram, so an over-cap suite no longer pays the explode during
+    sizing (r12 ADVICE). A caller-provided ``test_grams`` has an
+    arbitrary plan, so it is sized with a plain parallel ``count()``.
+    (Neither form is ``limit(cap + 1).count()`` — the r12 first
     attempt: a non-terminal limit plans ``LocalLimit → Exchange
     SinglePartition → GlobalLimit``, funneling up to
     partitions × (cap + 1) row headers through ONE task — verified
     on the physical plan — while the per-partition LocalLimit
-    almost never stops the explode early; ``count()`` moves one
-    partial count per partition and nothing else.)
+    almost never stops the explode early.)
     The probe does NOT cache anything (r12, r11 advisory: the r11
     persisted-sizing variant left a session-lifetime cache no
     caller could unpersist, handing later canonically-identical
@@ -1299,17 +1356,25 @@ def contamination_pairs(
     ``test_grams`` (a precomputed, caller-owned gram set, ideally
     persisted or a collected local relation) or an explicit
     strategy to skip the probe entirely."""
-    test_grams = (
-        _explode_grams(gram_hash_sets(test, id_col, text_col, n), "__tid")
-        if test_grams is None
-        else test_grams
-    )
+    test_gram_sets = None
+    if test_grams is None:
+        test_gram_sets = gram_hash_sets(test, id_col, text_col, n)
+        test_grams = _explode_grams(test_gram_sets, "__tid")
     train_toks = _explode_grams(
         gram_hash_sets(train, id_col, text_col, n), "__cid"
     )
     if broadcast is None:
         cap = DECONTAMINATE_BROADCAST_GRAM_CAP
-        broadcast = test_grams.count() <= cap
+        if test_gram_sets is not None:
+            n_grams = (
+                test_gram_sets.select(
+                    F.sum(F.size("__grams")).alias("__n")
+                ).first()["__n"]
+                or 0
+            )
+        else:
+            n_grams = test_grams.count()
+        broadcast = n_grams <= cap
     gram_side = F.broadcast(test_grams) if broadcast else test_grams
     return (
         train_toks.join(gram_side, "__tok")

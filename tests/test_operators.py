@@ -345,6 +345,66 @@ class TestSimilarityDedup:
         assert kernel == spec
         assert len(kernel) == 200 * 8
 
+    def test_banded_rows_null_ids_emit_no_rows(self, spark):
+        """NULL-id rows are filtered BEFORE the Arrow kernel (r13):
+        a null id can never reach emitted pair output (every consumer
+        joins or <-compares on the id), and with the null gone the
+        int64 id column survives the Arrow→pandas round-trip as int64
+        instead of widening to float64/NaN and failing the cast back
+        to LongType (the r12 ADVICE item)."""
+        from serverless_data_lake_spark.operators.dedup import (
+            _banded_rows,
+        )
+
+        g = spark.createDataFrame(
+            [(1, [10, 20, 30]), (None, [10, 20, 30]), (2, [7])],
+            "`__cid` bigint, `__grams` array<bigint>",
+        )
+        out = _banded_rows(g, 4, 2, id_out="__cid")
+        assert out.schema["__cid"].dataType.simpleString() == "bigint"
+        rows = out.collect()
+        assert {r["__cid"] for r in rows} == {1, 2}
+        assert len(rows) == 2 * 4  # 4 bands each, no null-id rows
+
+    def test_banded_rows_exotic_id_uses_expression_path(self, spark):
+        """Id types without a lossless pandas round-trip (decimal
+        here) route through the JVM expression spec — same
+        (band, bh) values as the kernel produces for the same
+        documents under a safe id type, null ids dropped
+        identically."""
+        from serverless_data_lake_spark.operators.dedup import (
+            _banded_rows,
+        )
+
+        grams = [
+            (1, [10, 20, 30, 40]),
+            (2, [-5, 7]),
+            (None, [1, 2, 3]),
+            (3, []),
+        ]
+        safe = spark.createDataFrame(
+            grams, "`__cid` bigint, `__grams` array<bigint>"
+        )
+        exotic = safe.select(
+            F.col("__cid").cast("decimal(20,0)").alias("__cid"),
+            "__grams",
+        )
+        k = {
+            (int(r["__cid"]), r["__band"], r["__bh"])
+            for r in _banded_rows(safe, 4, 2, id_out="__cid").collect()
+        }
+        e_df = _banded_rows(exotic, 4, 2, id_out="__cid")
+        # no pandas round-trip: the exotic path is pure JVM (no
+        # mapInPandas / ArrowEvalPython in the plan)
+        plan = e_df._jdf.queryExecution().executedPlan().toString()
+        assert "mapInPandas" not in plan and "Arrow" not in plan
+        e = {
+            (int(r["__cid"]), r["__band"], r["__bh"])
+            for r in e_df.collect()
+        }
+        assert k == e
+        assert {t[0] for t in e} == {1, 2}
+
     def test_xxhash_np_matches_spark(self, spark):
         """The numpy XXH64 ports must reproduce ``F.xxhash64`` on the
         long path (seed 42), the int path (chained seed), and the
@@ -401,6 +461,37 @@ class TestSimilarityDedup:
         assert (0, 1) in pairs
         assert (3, 4) not in pairs
 
+    def test_simhash_caller_owned_signatures(self, spark, near_dup_docs):
+        """Passing precomputed ``signatures`` gives the caller the
+        persist lifecycle (nothing cached by the operator) and
+        identical pairs — the long-lived-session escape hatch for
+        the internal cache() (r12 ADVICE)."""
+        sig = simhash_signatures(near_dup_docs, "doc_id", "text").persist()
+        try:
+            before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+            pairs = {
+                (r.id_a, r.id_b)
+                for r in simhash_near_duplicates(
+                    near_dup_docs,
+                    "doc_id",
+                    "text",
+                    max_hamming=3,
+                    signatures=sig,
+                ).collect()
+            }
+            after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+            assert after == before  # operator added no cache of its own
+        finally:
+            sig.unpersist()
+        base = {
+            (r.id_a, r.id_b)
+            for r in simhash_near_duplicates(
+                near_dup_docs, "doc_id", "text", max_hamming=3
+            ).collect()
+        }
+        spark.catalog.clearCache()
+        assert pairs == base
+
 
 @pytest.fixture(scope="module")
 def vectors(spark):
@@ -415,6 +506,39 @@ def vectors(spark):
 
 
 class TestDecontaminate:
+    def test_sizing_probe_sum_size_equals_exploded_count(self, spark):
+        """contamination_pairs' auto-broadcast probe sizes the
+        self-built gram side with SUM(size(__grams)) over the
+        PRE-explode projection (r13, r12 ADVICE: the count() probe
+        paid the whole gram explode). The probe must equal the
+        exploded row count exactly — including null-text and
+        too-short (gram-less) documents, which explode to zero rows
+        and contribute 0/NULL to the sum."""
+        from serverless_data_lake_spark.operators.dedup import (
+            _explode_grams,
+            gram_hash_sets,
+        )
+
+        test = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "alpha beta gamma"),  # one 3-gram
+                (3, "short"),  # gram-less at n=3
+                (4, None),  # null text
+                (5, "alpha beta alpha beta alpha beta alpha"),  # dups
+            ],
+            "`doc_id` bigint, `text` string",
+        )
+        gsets = gram_hash_sets(test, "doc_id", "text", 3)
+        probed = (
+            gsets.select(F.sum(F.size("__grams")).alias("__n")).first()[
+                "__n"
+            ]
+            or 0
+        )
+        exploded = _explode_grams(gsets, "__tid").count()
+        assert probed == exploded > 0
+
     def test_planted_contamination_removed(self, spark):
         from serverless_data_lake_spark.operators.dedup import decontaminate
 
