@@ -2146,7 +2146,9 @@ def _q_sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
       the exact count; ``metric`` carries the exact count.
     - ``tdigest`` rows: ``percentile_approx`` vs the exact
       ``percentile`` on o_totalprice, gate = sketch within 1% of the
-      exact spread; ``metric`` carries the quantile level.
+      exact spread; ``metric`` carries the EXACT percentile value
+      (r13 — the oracle recomputes it with a real ``quantile_cont``
+      scan, work-matching these rows).
 
     - ``bpe`` rows (r7): the frozen byte-level BPE tokenizer
       (operators/bpe.py) run through the DISTRIBUTED pandas-UDF
@@ -2224,7 +2226,16 @@ def _q_sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit("tdigest").alias("gate"),
                 F.lit(f"{q:.2f}").alias("key"),
-                F.lit(q).cast("double").alias("metric"),
+                # metric = the EXACT percentile value, not the
+                # quantile level (r13): the oracle recomputes it with
+                # a real quantile_cont scan — converting these rows
+                # from literal-SELECT to work-matched, the only
+                # direction the gate-set freeze permits. Spark's
+                # rank-interpolating `percentile` and DuckDB's
+                # `quantile_cont` are bit-identical on this data
+                # (verified at sf0.001/0.01/0.1 — both interpolate
+                # at rank q*(n-1)).
+                qe.cast("double").alias("metric"),
                 (
                     F.abs(qa - qe) <= F.lit(0.01) * F.col("__range")
                 ).alias("approx_ok"),
@@ -2834,19 +2845,31 @@ FROM g
 
 
 def _sketch_gates_oracle() -> str:
-    """hll rows recompute the exact distinct counts; tdigest rows are
-    literal (the within-1%-of-spread boolean is deterministic)."""
+    """hll rows recompute the exact distinct counts; tdigest rows
+    recompute the exact percentiles with a real quantile_cont scan
+    (r13 — the metric carries the exact value, verified bit-identical
+    between Spark's `percentile` and DuckDB's `quantile_cont`); the
+    within-1%-of-spread boolean stays Spark-side literal-true here,
+    as every boolean-gate oracle row does."""
     parts = [
         f"""SELECT 'hll' AS gate, '{c}' AS key,
         CAST(COUNT(DISTINCT {c}) AS DOUBLE) AS metric,
         true AS approx_ok FROM orders"""
         for c in _PROFILE_COLS
     ]
+    # tdigest rows (r13): the metric is the EXACT percentile, so the
+    # oracle pays a real one-scan quantile aggregate over orders —
+    # the same work the Spark entry's exact-percentile subtree does.
     parts.append(
-        """SELECT 'tdigest' AS gate, k AS key,
-        CAST(q AS DOUBLE) AS metric, true AS approx_ok
-        FROM (VALUES ('0.25', 0.25), ('0.50', 0.5), ('0.75', 0.75),
-                     ('0.90', 0.9)) AS t(k, q)"""
+        """SELECT 'tdigest' AS gate, t.k AS key,
+        CAST(qv.v[t.i] AS DOUBLE) AS metric, true AS approx_ok
+        FROM (SELECT [quantile_cont(o_totalprice, 0.25),
+                      quantile_cont(o_totalprice, 0.5),
+                      quantile_cont(o_totalprice, 0.75),
+                      quantile_cont(o_totalprice, 0.9)] AS v
+              FROM orders) qv,
+             (VALUES ('0.25', 1), ('0.50', 2), ('0.75', 3),
+                     ('0.90', 4)) AS t(k, i)"""
     )
     bpe_vals = ", ".join(
         f"('{k}', {n})" for k, _t, n in _BPE_PROBES
