@@ -23,6 +23,15 @@ Each (spark, duck) pair must be from the SAME sitting (run
 back-to-back on a quiet host); the tool prints every sitting's two
 ratios plus the across-sitting MEDIAN — the number to report — and
 best.
+
+``--weak`` (r13) additionally prints the perf-weak set under the
+draw-stable criterion (docs/bench.md): per-entry MEDIANS across the
+given sittings, an entry listed when median ratio >2× with oracle
+median ≥0.05 s and Spark median ≥0.5 s (gate entries excluded —
+their oracles are literal by design). Entries whose oracle median
+sits under the 0.2 s floor band are annotated: their single-draw
+ratio flips with the oracle draw, so membership must be read from
+multi-sitting medians, never one batch.
 """
 
 from __future__ import annotations
@@ -91,8 +100,44 @@ def _sitting(spark_path: str, duck_path: str, detail: bool) -> tuple:
     return st / dt, st2 / dt2
 
 
+#: Oracle medians under this are the measured single-process floor
+#: band (docs/bench.md r13): sub-0.2 s DuckDB draws vary enough that
+#: a >2× line flips sitting-to-sitting on identical code.
+ORACLE_FLOOR_BAND_S = 0.2
+
+
+def _weak_set(pairs: list[tuple[str, str]]) -> None:
+    """Per-entry medians across sittings → the draw-stable perf-weak
+    list (the docs/bench.md criterion, mechanized)."""
+    sparks = [_load(sp) for sp, _ in pairs]
+    ducks = [_load(dp) for _, dp in pairs]
+    keys = set.intersection(*(set(s) for s in sparks + ducks))
+    rows = []
+    for k in sorted(keys - GATE_ENTRIES):
+        sm = statistics.median(s[k] for s in sparks)
+        dm = statistics.median(d[k] for d in ducks)
+        if k[0] == "q" and k[1:2].isdigit() and sm < 1.0:
+            # sub-second relational q-entries: pure per-query
+            # scheduling floor, excluded per the r7-r11 precedent
+            continue
+        if sm >= 0.5 and dm >= 0.05 and sm > 2 * dm:
+            rows.append((sm / dm, k, sm, dm))
+    print(f"— perf-weak set (medians over {len(pairs)} sittings)")
+    for r, k, sm, dm in sorted(rows, reverse=True):
+        band = (
+            "  [oracle floor band: single-draw membership unstable]"
+            if dm < ORACLE_FLOOR_BAND_S
+            else ""
+        )
+        print(f"  {k}: {sm:.2f}s vs {dm:.3f}s = {r:.1f}x{band}")
+    if not rows:
+        print("  (empty)")
+
+
 def main() -> int:
     args = sys.argv[1:]
+    weak = "--weak" in args
+    args = [a for a in args if a != "--weak"]
     if len(args) < 2 or len(args) % 2 != 0:
         print(__doc__)
         return 2
@@ -114,6 +159,8 @@ def main() -> int:
             f"excl gates: median {statistics.median(e):.2f}x "
             f"best {min(e):.2f}x worst {max(e):.2f}x"
         )
+    if weak:
+        _weak_set(pairs)
     return 0
 
 
