@@ -1,0 +1,98 @@
+"""Tests for the mechanized draw-stable perf-weak criterion
+(`tools/paired_ratio.py --weak`, r13): membership from per-entry
+MEDIANS across sittings, gate + sub-second-q-entry exclusions, and
+the oracle floor-band annotation.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+
+import paired_ratio  # noqa: E402
+
+
+def _write(tmp_path, name, queries):
+    p = tmp_path / name
+    p.write_text(json.dumps({"queries": queries}))
+    return str(p)
+
+
+def _run_weak(tmp_path, capsys, sittings):
+    """sittings: list of (spark_queries, duck_queries) dicts."""
+    pairs = []
+    for i, (s, d) in enumerate(sittings):
+        pairs.append(
+            (
+                _write(tmp_path, f"s{i}.json", s),
+                _write(tmp_path, f"d{i}.json", d),
+            )
+        )
+    paired_ratio._weak_set(pairs)
+    return capsys.readouterr().out
+
+
+def test_median_membership_absorbs_single_batch_boundary(
+    tmp_path, capsys
+):
+    """An entry over 2x in ONE sitting but under at the median stays
+    out — the mixing_controls boundary case the criterion exists
+    for."""
+    s1 = {"mixing_controls": 0.54, "ngram_jaccard_pairs": 1.6}
+    d1 = {"mixing_controls": 0.25, "ngram_jaccard_pairs": 0.35}
+    s2 = {"mixing_controls": 0.45, "ngram_jaccard_pairs": 1.5}
+    d2 = {"mixing_controls": 0.26, "ngram_jaccard_pairs": 0.36}
+    s3 = {"mixing_controls": 0.46, "ngram_jaccard_pairs": 1.55}
+    d3 = {"mixing_controls": 0.27, "ngram_jaccard_pairs": 0.34}
+    out = _run_weak(tmp_path, capsys, [(s1, d1), (s2, d2), (s3, d3)])
+    assert "ngram_jaccard_pairs" in out
+    # median spark 0.46 vs duck 0.26 → under both the 0.5 s and 2×
+    # lines at the medians despite sitting 1 reading 2.2×
+    assert "mixing_controls" not in out
+
+
+def test_floor_band_annotation_and_exclusions(tmp_path, capsys):
+    s = {
+        "sessionize_events": 0.6,  # oracle in the floor band
+        "decontaminate_train": 0.9,  # oracle above the band
+        "q1_pricing_summary": 0.7,  # sub-second q-entry: excluded
+        "sketch_quality_gates": 4.0,  # gate entry: excluded
+        "tiny_entry": 0.3,  # under the 0.5 s spark line
+    }
+    d = {
+        "sessionize_events": 0.11,
+        "decontaminate_train": 0.29,
+        "q1_pricing_summary": 0.07,
+        "sketch_quality_gates": 0.14,
+        "tiny_entry": 0.01,
+    }
+    out = _run_weak(tmp_path, capsys, [(s, d)])
+    assert "sessionize_events" in out and "floor band" in out
+    # the above-band member is listed WITHOUT the annotation
+    decont_line = next(
+        ln for ln in out.splitlines() if "decontaminate_train" in ln
+    )
+    assert "floor band" not in decont_line
+    assert "q1_pricing_summary" not in out
+    assert "sketch_quality_gates" not in out
+    assert "tiny_entry" not in out
+
+
+def test_big_q_entry_is_not_excluded(tmp_path, capsys):
+    """The q-entry exclusion is only for the sub-second scheduling
+    floor — a q-entry with real measured work stays eligible."""
+    s = {"q1_pricing_summary": 2.5}
+    d = {"q1_pricing_summary": 0.5}
+    out = _run_weak(tmp_path, capsys, [(s, d)])
+    assert "q1_pricing_summary" in out
+
+
+def test_empty_set_prints_empty(tmp_path, capsys):
+    out = _run_weak(
+        tmp_path, capsys, [({"a_entry": 0.4}, {"a_entry": 0.3})]
+    )
+    assert "(empty)" in out
