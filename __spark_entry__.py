@@ -2148,7 +2148,8 @@ def _q_sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``percentile`` on o_totalprice, gate = sketch within 1% of the
       exact spread; ``metric`` carries the EXACT percentile value
       (r13 — the oracle recomputes it with a real ``quantile_cont``
-      scan, work-matching these rows).
+      scan, work-matching these rows), rounded to 6 dp on both
+      sides (r14, r13 ADVICE — ULP-drift robustness).
 
     - ``bpe`` rows (r7): the frozen byte-level BPE tokenizer
       (operators/bpe.py) run through the DISTRIBUTED pandas-UDF
@@ -2232,10 +2233,16 @@ def _q_sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # from literal-SELECT to work-matched, the only
                 # direction the gate-set freeze permits. Spark's
                 # rank-interpolating `percentile` and DuckDB's
-                # `quantile_cont` are bit-identical on this data
-                # (verified at sf0.001/0.01/0.1 — both interpolate
-                # at rank q*(n-1)).
-                qe.cast("double").alias("metric"),
+                # `quantile_cont` interpolate at the same rank
+                # q*(n-1) (verified bit-identical at sf0.001-1), but
+                # the harness compare is repr-exact, so BOTH sides
+                # round to 6 dp (r13 ADVICE) — a 1-ULP
+                # interpolation-order difference at a new scale or
+                # platform no longer flips the gate. If this row
+                # ever reads red at a new scale, triage as ULP
+                # drift at a 6-dp boundary FIRST (see the sweep
+                # procedure in docs/scale.md).
+                F.round(qe, 6).cast("double").alias("metric"),
                 (
                     F.abs(qa - qe) <= F.lit(0.01) * F.col("__range")
                 ).alias("approx_ok"),
@@ -2847,8 +2854,9 @@ FROM g
 def _sketch_gates_oracle() -> str:
     """hll rows recompute the exact distinct counts; tdigest rows
     recompute the exact percentiles with a real quantile_cont scan
-    (r13 — the metric carries the exact value, verified bit-identical
-    between Spark's `percentile` and DuckDB's `quantile_cont`); the
+    (r13 — the metric carries the exact value; both sides round to
+    6 dp, r14, so the repr-exact harness compare is robust to 1-ULP
+    interpolation-order drift at new scales/platforms); the
     within-1%-of-spread boolean stays Spark-side literal-true here,
     as every boolean-gate oracle row does."""
     parts = [
@@ -2862,7 +2870,7 @@ def _sketch_gates_oracle() -> str:
     # the same work the Spark entry's exact-percentile subtree does.
     parts.append(
         """SELECT 'tdigest' AS gate, t.k AS key,
-        CAST(qv.v[t.i] AS DOUBLE) AS metric, true AS approx_ok
+        ROUND(CAST(qv.v[t.i] AS DOUBLE), 6) AS metric, true AS approx_ok
         FROM (SELECT [quantile_cont(o_totalprice, 0.25),
                       quantile_cont(o_totalprice, 0.5),
                       quantile_cont(o_totalprice, 0.75),

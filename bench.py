@@ -109,7 +109,21 @@ EAGER_CONSTRUCT = {
 }
 
 
+def _host_note() -> dict:
+    """Host context stamped into the record (r14, r13-verdict ask
+    #6): the 1-min load at launch (captured before Spark starts) so
+    cross-round BENCH file comparisons carry their own tide
+    disclaimer, plus the sitting runner's settle seconds when it
+    exports ``SDLS_SETTLE_S``. ``end_load_1m`` is added at emit."""
+    note = {"launch_load_1m": round(os.getloadavg()[0], 2)}
+    settle = os.environ.get("SDLS_SETTLE_S")
+    if settle:
+        note["settle_s"] = settle
+    return note
+
+
 def main() -> None:
+    host_note = _host_note()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark(
@@ -254,6 +268,10 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "agg": "best_of_reps",
+                "host_note": {
+                    **host_note,
+                    "end_load_1m": round(os.getloadavg()[0], 2),
+                },
             }
         )
     )

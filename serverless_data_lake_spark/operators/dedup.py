@@ -222,6 +222,30 @@ def _explode_grams(gram_df: DataFrame, id_out: str, grams_col: str = "__grams"):
     ).filter(F.col("__tok").isNotNull())
 
 
+def _probe_gram_count(gram_sets: DataFrame) -> int:
+    """Total gram count over a ``gram_hash_sets`` projection WITHOUT
+    paying the explode — the auto-broadcast sizing probe.
+
+    ``size(NULL)`` is NULL under ANSI (the Spark 4 default) but -1
+    under legacy ``spark.sql.legacy.sizeOfNull`` with ANSI off —
+    clamping through coalesce+greatest makes a null-text document
+    (whose gram array is NULL) count 0 under either setting, keeping
+    the probe exactly equal to the exploded row count regardless of
+    ``spark.sql.ansi.enabled`` (r13 ADVICE: the raw SUM(size())
+    undercounted by 1 per null-text doc in legacy mode, nudging an
+    over-cap suite toward broadcast)."""
+    return (
+        gram_sets.select(
+            F.sum(
+                F.greatest(
+                    F.coalesce(F.size("__grams"), F.lit(0)), F.lit(0)
+                )
+            ).alias("__n")
+        ).first()["__n"]
+        or 0
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard pairs (inverted-index join)
 # ---------------------------------------------------------------------------
@@ -1058,7 +1082,25 @@ def simhash_near_duplicates(
     and ``unpersist()`` it after the action — the caller owns the
     lifecycle and this function caches nothing (the r12 ADVICE item;
     the ``contamination_pairs``/``test_grams`` escape-hatch
-    precedent)."""
+    precedent).
+
+    When ``signatures`` is given, ``df`` and ``text_col`` are NOT
+    consulted — the pairs come from the signatures' corpus, so the
+    frame must have been built from the same corpus the caller wants
+    deduplicated, with the SAME ``id_col`` name. Both column names
+    are asserted up front so a mismatched frame fails loudly instead
+    of silently pairing a different corpus (r13 ADVICE)."""
+    if signatures is not None:
+        missing = {id_col, "simhash"} - set(signatures.columns)
+        if missing:
+            raise ValueError(
+                "simhash_near_duplicates: provided `signatures` is "
+                f"missing column(s) {sorted(missing)} (have "
+                f"{signatures.columns}); build it with "
+                f"simhash_signatures(df, {id_col!r}, <text_col>) "
+                "over the SAME corpus — `df`/`text_col` are unused "
+                "when `signatures` is given"
+            )
     sig = (
         signatures
         if signatures is not None
@@ -1366,12 +1408,7 @@ def contamination_pairs(
     if broadcast is None:
         cap = DECONTAMINATE_BROADCAST_GRAM_CAP
         if test_gram_sets is not None:
-            n_grams = (
-                test_gram_sets.select(
-                    F.sum(F.size("__grams")).alias("__n")
-                ).first()["__n"]
-                or 0
-            )
+            n_grams = _probe_gram_count(test_gram_sets)
         else:
             n_grams = test_grams.count()
         broadcast = n_grams <= cap

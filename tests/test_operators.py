@@ -492,6 +492,29 @@ class TestSimilarityDedup:
         spark.catalog.clearCache()
         assert pairs == base
 
+    def test_simhash_mismatched_signatures_fail_loudly(
+        self, spark, near_dup_docs
+    ):
+        """r14 (r13 ADVICE): a ``signatures`` frame built under a
+        different id column name — or missing the simhash column —
+        raises up front instead of silently pairing the wrong
+        corpus."""
+        sig = simhash_signatures(near_dup_docs, "doc_id", "text")
+        with pytest.raises(ValueError, match="missing column"):
+            simhash_near_duplicates(
+                near_dup_docs,
+                "document_id",  # not the column the frame carries
+                "text",
+                signatures=sig,
+            )
+        with pytest.raises(ValueError, match="simhash"):
+            simhash_near_duplicates(
+                near_dup_docs,
+                "doc_id",
+                "text",
+                signatures=sig.select("doc_id"),
+            )
+
 
 @pytest.fixture(scope="module")
 def vectors(spark):
@@ -516,6 +539,7 @@ class TestDecontaminate:
         and contribute 0/NULL to the sum."""
         from serverless_data_lake_spark.operators.dedup import (
             _explode_grams,
+            _probe_gram_count,
             gram_hash_sets,
         )
 
@@ -530,14 +554,21 @@ class TestDecontaminate:
             "`doc_id` bigint, `text` string",
         )
         gsets = gram_hash_sets(test, "doc_id", "text", 3)
-        probed = (
-            gsets.select(F.sum(F.size("__grams")).alias("__n")).first()[
-                "__n"
-            ]
-            or 0
-        )
         exploded = _explode_grams(gsets, "__tid").count()
-        assert probed == exploded > 0
+        assert _probe_gram_count(gsets) == exploded > 0
+        # r14 (r13 ADVICE): the probe is exact under BOTH sizeOfNull
+        # conventions — ANSI (size(NULL)=NULL, Spark 4 default) and
+        # legacy (size(NULL)=-1), where the raw SUM(size()) would
+        # undercount by 1 per null-text document.
+        ansi0 = spark.conf.get("spark.sql.ansi.enabled")
+        legacy0 = spark.conf.get("spark.sql.legacy.sizeOfNull")
+        try:
+            spark.conf.set("spark.sql.ansi.enabled", "false")
+            spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+            assert _probe_gram_count(gsets) == exploded
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", ansi0)
+            spark.conf.set("spark.sql.legacy.sizeOfNull", legacy0)
 
     def test_planted_contamination_removed(self, spark):
         from serverless_data_lake_spark.operators.dedup import decontaminate

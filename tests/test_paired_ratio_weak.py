@@ -22,18 +22,34 @@ def _write(tmp_path, name, queries):
     return str(p)
 
 
-def _run_weak(tmp_path, capsys, sittings):
-    """sittings: list of (spark_queries, duck_queries) dicts."""
+def _run_weak(tmp_path, capsys, sittings, batch=None):
+    """sittings: list of (spark_queries, duck_queries) dicts.
+    ``batch``: optional list of batch names, one per sitting, to
+    exercise the filename-recovered batch grouping (default: each
+    sitting its own batch, the conservative fallback)."""
     pairs = []
     for i, (s, d) in enumerate(sittings):
+        stem = f"{batch[i]}_s{i}" if batch else f"s{i}"
+        dstem = f"{batch[i]}_d{i}" if batch else f"d{i}"
         pairs.append(
             (
-                _write(tmp_path, f"s{i}.json", s),
-                _write(tmp_path, f"d{i}.json", d),
+                _write(tmp_path, f"{stem}.json", s),
+                _write(tmp_path, f"{dstem}.json", d),
             )
         )
     paired_ratio._weak_set(pairs)
     return capsys.readouterr().out
+
+
+def _members_section(out):
+    """Lines of the perf-weak member list (before any watch
+    section)."""
+    return out.split("— boundary watch")[0]
+
+
+def _watch_section(out):
+    parts = out.split("— boundary watch")
+    return parts[1] if len(parts) > 1 else ""
 
 
 def test_median_membership_absorbs_single_batch_boundary(
@@ -49,10 +65,14 @@ def test_median_membership_absorbs_single_batch_boundary(
     s3 = {"mixing_controls": 0.46, "ngram_jaccard_pairs": 1.55}
     d3 = {"mixing_controls": 0.27, "ngram_jaccard_pairs": 0.34}
     out = _run_weak(tmp_path, capsys, [(s1, d1), (s2, d2), (s3, d3)])
-    assert "ngram_jaccard_pairs" in out
+    members = _members_section(out)
+    assert "ngram_jaccard_pairs" in members
     # median spark 0.46 vs duck 0.26 → under both the 0.5 s and 2×
-    # lines at the medians despite sitting 1 reading 2.2×
-    assert "mixing_controls" not in out
+    # lines at the medians despite sitting 1 reading 2.2× — NOT a
+    # member; r14: the excursion surfaces on the boundary watch
+    # instead of disappearing silently
+    assert "mixing_controls" not in members
+    assert "mixing_controls" in _watch_section(out)
 
 
 def test_floor_band_annotation_and_exclusions(tmp_path, capsys):
@@ -89,6 +109,45 @@ def test_big_q_entry_is_not_excluded(tmp_path, capsys):
     d = {"q1_pricing_summary": 0.5}
     out = _run_weak(tmp_path, capsys, [(s, d)])
     assert "q1_pricing_summary" in out
+
+
+def test_q_exclusion_is_literal_allow_list(tmp_path, capsys):
+    """r14 (r13-verdict ask #5): the exclusion is the LITERAL
+    three-entry list, not a name shape — a hypothetical sub-second
+    ``q2norm_*`` entry doing real work is NOT excluded (this test is
+    red on the old q+digit prefix heuristic, which would have
+    silently dropped it)."""
+    s = {"q2norm_embeddings": 0.8, "q1_pricing_summary": 0.7}
+    d = {"q2norm_embeddings": 0.1, "q1_pricing_summary": 0.07}
+    out = _run_weak(tmp_path, capsys, [(s, d)])
+    assert "q2norm_embeddings" in _members_section(out)
+    assert "q1_pricing_summary" not in out
+    assert paired_ratio.RELATIONAL_FLOOR_ENTRIES == {
+        "q1_pricing_summary",
+        "q3_top_revenue_orders",
+        "q5_nation_revenue",
+    }
+
+
+def test_worst_batch_column_and_batch_grouping(tmp_path, capsys):
+    """r14 (r13 ADVICE): members show their worst per-batch median
+    ratio — the unfavorable-draw EXIT reading — with batches
+    recovered from the archive filenames."""
+    # batch a: 1.6/0.5 = 3.2x; batch b: 2.4/0.5 = 4.8x
+    sittings = [
+        ({"lm_perplexity": 1.6}, {"lm_perplexity": 0.5}),
+        ({"lm_perplexity": 1.6}, {"lm_perplexity": 0.5}),
+        ({"lm_perplexity": 2.4}, {"lm_perplexity": 0.5}),
+        ({"lm_perplexity": 2.4}, {"lm_perplexity": 0.5}),
+    ]
+    out = _run_weak(
+        tmp_path, capsys, sittings, batch=["ra", "ra", "rb", "rb"]
+    )
+    line = next(
+        ln for ln in out.splitlines() if "lm_perplexity" in ln
+    )
+    assert "worst-batch 4.8x (rb)" in line
+    assert "2 batches" in out
 
 
 def test_empty_set_prints_empty(tmp_path, capsys):

@@ -37,7 +37,18 @@ import duckdb  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 
+def _host_note() -> dict:
+    """Launch-load stamp, mirroring bench.py's (r14 ask #6) — the
+    paired records carry their own host-tide context."""
+    note = {"launch_load_1m": round(os.getloadavg()[0], 2)}
+    settle = os.environ.get("SDLS_SETTLE_S")
+    if settle:
+        note["settle_s"] = settle
+    return note
+
+
 def main() -> None:
+    host_note = _host_note()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
@@ -123,6 +134,10 @@ def main() -> None:
                 "reps": reps,
                 "threads": threads,
                 "agg": "best_of_reps",
+                "host_note": {
+                    **host_note,
+                    "end_load_1m": round(os.getloadavg()[0], 2),
+                },
             }
         )
     )

@@ -32,11 +32,22 @@ their oracles are literal by design). Entries whose oracle median
 sits under the 0.2 s floor band are annotated: their single-draw
 ratio flips with the oracle draw, so membership must be read from
 multi-sitting medians, never one batch.
+
+r14 additions: each member also shows its WORST per-batch median
+ratio (batches recovered from the archive filenames) — the reading
+the docs/bench.md unfavorable-draw EXIT rule uses — plus a
+"boundary watch" section naming non-members over 2× at any single
+batch median, so the mechanized form and the prose criterion agree
+at the boundary by construction. Records carrying the r14
+``host_note`` stamp (launch/end 1-min load) have it echoed per
+sitting.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import re
 import statistics
 import sys
 
@@ -55,11 +66,49 @@ GATE_ENTRIES = {
 }
 
 
+#: The three sub-second relational q-entries excluded from the weak
+#: set per the r7-r11 precedent (pure per-query scheduling floor).
+#: LITERAL allow-list (r14, r13-verdict ask #5): the earlier
+#: "starts with q+digit" heuristic would have silently excluded any
+#: future q2norm_*/q4gram_* entry doing real work. The sub-1 s guard
+#: stays — if one of these three ever regresses past 1 s it
+#: re-enters the eligible pool.
+RELATIONAL_FLOOR_ENTRIES = {
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+}
+
+
 def _load(path: str) -> dict[str, float]:
     with open(path) as f:
         text = f.read().strip()
     rec = json.loads(text.splitlines()[-1])
     return {k: float(v) for k, v in rec["queries"].items()}
+
+
+def _host_note(path: str) -> str | None:
+    """The r14 host_note stamp (launch/end 1-min load), if the
+    record carries one — older records simply print nothing."""
+    with open(path) as f:
+        rec = json.loads(f.read().strip().splitlines()[-1])
+    note = rec.get("host_note")
+    if not isinstance(note, dict):
+        return None
+    return ", ".join(f"{k} {v}" for k, v in note.items())
+
+
+def _batch_key(spark_path: str) -> str:
+    """Batch id recovered from the record filename: the archived
+    naming is ``<batch>_s<N>.json`` / ``<batch>_d<N>.json`` (e.g.
+    ``r13b_s2.json`` → batch ``r13b``). A name outside that pattern
+    forms its own single-sitting batch — the conservative reading
+    for the worst-batch column."""
+    stem = os.path.basename(spark_path)
+    if stem.endswith(".json"):
+        stem = stem[: -len(".json")]
+    m = re.match(r"^(.*)_[sd]\d+$", stem)
+    return m.group(1) if m else stem
 
 
 def _sitting(spark_path: str, duck_path: str, detail: bool) -> tuple:
@@ -108,30 +157,74 @@ ORACLE_FLOOR_BAND_S = 0.2
 
 def _weak_set(pairs: list[tuple[str, str]]) -> None:
     """Per-entry medians across sittings → the draw-stable perf-weak
-    list (the docs/bench.md criterion, mechanized)."""
+    list (the docs/bench.md criterion, mechanized).
+
+    Membership is the combined-median reading. Alongside it (r14,
+    r13 ADVICE): each member's WORST per-batch median ratio — the
+    number the docs/bench.md unfavorable-draw EXIT rule reads (an
+    incumbent leaves only when every quiet batch clears 2×) — and a
+    "boundary watch" listing non-members that exceeded 2× at some
+    batch median, so the tool and the prose criterion can no longer
+    disagree silently at the boundary. Batches are recovered from
+    the record filenames (see :func:`_batch_key`)."""
     sparks = [_load(sp) for sp, _ in pairs]
     ducks = [_load(dp) for _, dp in pairs]
+    batches: dict[str, list[int]] = {}
+    for i, (sp, _dp) in enumerate(pairs):
+        batches.setdefault(_batch_key(sp), []).append(i)
     keys = set.intersection(*(set(s) for s in sparks + ducks))
-    rows = []
+    rows, watch = [], []
     for k in sorted(keys - GATE_ENTRIES):
         sm = statistics.median(s[k] for s in sparks)
         dm = statistics.median(d[k] for d in ducks)
-        if k[0] == "q" and k[1:2].isdigit() and sm < 1.0:
+        if k in RELATIONAL_FLOOR_ENTRIES and sm < 1.0:
             # sub-second relational q-entries: pure per-query
             # scheduling floor, excluded per the r7-r11 precedent
+            # (literal list — a new q-named entry with real work is
+            # NOT excluded)
             continue
-        if sm >= 0.5 and dm >= 0.05 and sm > 2 * dm:
-            rows.append((sm / dm, k, sm, dm))
-    print(f"— perf-weak set (medians over {len(pairs)} sittings)")
-    for r, k, sm, dm in sorted(rows, reverse=True):
+        # per-batch median ratios, for the worst-batch column
+        per_batch = []
+        for b, idxs in sorted(batches.items()):
+            sb = statistics.median(sparks[i][k] for i in idxs)
+            db = statistics.median(ducks[i][k] for i in idxs)
+            if sb >= 0.5 and db >= 0.05:
+                per_batch.append((sb / db, b))
+        worst = max(per_batch) if per_batch else None
+        member = sm >= 0.5 and dm >= 0.05 and sm > 2 * dm
+        if member:
+            rows.append((sm / dm, k, sm, dm, worst))
+        elif worst is not None and worst[0] > 2:
+            watch.append((worst[0], k, worst[1], sm, dm))
+    print(
+        f"— perf-weak set (medians over {len(pairs)} sittings, "
+        f"{len(batches)} batches)"
+    )
+    for r, k, sm, dm, worst in sorted(rows, reverse=True):
         band = (
             "  [oracle floor band: single-draw membership unstable]"
             if dm < ORACLE_FLOOR_BAND_S
             else ""
         )
-        print(f"  {k}: {sm:.2f}s vs {dm:.3f}s = {r:.1f}x{band}")
+        wb = (
+            f"  worst-batch {worst[0]:.1f}x ({worst[1]})"
+            if worst is not None and len(batches) > 1
+            else ""
+        )
+        print(f"  {k}: {sm:.2f}s vs {dm:.3f}s = {r:.1f}x{wb}{band}")
     if not rows:
         print("  (empty)")
+    if watch:
+        print(
+            "— boundary watch (NON-members >2x at >=1 batch median; "
+            "the exit rule holds incumbents in until every batch "
+            "clears 2x — these are not members)"
+        )
+        for r, k, b, sm, dm in sorted(watch, reverse=True):
+            cm = f"{sm / dm:.1f}x" if dm else "n/a"
+            print(
+                f"  {k}: batch {b} {r:.1f}x (combined median {cm})"
+            )
 
 
 def main() -> int:
@@ -146,6 +239,10 @@ def main() -> int:
     for i, (sp, dp) in enumerate(pairs):
         if len(pairs) > 1:
             print(f"— sitting {i + 1} ({sp} / {dp})")
+        for label, path in (("spark", sp), ("duck", dp)):
+            note = _host_note(path)
+            if note:
+                print(f"  host[{label}]: {note}")
         ratios.append(_sitting(sp, dp, detail=len(pairs) == 1))
     if len(pairs) > 1:
         m = [r[0] for r in ratios]
