@@ -132,11 +132,24 @@ def compare(s: dict, d: dict) -> list[str]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--spark-only"]
+    argv = sys.argv[1:]
+    # --duck-skip a,b,c (r14): run the NAMED entries rows-only while
+    # the rest of the registry still gets the oracle compare — for
+    # full-registry sweeps at sf5/sf10 where a handful of oracle
+    # texts are quadratic in DuckDB (all-pairs cosine, the
+    # inverted-index pair join) and would grind for hours. The
+    # skipped names land in the record as "rows_only" so the JSON
+    # discloses exactly which keys were checked.
+    duck_skip: set[str] = set()
+    if "--duck-skip" in argv:
+        i = argv.index("--duck-skip")
+        duck_skip = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--spark-only"]
     # --spark-only: skip the DuckDB side entirely (rows + timing
     # record only) — for scales where the oracle SQL would grind for
     # hours while the question is "does the SPARK plan hold up".
-    spark_only = "--spark-only" in sys.argv[1:]
+    spark_only = "--spark-only" in argv
     sf_dir = args[0] if args else "/tmp/sdls_scale/sf1"
     only = set(args[1:])
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -170,7 +183,7 @@ def main() -> int:
             name in PINNED_SF001_GATES
             and os.path.basename(sf_dir.rstrip("/")) != "sf0.01"
         )
-        if spark_only or name not in oracles or pinned:
+        if spark_only or name in duck_skip or name not in oracles or pinned:
             print(
                 f"rows-only {name}: {s['__rows']} rows "
                 f"(spark {t_spark:.2f}s)",
