@@ -2236,13 +2236,19 @@ def _q_sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # `quantile_cont` interpolate at the same rank
                 # q*(n-1) (verified bit-identical at sf0.001-1), but
                 # the harness compare is repr-exact, so BOTH sides
-                # round to 6 dp (r13 ADVICE) — a 1-ULP
-                # interpolation-order difference at a new scale or
-                # platform no longer flips the gate. If this row
-                # ever reads red at a new scale, triage as ULP
-                # drift at a 6-dp boundary FIRST (see the sweep
-                # procedure in docs/scale.md).
-                F.round(qe, 6).cast("double").alias("metric"),
+                # quantize to 6 dp. r15 (r14 ADVICE): the quantizer
+                # is floor(x*1e6 + 0.5)/1e6 — multiply, add, floor,
+                # divide are all exactly-specified IEEE-754 double
+                # ops, so identical inputs give BIT-IDENTICAL output
+                # on both engines; Spark's BigDecimal HALF_UP vs
+                # DuckDB's binary-scaled ROUND could still disagree
+                # at 6-dp half-way points even on equal inputs.
+                # (Prices are positive, so floor(+0.5) == HALF_UP.)
+                # If this row ever reads red at a new scale, triage
+                # as input ULP drift at a 6-dp boundary FIRST (see
+                # the sweep procedure in docs/scale.md).
+                (F.floor(qe * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                .alias("metric"),
                 (
                     F.abs(qa - qe) <= F.lit(0.01) * F.col("__range")
                 ).alias("approx_ok"),
@@ -2854,9 +2860,10 @@ FROM g
 def _sketch_gates_oracle() -> str:
     """hll rows recompute the exact distinct counts; tdigest rows
     recompute the exact percentiles with a real quantile_cont scan
-    (r13 — the metric carries the exact value; both sides round to
-    6 dp, r14, so the repr-exact harness compare is robust to 1-ULP
-    interpolation-order drift at new scales/platforms); the
+    (r13 — the metric carries the exact value; both sides quantize
+    to 6 dp via floor(x*1e6+0.5)/1e6, r15, whose IEEE ops are
+    bit-identical across engines — robust to both 1-ULP input drift
+    AND round-implementation disagreement at half-way points); the
     within-1%-of-spread boolean stays Spark-side literal-true here,
     as every boolean-gate oracle row does."""
     parts = [
@@ -2870,7 +2877,8 @@ def _sketch_gates_oracle() -> str:
     # the same work the Spark entry's exact-percentile subtree does.
     parts.append(
         """SELECT 'tdigest' AS gate, t.k AS key,
-        ROUND(CAST(qv.v[t.i] AS DOUBLE), 6) AS metric, true AS approx_ok
+        FLOOR(CAST(qv.v[t.i] AS DOUBLE) * 1e6 + 0.5) / 1e6
+          AS metric, true AS approx_ok
         FROM (SELECT [quantile_cont(o_totalprice, 0.25),
                       quantile_cont(o_totalprice, 0.5),
                       quantile_cont(o_totalprice, 0.75),

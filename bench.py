@@ -118,7 +118,12 @@ def _host_note() -> dict:
     note = {"launch_load_1m": round(os.getloadavg()[0], 2)}
     settle = os.environ.get("SDLS_SETTLE_S")
     if settle:
-        note["settle_s"] = settle
+        # numeric like the load fields (r15, r14 ADVICE) — downstream
+        # consumers of host_note get one JSON type, not str-or-float
+        try:
+            note["settle_s"] = float(settle)
+        except ValueError:
+            note["settle_s"] = settle
     return note
 
 

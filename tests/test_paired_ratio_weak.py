@@ -150,6 +150,23 @@ def test_worst_batch_column_and_batch_grouping(tmp_path, capsys):
     assert "2 batches" in out
 
 
+def test_mispaired_batch_warns(tmp_path, capsys):
+    """r15 (r14 ADVICE): a duck record whose filename recovers a
+    DIFFERENT batch than its spark partner is flagged, instead of
+    its timings being silently attributed to the spark file's batch
+    in the worst-batch column."""
+    s1 = _write(tmp_path, "ra_s1.json", {"lm_perplexity": 1.6})
+    d1 = _write(tmp_path, "rb_d1.json", {"lm_perplexity": 0.5})
+    paired_ratio._weak_set([(s1, d1)])
+    out = capsys.readouterr().out
+    assert "WARNING" in out and "mispaired" in out
+    # correctly-paired files stay silent
+    s2 = _write(tmp_path, "ra_s2.json", {"lm_perplexity": 1.6})
+    d2 = _write(tmp_path, "ra_d2.json", {"lm_perplexity": 0.5})
+    paired_ratio._weak_set([(s2, d2)])
+    assert "WARNING" not in capsys.readouterr().out
+
+
 def test_empty_set_prints_empty(tmp_path, capsys):
     out = _run_weak(
         tmp_path, capsys, [({"a_entry": 0.4}, {"a_entry": 0.3})]

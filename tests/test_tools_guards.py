@@ -1,0 +1,109 @@
+"""Pins for the r14-ADVICE guard fixes (r15): scale_sweep
+``--duck-skip`` operand/name validation, host_note ``settle_s``
+numeric coercion, and the tdigest 6-dp quantizer's cross-engine
+bit-identity.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+
+
+def test_duck_skip_bare_flag_is_usage_error(monkeypatch, capsys):
+    """r15 (r14 ADVICE): ``--duck-skip`` as the last argument used to
+    raise an unhandled IndexError."""
+    import scale_sweep
+
+    monkeypatch.setattr(
+        sys, "argv", ["scale_sweep.py", "/tmp/nope", "--duck-skip"]
+    )
+    assert scale_sweep.main() == 2
+    assert "usage" in capsys.readouterr().err
+
+
+def test_duck_skip_unknown_name_fails_fast(monkeypatch, capsys):
+    """A typo'd skip name used to silently leave the quadratic oracle
+    in the sweep — now a pre-Spark usage error naming the typo."""
+    import scale_sweep
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "scale_sweep.py",
+            "/tmp/nope",
+            "--duck-skip",
+            "embedding_similarity_pairs,not_a_real_entry",
+        ],
+    )
+    assert scale_sweep.main() == 2
+    err = capsys.readouterr().err
+    assert "not_a_real_entry" in err
+    # the valid name is not blamed
+    assert "embedding_similarity_pairs" not in err
+
+
+def test_host_note_settle_is_numeric(monkeypatch):
+    """r15 (r14 ADVICE): settle_s is stamped as a float like the load
+    fields, not the raw env string; non-numeric values fall back to
+    the string rather than crashing the bench."""
+    sys.path.insert(0, str(REPO))
+    import bench
+    import duck_baseline
+
+    monkeypatch.setenv("SDLS_SETTLE_S", "12.5")
+    assert bench._host_note()["settle_s"] == 12.5
+    assert duck_baseline._host_note()["settle_s"] == 12.5
+    monkeypatch.setenv("SDLS_SETTLE_S", "until-quiet")
+    assert bench._host_note()["settle_s"] == "until-quiet"
+    assert duck_baseline._host_note()["settle_s"] == "until-quiet"
+
+
+def test_tdigest_quantizer_bit_identical_across_engines(spark):
+    """r15 (r14 ADVICE): the tdigest metric quantizer is
+    floor(x*1e6 + 0.5)/1e6 on BOTH engines — multiply, add, floor,
+    divide are exactly-specified IEEE-754 double ops, so identical
+    inputs give bit-identical outputs; engine ROUND implementations
+    (Spark BigDecimal HALF_UP vs DuckDB binary-scaled) could
+    disagree at 6-dp half-way points. Probe a grid of adversarial
+    near-half-way values (k + 5e-7 neighborhoods, price-scale
+    magnitudes) and require exact equality."""
+    from pyspark.sql import functions as F
+
+    vals = []
+    for base in (1.0, 37.2, 104949.5, 555285.16):
+        for k in range(-3, 4):
+            x = base + k * 1e-7 + 5e-7
+            vals.append(x)
+            vals.append(math.nextafter(x, math.inf))
+            vals.append(math.nextafter(x, -math.inf))
+
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, x double"
+    )
+    got_spark = {
+        r["i"]: r["q"]
+        for r in sdf.select(
+            "i",
+            (F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .alias("q"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    rows = ", ".join(f"({i}, {v!r})" for i, v in enumerate(vals))
+    got_duck = dict(
+        con.sql(
+            "SELECT i, FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) / 1e6 "
+            f"FROM (VALUES {rows}) AS t(i, x)"
+        ).fetchall()
+    )
+    for i, v in enumerate(vals):
+        s, d = float(got_spark[i]), float(got_duck[i])
+        assert s == d, f"x={v!r}: spark {s!r} != duck {d!r}"

@@ -43,7 +43,12 @@ def _host_note() -> dict:
     note = {"launch_load_1m": round(os.getloadavg()[0], 2)}
     settle = os.environ.get("SDLS_SETTLE_S")
     if settle:
-        note["settle_s"] = settle
+        # numeric like the load fields (r15, r14 ADVICE) — one JSON
+        # type in archived records, matching bench.py's coercion
+        try:
+            note["settle_s"] = float(settle)
+        except ValueError:
+            note["settle_s"] = settle
     return note
 
 

@@ -170,8 +170,18 @@ def _weak_set(pairs: list[tuple[str, str]]) -> None:
     sparks = [_load(sp) for sp, _ in pairs]
     ducks = [_load(dp) for _, dp in pairs]
     batches: dict[str, list[int]] = {}
-    for i, (sp, _dp) in enumerate(pairs):
-        batches.setdefault(_batch_key(sp), []).append(i)
+    for i, (sp, dp) in enumerate(pairs):
+        bs, bd = _batch_key(sp), _batch_key(dp)
+        if bd != bs:
+            # r15 (r14 ADVICE): a mispaired CLI invocation used to
+            # silently attribute the duck timings to the spark file's
+            # batch in the worst-batch column
+            print(
+                f"WARNING: pair {i + 1}: spark batch {bs!r} != duck "
+                f"batch {bd!r} — files may be mispaired; worst-batch "
+                f"column attributes this pair to {bs!r}"
+            )
+        batches.setdefault(bs, []).append(i)
     keys = set.intersection(*(set(s) for s in sparks + ducks))
     rows, watch = [], []
     for k in sorted(keys - GATE_ENTRIES):

@@ -143,7 +143,12 @@ def main() -> int:
     duck_skip: set[str] = set()
     if "--duck-skip" in argv:
         i = argv.index("--duck-skip")
-        duck_skip = set(argv[i + 1].split(","))
+        if i + 1 >= len(argv):
+            # r15 (r14 ADVICE): a bare trailing flag used to raise an
+            # unhandled IndexError
+            print("usage: --duck-skip name[,name...]", file=sys.stderr)
+            return 2
+        duck_skip = {s for s in argv[i + 1].split(",") if s}
         argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if a != "--spark-only"]
     # --spark-only: skip the DuckDB side entirely (rows + timing
@@ -152,6 +157,16 @@ def main() -> int:
     spark_only = "--spark-only" in argv
     sf_dir = args[0] if args else "/tmp/sdls_scale/sf1"
     only = set(args[1:])
+    # r15 (r14 ADVICE): a typo'd skip name used to silently leave the
+    # quadratic oracle in the sweep — fail fast, before Spark starts.
+    unknown = duck_skip - set(entrymod.queries())
+    if unknown:
+        print(
+            "--duck-skip names not in the entry registry: "
+            + ", ".join(sorted(unknown)),
+            file=sys.stderr,
+        )
+        return 2
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
