@@ -66,6 +66,30 @@ def test_host_note_settle_is_numeric(monkeypatch):
     assert duck_baseline._host_note()["settle_s"] == "until-quiet"
 
 
+def test_sampled_scale_checks_pass_at_tiny_sf(spark):
+    """r15 (r14 verdict ask #6): the quadratic-oracle entries'
+    sampled at-scale checks — sliced brute-force cosine pairs and
+    exhaustive-hamming-vs-pigeonhole simhash — return zero diffs on
+    the driver testdata (where the slice modulus degrades to 1, i.e.
+    the check equals the full oracle)."""
+    import scale_sweep
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    diffs, rows, detail = scale_sweep._sampled_cosine_check(
+        spark, con, sf_dir
+    )
+    assert diffs == [] and "slice" in detail
+    diffs, rows, detail = scale_sweep._sampled_simhash_check(
+        spark, con, sf_dir
+    )
+    assert diffs == [] and rows > 0
+
+
 def test_tdigest_quantizer_bit_identical_across_engines(spark):
     """r15 (r14 ADVICE): the tdigest metric quantizer is
     floor(x*1e6 + 0.5)/1e6 on BOTH engines — multiply, add, floor,

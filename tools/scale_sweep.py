@@ -62,6 +62,117 @@ PINNED_SF001_GATES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Sampled at-scale value checks (r15, r14 verdict ask #6): entries
+# whose full oracle text is quadratic in the corpus (all-pairs
+# cosine; all-pairs hamming) used to land as ``rows_only`` at every
+# sweep scale — no engine-side value check past sf0.1. Each check
+# here value-compares a DETERMINISTIC id-hash slice instead, at
+# ~1/m² of the quadratic oracle cost, and the sweep records the
+# result as ``sampled_ok`` (or counts a failure on mismatch).
+# ---------------------------------------------------------------------------
+def _sampled_cosine_check(spark, con, sf_dir):
+    """``embedding_similarity_pairs``: the cosine threshold is a
+    PAIRWISE predicate, so the entry's pair set restricted to ids in
+    a slice is exactly the pair set OF the sliced corpus — the full
+    Spark kernel's output filtered to in-slice pairs must match a
+    brute-force DuckDB oracle over the sliced inputs, value for
+    value. The slice modulus is sized so the oracle join stays near
+    the sf0.1 full-oracle cost (~3000 rows → ~4.5 M candidate
+    pairs) at ANY sweep scale."""
+    from pyspark.sql import functions as F
+
+    n = con.sql("SELECT count(*) FROM embeddings").fetchone()[0]
+    m = max(1, round(n / 3000))
+    df = entrymod.queries()["embedding_similarity_pairs"](
+        spark, sf_dir
+    ).where((F.col("id_a") % m == 0) & (F.col("id_b") % m == 0))
+    s = spark_summary(df)
+    dot = (
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    na = (
+        "sqrt(list_sum(list_transform(a.embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    nb = na.replace("a.embedding", "b.embedding")
+    sql = f"""
+      WITH e AS (SELECT * FROM embeddings WHERE vec_id % {m} = 0)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {dot} / ({na} * {nb}) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE {dot} / ({na} * {nb}) >= 0.3"""
+    d = duck_summary(con, sql)
+    return compare(s, d), s["__rows"], f"slice vec_id%{m}==0"
+
+
+def _sampled_simhash_check(spark, con, sf_dir):
+    """``simhash_*``: near-dup pairs on a sliced corpus, Spark's
+    pigeonhole blocking vs a brute-force all-pairs hamming join in
+    DuckDB over the SAME Spark-computed signatures. The signature
+    math is shared between the sides by design (DuckDB has no
+    xxhash64; the math is sf0.01-literal-pinned and unit-tested on
+    planted corpora) — what this check exercises independently is
+    the CANDIDATE GENERATION: a pigeonhole/banding bug that drops
+    pairs at scale shows up against the exhaustive join. The ≤4-row
+    histogram is compared EXACTLY (sorted rows), not via summaries —
+    summary sums could mask swapped counts between distances."""
+    from pyspark.sql import functions as F
+
+    from serverless_data_lake_spark.operators.dedup import (
+        simhash_near_duplicates,
+        simhash_signatures,
+    )
+
+    n = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    m = max(1, round(n / 10000))
+    docs = entrymod._read(spark, sf_dir, "documents").where(
+        F.col("doc_id") % m == 0
+    )
+    sigs = simhash_signatures(docs, "doc_id", "text").persist()
+    try:
+        pairs = simhash_near_duplicates(
+            docs, "doc_id", "text", max_hamming=3, signatures=sigs
+        )
+        hist = pairs.groupBy("hamming").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+        )
+        s_rows = sorted(
+            (int(r["hamming"]), int(r["n_pairs"]))
+            for r in hist.collect()
+        )
+        con.register("__sdls_simhash_sigs", sigs.toPandas())
+        d_rows = sorted(
+            (int(h), int(c))
+            for h, c in con.sql(
+                """
+          SELECT hamming, count(*) FROM (
+            SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM __sdls_simhash_sigs a
+            JOIN __sdls_simhash_sigs b ON a.doc_id < b.doc_id)
+          WHERE hamming <= 3 GROUP BY hamming"""
+            ).fetchall()
+        )
+    finally:
+        sigs.unpersist()
+    diffs = (
+        []
+        if s_rows == d_rows
+        else [f"hamming histogram: spark {s_rows} vs duck {d_rows}"]
+    )
+    return diffs, sum(c for _h, c in s_rows), (
+        f"slice doc_id%{m}==0, exhaustive join over shared signatures"
+    )
+
+
+SAMPLED_CHECKS = {
+    "embedding_similarity_pairs": _sampled_cosine_check,
+    "simhash_hamming_histogram": _sampled_simhash_check,
+    "simhash_near_duplicates": _sampled_simhash_check,
+}
+
+
 def spark_summary(df) -> dict:
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for f in df.schema.fields:
@@ -199,15 +310,52 @@ def main() -> int:
             and os.path.basename(sf_dir.rstrip("/")) != "sf0.01"
         )
         if spark_only or name in duck_skip or name not in oracles or pinned:
+            check = None if spark_only else SAMPLED_CHECKS.get(name)
+            if check is None:
+                print(
+                    f"rows-only {name}: {s['__rows']} rows "
+                    f"(spark {t_spark:.2f}s)",
+                    flush=True,
+                )
+                report[name] = {
+                    "status": "rows_only",
+                    "rows": s["__rows"],
+                    "spark_s": round(t_spark, 2),
+                }
+                continue
+            # r15 (r14 verdict ask #6): quadratic-oracle entries get a
+            # sampled value check instead of rows-only (skipped under
+            # --spark-only, where no DuckDB work runs at all).
+            t0 = time.time()
+            try:
+                diffs, srows, detail = check(spark, con, sf_dir)
+            except Exception as exc:  # noqa: BLE001
+                print(
+                    f"FAIL {name}: sampled check: "
+                    f"{str(exc).splitlines()[0][:160]}",
+                    flush=True,
+                )
+                failures += 1
+                report[name] = {"status": "sampled_error"}
+                continue
+            t_check = time.time() - t0
+            status = "sampled_ok" if not diffs else "SAMPLED_MISMATCH"
+            if diffs:
+                failures += 1
             print(
-                f"rows-only {name}: {s['__rows']} rows "
-                f"(spark {t_spark:.2f}s)",
+                f"{status} {name}: {s['__rows']} rows "
+                f"(spark {t_spark:.2f}s; {detail}: {srows} sampled "
+                f"rows checked in {t_check:.2f}s)"
+                + ("" if not diffs else f" :: {'; '.join(diffs[:4])}"),
                 flush=True,
             )
             report[name] = {
-                "status": "rows_only",
+                "status": status,
                 "rows": s["__rows"],
                 "spark_s": round(t_spark, 2),
+                "sampled_rows": srows,
+                "sampled_s": round(t_check, 2),
+                "sampled_slice": detail,
             }
             continue
         t0 = time.time()
