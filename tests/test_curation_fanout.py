@@ -47,11 +47,22 @@ DOCS = [
 ]
 
 
-def test_fanout_matches_both_batch_twins(spark, tmp_path):
+import pytest
+
+
+@pytest.fixture(scope="module")
+def default_fanout(spark, tmp_path_factory):
+    """ONE default-path (derive-and-persist) fan-out query shared by
+    the batch-twin test and the precomputed-params A/B (r15,
+    r14-verdict stretch #7 — the module used to run this identical
+    stream twice; both tests keep their full assertion sets).
+    Returns the materialized products: sorted survivor ids, sorted
+    scrub rows, and the span sink's columns."""
+    tmp = tmp_path_factory.mktemp("fanout_default")
     ref_df = spark.createDataFrame(
         [(100, f"eval prompt: {LEAK}?")], SCHEMA
     )
-    src = tmp_path / "docs_in"
+    src = tmp / "docs_in"
     src.mkdir()
     spark.createDataFrame(DOCS, SCHEMA).coalesce(1).write.mode(
         "append"
@@ -64,8 +75,8 @@ def test_fanout_matches_both_batch_twins(spark, tmp_path):
     clean_span, ref_grams = span_scrub_stream(
         ref_df, "doc_id", "text", k=5
     )
-    out_decont = str(tmp_path / "decont")
-    out_spans = str(tmp_path / "spans")
+    out_decont = str(tmp / "decont")
+    out_spans = str(tmp / "spans")
     try:
         q = start_curation_fanout_stream(
             stream,
@@ -76,57 +87,77 @@ def test_fanout_matches_both_batch_twins(spark, tmp_path):
                     ["doc_id", "n_kept", "n_removed"],
                 ),
             ],
-            checkpoint=str(tmp_path / "ckpt"),
+            checkpoint=str(tmp / "ckpt"),
         )
         q.awaitTermination()
-
-        docs_df = spark.createDataFrame(DOCS, SCHEMA)
-        got_decont = sorted(
-            r["doc_id"]
-            for r in spark.read.parquet(out_decont).collect()
-        )
-        want_decont = sorted(
-            r["doc_id"]
-            for r in decontaminate(
-                docs_df, ref_df, "doc_id", "text", n=5
-            ).collect()
-        )
-        assert got_decont == want_decont
-        # the leak-quoting docs (2 and 4) are dropped, so the check
-        # is non-vacuous
-        assert 2 not in got_decont and 4 not in got_decont
-
         spans_raw = spark.read.parquet(out_spans)
-        # every parquet append carries the replay-detection batch id
-        assert "__batch_id" in spans_raw.columns
-        got_spans = sorted(
-            (r["doc_id"], r["n_kept"], r["n_removed"])
-            for r in spans_raw.collect()
-        )
-        want_spans = sorted(
-            (r["doc_id"], r["n_kept"], r["n_removed"])
-            for r in remove_reference_spans(
-                docs_df,
-                ref_grams,
-                "doc_id",
-                "text",
-                k=5,
-            ).collect()
-        )
-        assert got_spans == want_spans
-        # every doc survives scrubbing (span removal, not doc
-        # removal) and at least one doc actually lost tokens
-        assert len(got_spans) == len(DOCS)
-        assert any(removed > 0 for _i, _k, removed in got_spans)
+        return {
+            "decont_ids": sorted(
+                r["doc_id"]
+                for r in spark.read.parquet(out_decont).collect()
+            ),
+            "spans_rows": sorted(
+                (r["doc_id"], r["n_kept"], r["n_removed"])
+                for r in spans_raw.collect()
+            ),
+            "spans_columns": spans_raw.columns,
+        }
     finally:
         grams.unpersist()
         ref_grams.unpersist()
 
 
-def test_precomputed_gram_params_match_default(spark, tmp_path):
+def test_fanout_matches_both_batch_twins(spark, default_fanout):
+    from serverless_data_lake_spark.operators.dedup import (
+        reference_span_grams,
+    )
+
+    ref_df = spark.createDataFrame(
+        [(100, f"eval prompt: {LEAK}?")], SCHEMA
+    )
+    docs_df = spark.createDataFrame(DOCS, SCHEMA)
+    got_decont = default_fanout["decont_ids"]
+    want_decont = sorted(
+        r["doc_id"]
+        for r in decontaminate(
+            docs_df, ref_df, "doc_id", "text", n=5
+        ).collect()
+    )
+    assert got_decont == want_decont
+    # the leak-quoting docs (2 and 4) are dropped, so the check
+    # is non-vacuous
+    assert 2 not in got_decont and 4 not in got_decont
+
+    # every parquet append carries the replay-detection batch id
+    assert "__batch_id" in default_fanout["spans_columns"]
+    got_spans = default_fanout["spans_rows"]
+    # the batch twin's reference grams come straight from the
+    # operator builder (test_precomputed_gram_params_match_default
+    # proves the stream-side ref_grams identical to these)
+    want_spans = sorted(
+        (r["doc_id"], r["n_kept"], r["n_removed"])
+        for r in remove_reference_spans(
+            docs_df,
+            reference_span_grams(ref_df, "doc_id", "text", 5),
+            "doc_id",
+            "text",
+            k=5,
+        ).collect()
+    )
+    assert got_spans == want_spans
+    # every doc survives scrubbing (span removal, not doc
+    # removal) and at least one doc actually lost tokens
+    assert len(got_spans) == len(DOCS)
+    assert any(removed > 0 for _i, _k, removed in got_spans)
+
+
+def test_precomputed_gram_params_match_default(
+    spark, tmp_path, default_fanout
+):
     """The r11 `test_grams` / `ref_grams` builder parameters (the
     gate feeds memoized LOCAL gram relations through them) must
-    yield exactly the default derive-and-persist path's outputs."""
+    yield exactly the default derive-and-persist path's outputs
+    (the shared module fixture's products)."""
     from serverless_data_lake_spark.operators.dedup import (
         eval_gram_set,
         reference_span_grams,
@@ -137,55 +168,53 @@ def test_precomputed_gram_params_match_default(spark, tmp_path):
     )
     docs_df = spark.createDataFrame(DOCS, SCHEMA)
 
-    def run(precomputed: bool, tag: str):
-        src = tmp_path / f"in_{tag}"
-        src.mkdir()
-        docs_df.coalesce(1).write.mode("append").json(str(src))
-        stream = spark.readStream.schema(SCHEMA).json(str(src))
-        tg = rg_pre = None
-        if precomputed:
-            g = eval_gram_set(ref_df, "doc_id", "text", 5)
-            tg = spark.createDataFrame(g.collect(), g.schema)
-            r = reference_span_grams(ref_df, "doc_id", "text", 5)
-            rg_pre = spark.createDataFrame(r.collect(), r.schema)
-        cd, grams = decontaminate_stream(
-            stream, ref_df, "doc_id", "text", n=5,
-            broadcast=True if precomputed else None, test_grams=tg,
+    src = tmp_path / "in_pre"
+    src.mkdir()
+    docs_df.coalesce(1).write.mode("append").json(str(src))
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    g = eval_gram_set(ref_df, "doc_id", "text", 5)
+    tg = spark.createDataFrame(g.collect(), g.schema)
+    r = reference_span_grams(ref_df, "doc_id", "text", 5)
+    rg_pre = spark.createDataFrame(r.collect(), r.schema)
+    cd, grams = decontaminate_stream(
+        stream, ref_df, "doc_id", "text", n=5,
+        broadcast=True, test_grams=tg,
+    )
+    cs, rg = span_scrub_stream(
+        ref_df, "doc_id", "text", k=5, ref_grams=rg_pre
+    )
+    try:
+        q = start_curation_fanout_stream(
+            stream,
+            [
+                CurationSink(cd, str(tmp_path / "d_pre"), ["doc_id"]),
+                CurationSink(
+                    cs, str(tmp_path / "s_pre"),
+                    ["doc_id", "n_kept", "n_removed"],
+                ),
+            ],
+            checkpoint=str(tmp_path / "ckpt_pre"),
         )
-        cs, rg = span_scrub_stream(
-            ref_df, "doc_id", "text", k=5, ref_grams=rg_pre
+        q.awaitTermination()
+    finally:
+        grams.unpersist()
+        rg.unpersist()
+    d = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "d_pre")).collect()
+    )
+    s = sorted(
+        map(
+            tuple,
+            spark.read.parquet(str(tmp_path / "s_pre"))
+            .select("doc_id", "n_kept", "n_removed")
+            .collect(),
         )
-        try:
-            q = start_curation_fanout_stream(
-                stream,
-                [
-                    CurationSink(cd, str(tmp_path / f"d_{tag}"), ["doc_id"]),
-                    CurationSink(
-                        cs, str(tmp_path / f"s_{tag}"),
-                        ["doc_id", "n_kept", "n_removed"],
-                    ),
-                ],
-                checkpoint=str(tmp_path / f"ckpt_{tag}"),
-            )
-            q.awaitTermination()
-        finally:
-            grams.unpersist()
-            rg.unpersist()
-        d = sorted(
-            r["doc_id"]
-            for r in spark.read.parquet(str(tmp_path / f"d_{tag}")).collect()
-        )
-        s = sorted(
-            map(
-                tuple,
-                spark.read.parquet(str(tmp_path / f"s_{tag}"))
-                .select("doc_id", "n_kept", "n_removed")
-                .collect(),
-            )
-        )
-        return d, s
-
-    assert run(False, "default") == run(True, "pre")
+    )
+    assert (d, s) == (
+        default_fanout["decont_ids"],
+        default_fanout["spans_rows"],
+    )
 
 
 def test_handler_replay_detectable_and_consume_idempotent(

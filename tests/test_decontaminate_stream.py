@@ -75,16 +75,32 @@ def test_stream_matches_batch_union(spark, tmp_path):
     assert got == expect == [1, 3, 5]
 
 
-def test_driver_stream_gate_rows(spark):
+import pytest
+
+
+@pytest.fixture(scope="module")
+def gate_rows_fast(spark):
+    """ONE fast-path run of the driver stream gate shared by both
+    gate tests (r15, r14-verdict stretch #7 — the module used to run
+    it twice: once for the fingerprint assertions, once as the
+    baseline of the over-cap A/B; both assertion sets are kept)."""
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip(f"driver testdata not present at {sf}")
+    import __spark_entry__ as entrymod
+
+    return entrymod._decont_stream_gate(spark, sf).collect()
+
+
+def test_driver_stream_gate_rows(spark, gate_rows_fast):
     """The driver-visible stream gate (sketch_quality_gates leg
     'stream', r9; widened to the shared fan-out query in r11): the
     streamed survivor set's three-moment fingerprint AND the
     streamed span-scrub output's three-moment fingerprint must equal
     the BATCH operators' over the same slices — the stream==batch
     equivalences the driver's oracle replays with independent SQL."""
-    import os
-
-    import pytest
     from pyspark.sql import functions as F
 
     from serverless_data_lake_spark.operators.dedup import (
@@ -93,13 +109,9 @@ def test_driver_stream_gate_rows(spark):
     )
 
     sf = "/root/testdata/sf0.001"
-    if not os.path.isdir(sf):
-        pytest.skip(f"driver testdata not present at {sf}")
     import __spark_entry__ as entrymod
 
-    rows = {
-        r.key: r for r in entrymod._decont_stream_gate(spark, sf).collect()
-    }
+    rows = {r.key: r for r in gate_rows_fast}
     assert set(rows) == {
         "decont_survivor_count",
         "decont_survivor_idsum",
@@ -148,26 +160,23 @@ def test_driver_stream_gate_rows(spark):
     assert rows["scrub_removed_sum"].metric > 0
 
 
-def test_gate_overcap_fallback_matches_local_path(spark, monkeypatch):
+def test_gate_overcap_fallback_matches_local_path(
+    spark, monkeypatch, gate_rows_fast
+):
     """Force the stream gate's gram memo over its cap (r12 advisory
     wiring): with `_GATE_LOCAL_GRAM_CAP` monkeypatched to 0 both
     builders must take their persisted DISTRIBUTED path (decont
     re-sizes against the broadcast cap, span degrades to a keyed
     join) and the six fingerprint moments must be identical to the
-    local-relation fast path's."""
+    local-relation fast path's (the shared module fixture's run)."""
     import os
-
-    import pytest
 
     sf = "/root/testdata/sf0.001"
     if not os.path.isdir(sf):
         pytest.skip(f"driver testdata not present at {sf}")
     import __spark_entry__ as entrymod
 
-    fast = {
-        (r.key, r.metric)
-        for r in entrymod._decont_stream_gate(spark, sf).collect()
-    }
+    fast = {(r.key, r.metric) for r in gate_rows_fast}
     monkeypatch.setattr(entrymod, "_GATE_LOCAL_GRAM_CAP", 0)
     slow = {
         (r.key, r.metric)
