@@ -30,6 +30,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from serverless_data_lake_spark.config import LakeConfig
 from serverless_data_lake_spark.operators.dedup import (
@@ -186,29 +187,87 @@ def _session_key(spark: SparkSession) -> str:
 _scan_partitions_cache: dict = {}
 
 
-def _read_parallel(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Read with compute parallelism guaranteed.
+#: Scale-adaptive fan-out targets (r15 optimization round, guide §2:
+#: derive partitioning from input size, not a constant tuned for one
+#: mode). Rows-per-task calibrated to each family's per-row compute
+#: so a task carries ≥~20 ms of real work — below that, the fixed
+#: per-task cost dominates (measured on this host: a warm Python
+#: kernel stage costs ~15-20 ms of serialized worker handoff PER
+#: TASK, so a 32-task stage over 2 k rows pays ~0.6-0.9 s of pure
+#: overhead for microseconds of numpy). The count clamps to the core
+#: count, so at sf1+ the dedup family still fans out to every core —
+#: identical behavior to the old unconditional repartition(cores) —
+#: while tiny inputs stop paying a 32-way fan-out tax.
+#:
+#: - vectorized numpy kernels over embeddings (cell assign, PQ
+#:   encode/ADC, exact top-k dots): ~1-30 µs/row → 20 k rows/task.
+#: - per-document hash kernels over text (128-hash MinHash grid,
+#:   SimHash vote, chunk/repetition HOFs): ~0.1-1 ms/doc → 500
+#:   docs/task.
+#: The all-pairs cosine kernel (O(n²)/task) and exact-substring's
+#: gram stage (measured 25 s CPU at sf0.1) keep the full-core
+#: fan-out: their per-task compute grows faster than row count.
+_EMB_ROWS_PER_TASK = 20_000
+_DOC_ROWS_PER_TASK = 500
+
+
+def _table_num_rows(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Row count from the parquet FOOTER (no Spark job), memoized per
+    data fingerprint."""
+    import pyarrow.parquet as pq
+
+    key = (
+        _session_key(spark), sf_dir, _sf_fingerprint(sf_dir),
+        f"{table}#nrows",
+    )
+    n = _scan_partitions_cache.get(key)
+    if n is None:
+        n = pq.ParquetFile(_data_path(sf_dir, table)).metadata.num_rows
+        _memo_put(_scan_partitions_cache, key, n)
+    return n
+
+
+def _read_parallel(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    rows_per_task: int | None = None,
+) -> DataFrame:
+    """Read with compute parallelism guaranteed — and, since r15,
+    SIZED to the input rather than pinned to the core count.
 
     The documents/embeddings testdata files are ~1 MB — below any
     file-split threshold — while the operators over them do heavy
     per-row compute (hundreds of hash/dot-product evaluations per
     document). A single-partition scan would serialize that compute
     on one core; one cheap shuffle of the small input restores the
-    parallelism a production multi-file layout has natively. Guarded:
-    inputs that already carry enough partitions are left alone. The
-    needs-repartition probe (`df.rdd.getNumPartitions()` — a py4j
-    RDD round-trip, ~0.1 s) is memoized per (session, path): the
-    file layout is fixed for a session, and the probe cost lands in
-    the CONSTRUCT time of the eager entries."""
+    parallelism a production multi-file layout has natively.
+
+    ``rows_per_task`` derives the fan-out from the table's footer row
+    count (see the family constants above): tasks stay big enough to
+    amortize the fixed per-task cost, and the clamp to the core count
+    reproduces the old repartition(cores) exactly once the input is
+    large (any production SF). ``None`` keeps the full-core fan-out
+    for kernels whose per-task compute outgrows row count (all-pairs,
+    exact-substring). Guarded: inputs that already carry enough
+    partitions are left alone. The needs-repartition probe
+    (`df.rdd.getNumPartitions()` — a py4j RDD round-trip, ~0.1 s) is
+    memoized per (session, path): the file layout is fixed for a
+    session, and the probe cost lands in the CONSTRUCT time of the
+    eager entries."""
     df = _read(spark, sf_dir, table)
     cores = spark.sparkContext.defaultParallelism
+    desired = cores
+    if rows_per_task is not None:
+        nrows = _table_num_rows(spark, sf_dir, table)
+        desired = min(cores, max(1, -(-nrows // rows_per_task)))
     key = (_session_key(spark), sf_dir, _sf_fingerprint(sf_dir), table)
-    needs = _scan_partitions_cache.get(key)
-    if needs is None:
-        needs = df.rdd.getNumPartitions() < cores
-        _memo_put(_scan_partitions_cache, key, needs)
-    if needs:
-        df = df.repartition(cores)
+    nparts = _scan_partitions_cache.get(key)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        _memo_put(_scan_partitions_cache, key, nparts)
+    if nparts < desired:
+        df = df.repartition(desired)
     return df
 
 
@@ -795,7 +854,9 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     run's plan (the r7 CacheManager rule). Pinned by
     tests/test_entry_contract.py."""
     _release_minhash_index()
-    docs = _read_parallel(spark, sf_dir, "documents")
+    docs = _read_parallel(
+        spark, sf_dir, "documents", _DOC_ROWS_PER_TASK
+    )
     idx = build_lsh_index(
         docs, "doc_id", "text",
         num_hashes=128, bands=32, shingle_size=3,
@@ -839,7 +900,9 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-level emitter stays the library surface
     (``simhash_near_duplicates``) and is unit-tested on planted
     corpora in tests/test_dedup.py."""
-    docs = _read_parallel(spark, sf_dir, "documents")
+    docs = _read_parallel(
+        spark, sf_dir, "documents", _DOC_ROWS_PER_TASK
+    )
     pairs = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
     return pairs.groupBy("hamming").agg(
         F.count("*").cast("bigint").alias("n_pairs")
@@ -1195,7 +1258,9 @@ def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read_parallel(spark, sf_dir, "embeddings")
+    emb = _read_parallel(
+        spark, sf_dir, "embeddings", _EMB_ROWS_PER_TASK
+    )
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1235,7 +1300,9 @@ def _ann_quality_gate(
         ann_recall_at_k,
     )
 
-    emb = _read_parallel(spark, sf_dir, "embeddings")
+    emb = _read_parallel(
+        spark, sf_dir, "embeddings", _EMB_ROWS_PER_TASK
+    )
     queries_df = _ann_queries_local(spark, sf_dir)
     ann = ann_fn(emb, queries_df)
     if exact is None:
@@ -1313,6 +1380,26 @@ def _sf_fingerprint(path: str) -> tuple:
     return tuple(out)
 
 
+def _local_df(spark: SparkSession, schema, rows) -> DataFrame:
+    """Collected rows → a TRUE LocalRelation (r15 optimization round,
+    guide §3.1/§4): ``spark.createDataFrame(rows, schema)`` builds a
+    defaultParallelism-partition pickled-Python RDD, so every scan of
+    a memoized 5-row artifact paid ~32 Python-worker tasks (~0.3 s of
+    executor wall each, measured: warm 50-row scan 0.67 s) AND the
+    relation carries no size statistics — the planner chose
+    SortMergeJoin, or broadcast the WRONG side, for every join
+    against it (the ann gates' plans carried 44 exchanges). Routing
+    the same rows through a ``pyarrow.Table`` yields a
+    ``LocalTableScan``: zero tasks (0.11 s for the same scan),
+    driver-local broadcast builds, and known size, so the small side
+    auto-broadcasts. Values and schema are bit-identical (verified:
+    arrow holds the same IEEE doubles / int64s the Row path ships;
+    pinned by tests/test_localrel.py)."""
+    from serverless_data_lake_spark.localrel import local_df
+
+    return local_df(spark, schema, rows)
+
+
 def _memo_local_relation(
     spark: SparkSession, sf_dir: str, kind: str, build
 ) -> DataFrame:
@@ -1330,7 +1417,7 @@ def _memo_local_relation(
         cached = (df.schema, df.collect())
         _memo_put(_ANN_TRAIN_CACHE, key, cached)
     schema, rows = cached
-    return spark.createDataFrame(rows, schema)
+    return _local_df(spark, schema, rows)
 
 
 #: Row cap for gram sets memoized as driver-local relations by the
@@ -1365,7 +1452,7 @@ def _memo_local_relation_capped(
     if cached == ("OVERCAP",):
         return None
     schema, rows = cached
-    return spark.createDataFrame(rows, schema)
+    return _local_df(spark, schema, rows)
 
 
 def _ann_queries_local(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1379,7 +1466,7 @@ def _ann_queries_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     collects and broadcast builds over it are driver-local, while
     the corpus side of every leg still scans and computes for real."""
     schema, rows = _ann_query_rows(spark, sf_dir)
-    return spark.createDataFrame(rows, schema)
+    return _local_df(spark, schema, rows)
 
 
 def _ann_query_rows(spark: SparkSession, sf_dir: str):
@@ -1417,14 +1504,16 @@ def _ann_exact_baseline(
     key = (_session_key(spark), sf_dir, _sf_fingerprint(sf_dir), f"exact_{metric}_top10")
     cached = _ANN_TRAIN_CACHE.get(key)
     if cached is None:
-        emb = _read_parallel(spark, sf_dir, "embeddings")
+        emb = _read_parallel(
+            spark, sf_dir, "embeddings", _EMB_ROWS_PER_TASK
+        )
         queries_df = _ann_queries_local(spark, sf_dir)
         fn = cosine_topk if metric == "cosine" else euclidean_topk
         df = fn(emb, queries_df, id_col="vec_id", k=10)
         cached = (df.schema, df.collect())
         _memo_put(_ANN_TRAIN_CACHE, key, cached)
     schema, rows = cached
-    return spark.createDataFrame(rows, schema)
+    return _local_df(spark, schema, rows)
 
 
 def _q_ann_ivf(
@@ -1443,7 +1532,9 @@ def _q_ann_ivf(
     cents = _ANN_TRAIN_CACHE.get(key)
     if cents is None:
         cents = train_ivf_centroids(
-            _read_parallel(spark, sf_dir, "embeddings"),
+            _read_parallel(
+                spark, sf_dir, "embeddings", _EMB_ROWS_PER_TASK
+            ),
             "embedding", nlist=None,
         )
         _memo_put(_ANN_TRAIN_CACHE, key, cents)
@@ -1498,7 +1589,9 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq_codebooks,
     )
 
-    emb = _read_parallel(spark, sf_dir, "embeddings")
+    emb = _read_parallel(
+        spark, sf_dir, "embeddings", _EMB_ROWS_PER_TASK
+    )
     key = (_session_key(spark), sf_dir, _sf_fingerprint(sf_dir), "pq_books")
     cached = _ANN_TRAIN_CACHE.get(key)
     if cached is None:
@@ -2257,8 +2350,15 @@ def _q_sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused = row.select(F.explode(F.array(*entries)).alias("z")).select(
         "z.gate", "z.key", "z.metric", "z.approx_ok"
     )
-    probes = spark.createDataFrame(
-        [(k, v) for k, v, _n in _BPE_PROBES], "key string, text string"
+    probes = _local_df(
+        spark,
+        T.StructType(
+            [
+                T.StructField("key", T.StringType(), True),
+                T.StructField("text", T.StringType(), True),
+            ]
+        ),
+        [(k, v) for k, v, _n in _BPE_PROBES],
     )
     bpe = probes.select(
         F.lit("bpe").alias("gate"),
@@ -2319,9 +2419,16 @@ def _qc_gate(spark: SparkSession) -> DataFrame:
         score_quality,
     )
 
-    probes = spark.createDataFrame(
+    probes = _local_df(
+        spark,
+        T.StructType(
+            [
+                T.StructField("key", T.StringType(), True),
+                T.StructField("text", T.StringType(), True),
+                T.StructField("__is_quality", T.BooleanType(), True),
+            ]
+        ),
         [(k, t, q) for k, t, _s, q in _QC_PROBES],
-        "key string, text string, __is_quality boolean",
     )
     scored = score_quality(probes, _qc_model(spark))
     return scored.select(
@@ -3176,7 +3283,9 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup,
     )
 
-    emb = _read_parallel(spark, sf_dir, "embeddings")
+    emb = _read_parallel(
+        spark, sf_dir, "embeddings", _EMB_ROWS_PER_TASK
+    )
     copies = emb.filter(F.col("vec_id") < 25).select(
         (F.col("vec_id") + 10000).alias("vec_id"),
         F.transform(

@@ -104,7 +104,13 @@ def _components_local(edges_rows, id_type, spark) -> DataFrame:
         ]
     )
     rows = [(node, label[find(node)]) for node in parent]
-    return spark.createDataFrame(rows, schema)
+    # LocalRelation, not createDataFrame(rows) (r15): the label table
+    # is small by the edge-cap gate, and the RDD form cost one
+    # Python-worker task per default partition on every scan plus
+    # unknown-size planning for the anti-join it feeds.
+    from ..localrel import local_df
+
+    return local_df(spark, schema, rows)
 
 
 def connected_components(
@@ -155,10 +161,13 @@ def connected_components(
     )
     n_edges = edges.count()
     if n_edges == 0:
+        edges.unpersist()
+        from ..localrel import local_df
+
         schema = pairs.select(
             F.col(src).alias("id"), F.col(src).alias("component")
         ).schema
-        return pairs.sparkSession.createDataFrame([], schema)
+        return local_df(pairs.sparkSession, schema, [])
 
     if small_graph_edges and n_edges <= small_graph_edges:
         rows = edges.collect()

@@ -218,14 +218,21 @@ def rebalance_sources(
     # silently drop every null-source row (NULL never equals NULL).
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    rate_df = df.sparkSession.createDataFrame(
-        rates,
+    from ..localrel import local_df
+
+    # LocalRelation, not createDataFrame(rows) (r15): the rate table
+    # is a handful of rows, and the RDD form cost one Python-worker
+    # task per default partition on every scan plus unknown-size join
+    # planning; as a LocalTableScan it broadcasts driver-locally.
+    rate_df = local_df(
+        df.sparkSession,
         StructType(
             [
                 StructField("__g", df.schema[group_col].dataType, True),
                 StructField("__rate", DoubleType(), False),
             ]
         ),
+        rates,
     )
     return (
         df.join(

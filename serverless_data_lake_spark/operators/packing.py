@@ -191,8 +191,14 @@ def pack_sequences(
     for row in sorted(totals, key=lambda r: r["__b"]):
         bases.append((row["__b"], acc))
         acc += row["__t"]
-    base_df = df.sparkSession.createDataFrame(
-        bases, "__b int, __base bigint"
+    # LocalRelation, not createDataFrame(rows) (r15): the bucket-base
+    # table is ≤ `buckets` rows; the RDD form cost one Python-worker
+    # task per default partition on every scan and carried no size
+    # stats for the join back. See localrel.local_df.
+    from ..localrel import local_df
+
+    base_df = local_df(
+        df.sparkSession, "__b int, __base bigint", bases
     )
 
     # 3. Within-bucket running sum, buckets-way parallel (id breaks

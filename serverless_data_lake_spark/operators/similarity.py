@@ -290,8 +290,15 @@ def ann_recall_at_k(
 
     Returns ``(query_id, recall_at_k)`` with one row per query in
     ``exact``."""
+    # Explicit broadcasts (r15, guide §3.1): both build sides are
+    # bounded at queries × k rows BY CONSTRUCTION (exact top-k, and
+    # one count row per query), but neither carries usable size
+    # statistics — ``exact`` is typically a collected local relation
+    # or a windowed top-k, so the planner fell back to SortMergeJoin
+    # with a full exchange pair per join over ≤50-row inputs
+    # (ann_topk_gates carried 44 exchanges before this).
     hits = ann.join(
-        exact.select(query_id_col, id_col),
+        F.broadcast(exact.select(query_id_col, id_col)),
         on=[query_id_col, id_col],
         how="left_semi",
     )
@@ -305,7 +312,7 @@ def ann_recall_at_k(
     return (
         exact.groupBy(query_id_col)
         .agg(F.count("*").alias("__n_exact"))
-        .join(per_query, on=query_id_col, how="left")
+        .join(F.broadcast(per_query), on=query_id_col, how="left")
         .select(
             F.col(query_id_col),
             (
@@ -314,6 +321,20 @@ def ann_recall_at_k(
             ).alias("recall_at_k"),
         )
     )
+
+
+def _local_pairs_df(spark, rows, ddl: str):
+    """Small driver-built rows → a TRUE LocalRelation (r15):
+    ``createDataFrame(rows, ddl)`` builds a defaultParallelism-
+    partition pickled-Python RDD, so even under an explicit
+    ``F.broadcast`` the broadcast BUILD ran ~32 Python-worker tasks
+    for a 100-row probe table. Routing through a ``pyarrow.Table``
+    plans a ``LocalTableScan`` — the broadcast builds driver-local
+    with zero tasks. Values are bit-identical (arrow carries the
+    same int64/float64 the Row path ships)."""
+    from ..localrel import local_df
+
+    return local_df(spark, ddl, rows)
 
 
 def _train_spherical_kmeans(
@@ -547,8 +568,8 @@ def ivf_topk(
         probe_rows.extend((r[0], int(ci)) for ci in order)
     spark = queries.sparkSession
     qid_type = queries.schema[query_id_col].dataType.simpleString()
-    probes = spark.createDataFrame(
-        probe_rows, schema=f"{query_id_col} {qid_type}, __cell int"
+    probes = _local_pairs_df(
+        spark, probe_rows, f"{query_id_col} {qid_type}, __cell int"
     )
     q = queries.join(F.broadcast(probes), query_id_col).select(
         F.col(query_id_col),

@@ -22,9 +22,17 @@ from serverless_data_lake_spark.session import get_spark
 
 
 def _stage_rows(spark, min_submit_ms: int):
-    store = spark.sparkContext._jsc.sc().statusStore()
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
     out = []
-    it = store.stageList(None).iterator()
+    # Spark 4 signature: stageList(statuses, details, withSummaries,
+    # unsortedQuantiles, taskStatus); empty statuses = all stages.
+    jvm = sc._jvm
+    gw = sc._gateway
+    it = store.stageList(
+        jvm.java.util.ArrayList(), False, False,
+        gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+    ).iterator()
     while it.hasNext():
         s = it.next()
         sub = s.submissionTime()
