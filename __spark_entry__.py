@@ -3188,10 +3188,15 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_image_features,
     )
 
-    # Plain read: per-row work is microseconds, so fanning the ~1 MB
-    # input over 32 Python workers costs more in worker spin-up than
-    # it saves (same reasoning as the all-pairs numpy kernel).
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    # Sized fan-out (r15, reversing the r5-era plain read): the BMP
+    # synth + decode kernel measured ~0.3 ms/doc in Python — a
+    # single-partition scan serialized ~1.4 s of kernel on one worker
+    # at sf0.1 (stage-profiled), while the warm worker pool makes the
+    # per-task cost ~20 ms. 500 docs/task ≈ 150 ms of compute per
+    # task; the cores clamp keeps production inputs at full fan-out.
+    docs = _read_parallel(
+        spark, sf_dir, "documents", _DOC_ROWS_PER_TASK
+    ).select("doc_id")
 
     def synth(batches):
         import numpy as np

@@ -49,6 +49,18 @@ def get_spark(
             "false",
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE apply the same byte-based partition coalescing to
+        # PERSISTED plans (default false): the dedup family persists
+        # small published intermediates (pair sets, ranked gram
+        # arrays, LSH indexes), and with the default every downstream
+        # stage over the cache inherits the raw shuffle.partitions
+        # fan-out — measured 64 near-empty tasks per consumer stage
+        # at bench scale; at production scale the advisory size
+        # governs exactly as it does for uncached exchanges (r15).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or int(cpus) * 2),
