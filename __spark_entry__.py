@@ -756,10 +756,16 @@ def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection."""
     from pyspark import StorageLevel
 
-    # explode-first operator: its own keyed exchange parallelizes;
-    # plain read avoids the up-front text shuffle (see the r8 note
-    # at _read_parallel).
-    docs = _read(spark, sf_dir, "documents")
+    # explode-first operator whose r8 measurement preferred the plain
+    # read; re-tested in r15 under AQE cached-plan coalescing
+    # (65d4aab changed the persisted-intermediate partitioning) the
+    # sized _read_parallel now wins for this entry — 3-round
+    # alternating A/B medians in
+    # docs/records/r15/ab_inflight_summary.txt. prefix alone kept
+    # the plain read (consistent loss there).
+    docs = _read_parallel(
+        spark, sf_dir, "documents", _DOC_ROWS_PER_TASK
+    )
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.8
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -776,10 +782,16 @@ def _q_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     output identical to the exact path at sf0.01/sf0.1/sf1 (verified
     by tools/scale_sweep.py), so the exact-Jaccard oracle applies
     unchanged."""
-    # explode-first operator: its own keyed exchange parallelizes;
-    # plain read avoids the up-front text shuffle (see the r8 note
-    # at _read_parallel).
-    docs = _read(spark, sf_dir, "documents")
+    # explode-first operator whose r8 measurement preferred the plain
+    # read; re-tested in r15 under AQE cached-plan coalescing
+    # (65d4aab changed the persisted-intermediate partitioning) the
+    # sized _read_parallel now wins for this entry — 3-round
+    # alternating A/B medians in
+    # docs/records/r15/ab_inflight_summary.txt. prefix alone kept
+    # the plain read (consistent loss there).
+    docs = _read_parallel(
+        spark, sf_dir, "documents", _DOC_ROWS_PER_TASK
+    )
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.8,
         max_doc_freq=100, max_doc_frac=0.02,
@@ -800,7 +812,12 @@ def _q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     too large for either exact path."""
     # explode-first operator: its own keyed exchange parallelizes;
     # plain read avoids the up-front text shuffle (see the r8 note
-    # at _read_parallel).
+    # at _read_parallel). r15 re-tested the sized _read_parallel here
+    # alongside its siblings under the new AQE cached-plan coalescing:
+    # pairs/capped/corpus flipped to a win, but prefix stayed a
+    # consistent LOSS (median 2.25 s vs 1.96 s, every paired draw
+    # worse — docs/records/r15/ab_inflight_summary.txt), so this
+    # entry keeps the plain read.
     docs = _read(spark, sf_dir, "documents")
     return ngram_jaccard_prefix(docs, "doc_id", "text", n=3, threshold=0.8)
 
@@ -941,10 +958,16 @@ def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from serverless_data_lake_spark.operators.components import dedup_corpus
 
-    # explode-first operator: its own keyed exchange parallelizes;
-    # plain read avoids the up-front text shuffle (see the r8 note
-    # at _read_parallel).
-    docs = _read(spark, sf_dir, "documents")
+    # explode-first operator whose r8 measurement preferred the plain
+    # read; re-tested in r15 under AQE cached-plan coalescing
+    # (65d4aab changed the persisted-intermediate partitioning) the
+    # sized _read_parallel now wins for this entry — 3-round
+    # alternating A/B medians in
+    # docs/records/r15/ab_inflight_summary.txt. prefix alone kept
+    # the plain read (consistent loss there).
+    docs = _read_parallel(
+        spark, sf_dir, "documents", _DOC_ROWS_PER_TASK
+    )
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.8
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -2657,6 +2680,11 @@ def _decont_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             [CurationSink(both, consume=fingerprint)],
             checkpoint=os.path.join(tmp, "ckpt"),
             persist_batch=True,
+            # One cheap exchange of the (cached, multi-scanned) batch
+            # restores compute parallelism: a single-file trigger
+            # arrives on 1-2 scan partitions and serialized ~1.2 s of
+            # gram hashing on ≤2 cores (r15, guide §2).
+            fanout_partitions=spark.sparkContext.defaultParallelism,
         )
         q.awaitTermination()
 

@@ -138,9 +138,14 @@ def main() -> None:
             # (see __spark_entry__._data_path); sizing file splits
             # down lets the scan fan out across cores. At production
             # scale the default 128m is right — this matches splits
-            # to the small local files.
-            "spark.sql.files.maxPartitionBytes": "4m",
-            "spark.sql.files.openCostInBytes": "1m",
+            # to the small local files. Env-overridable for split-size
+            # A/Bs (r15); the committed default is the measured best.
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SDLS_MAX_PARTITION_BYTES", "4m"
+            ),
+            "spark.sql.files.openCostInBytes": os.environ.get(
+                "SDLS_OPEN_COST_BYTES", "1m"
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -92,6 +92,7 @@ class CurationSink:
 def build_fanout_handler(
     sinks: Sequence[CurationSink],
     persist_batch: bool = False,
+    fanout_partitions: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The ``foreachBatch`` handler, exposed for unit tests (replay
     behavior is tested by invoking it twice with the same batch id).
@@ -103,9 +104,26 @@ def build_fanout_handler(
     this is the r7 persist rule's "persist only multi-consumer
     results" case. Off by default: for byte-small micro-batches the
     columnar cache round-trip can cost as much as the re-scan
-    (measured both ways at sf0.1 — see docs/bench.md r12)."""
+    (measured both ways at sf0.1 — see docs/bench.md r12).
+
+    ``fanout_partitions`` repartitions the micro-batch before the
+    sinks consume it (r15, guide §2): a FileStreamSource batch
+    carries one scan partition per file split, so a single-file
+    trigger serializes every product's per-document compute (gram
+    hashing, tokenization) on 1-2 cores — measured ~1.2 s of the
+    stream gate's micro-batch action at sf0.1 ran on ≤2 tasks.
+    Pass the core count (or a sized value) when the sinks do heavy
+    per-row work; the repartition is one cheap exchange of the batch
+    the products were going to re-scan 3-4× anyway. ``None`` keeps
+    the source partitioning."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if fanout_partitions:
+            # No partition-count probe: `.rdd` on a micro-batch frame
+            # re-plans the batch through the RDD conversion path
+            # (measured ~8 s per call at sf0.1) — the unconditional
+            # exchange is the cheap option here.
+            batch_df = batch_df.repartition(fanout_partitions)
         if persist_batch:
             batch_df = batch_df.persist()
         try:
@@ -133,6 +151,7 @@ def start_curation_fanout_stream(
     sinks: Sequence[CurationSink],
     checkpoint: str,
     persist_batch: bool = False,
+    fanout_partitions: int | None = None,
 ):
     """Start ONE availableNow query applying every sink's transform
     to each shared micro-batch. Returns the StreamingQuery.
@@ -146,7 +165,11 @@ def start_curation_fanout_stream(
 
     return (
         doc_stream.writeStream.foreachBatch(
-            build_fanout_handler(sinks, persist_batch=persist_batch)
+            build_fanout_handler(
+                sinks,
+                persist_batch=persist_batch,
+                fanout_partitions=fanout_partitions,
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -302,3 +302,38 @@ def test_consume_receives_projected_frame_and_persist_batch(
     assert not b.is_cached  # unpersisted before the handler returned
     cols = spark.read.parquet(out).columns
     assert sorted(cols) == ["__batch_id", "doc_id"]
+
+
+def test_fanout_partitions_repartitions_without_changing_products(
+    spark, tmp_path
+):
+    """`fanout_partitions` (r15 optimization round) widens a
+    narrow micro-batch before the sinks consume it — the sink
+    transforms must see the repartitioned frame (task parallelism),
+    while every product stays identical to the unrepartitioned run."""
+    from serverless_data_lake_spark.streaming.curation_fanout import (
+        build_fanout_handler,
+    )
+
+    widths = {}
+
+    def consume(df, batch_id):
+        widths[batch_id] = df.rdd.getNumPartitions()
+
+    out = str(tmp_path / "fp_sink")
+    handler = build_fanout_handler(
+        [
+            CurationSink(lambda df: df, consume=consume),
+            CurationSink(lambda df: df, out_path=out),
+        ],
+        persist_batch=True,
+        fanout_partitions=4,
+    )
+    b = spark.createDataFrame(DOCS, SCHEMA).coalesce(1)
+    handler(b, 3)
+    assert widths == {3: 4}
+    rows = sorted(
+        (r["doc_id"], r["text"], r["__batch_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == sorted((d[0], d[1], 3) for d in DOCS)

@@ -33,7 +33,19 @@ def main() -> None:
     warm_dir = os.environ.get(
         "SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001"
     )
-    spark = get_spark(app_name="sdls-bench-entries")
+    spark = get_spark(
+        app_name="sdls-bench-entries",
+        extra_conf={
+            # mirror bench.py's scan-split sizing so A/B numbers here
+            # are comparable to full-bench sittings
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SDLS_MAX_PARTITION_BYTES", "4m"
+            ),
+            "spark.sql.files.openCostInBytes": os.environ.get(
+                "SDLS_OPEN_COST_BYTES", "1m"
+            ),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     entrymod._ensure_catalog(spark, sf_dir)
     spark.range(32).repartition(1).mapInPandas(
