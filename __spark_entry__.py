@@ -209,6 +209,11 @@ _scan_partitions_cache: dict = {}
 #: fan-out: their per-task compute grows faster than row count.
 _EMB_ROWS_PER_TASK = 20_000
 _DOC_ROWS_PER_TASK = 500
+#: Stream-gate micro-batch fan-out sizing (r15): the decont/scrub
+#: twins hash 5-grams over each doc (~2.5 ms/doc, heavier than the
+#: 0.1-1 ms/doc _DOC_ROWS_PER_TASK families), so a task amortizes
+#: its fixed cost at ~100 docs. See the A/B note at the call site.
+_STREAM_DOCS_PER_TASK = 100
 
 
 def _table_num_rows(spark: SparkSession, sf_dir: str, table: str) -> int:
@@ -1403,7 +1408,9 @@ def _sf_fingerprint(path: str) -> tuple:
     return tuple(out)
 
 
-def _local_df(spark: SparkSession, schema, rows) -> DataFrame:
+def _local_df(
+    spark: SparkSession, schema, rows, num_partitions: int | None = None
+) -> DataFrame:
     """Collected rows → a TRUE LocalRelation (r15 optimization round,
     guide §3.1/§4): ``spark.createDataFrame(rows, schema)`` builds a
     defaultParallelism-partition pickled-Python RDD, so every scan of
@@ -1420,7 +1427,7 @@ def _local_df(spark: SparkSession, schema, rows) -> DataFrame:
     pinned by tests/test_localrel.py)."""
     from serverless_data_lake_spark.localrel import local_df
 
-    return local_df(spark, schema, rows)
+    return local_df(spark, schema, rows, num_partitions=num_partitions)
 
 
 def _memo_local_relation(
@@ -2382,6 +2389,13 @@ def _q_sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
         [(k, v) for k, v, _n in _BPE_PROBES],
+        # A LocalTableScan parallelizes one slice PER ROW, so the
+        # Arrow-UDF tokenize paid one Python-worker roundtrip (and
+        # one per-worker vocab LRU miss) per probe. One partition =
+        # one handoff for the whole fixed-size probe set (r15,
+        # guide §4.5; the probe sets are constants, so this is
+        # scale-independent).
+        num_partitions=1,
     )
     bpe = probes.select(
         F.lit("bpe").alias("gate"),
@@ -2452,6 +2466,10 @@ def _qc_gate(spark: SparkSession) -> DataFrame:
             ]
         ),
         [(k, t, q) for k, t, _s, q in _QC_PROBES],
+        # One slice for the 5 fixed probes — the scoring pipeline is
+        # JVM-only, but a per-row slice still costs a task launch
+        # each (see the BPE-probe note above).
+        num_partitions=1,
     )
     scored = score_quality(probes, _qc_model(spark))
     return scored.select(
@@ -2675,16 +2693,28 @@ def _decont_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (decont anti-join + scrub base + scrub occ) — caching it
         # across the fan-out measured ~0.25 s faster per run at
         # sf0.1 (r12 A/B, docs/bench.md).
+        # One cheap exchange of the (cached, multi-scanned) batch
+        # restores compute parallelism: a single-file trigger
+        # arrives on 1-2 scan partitions and serialized ~1.2 s of
+        # gram hashing on ≤2 cores (r15, guide §2). SIZED like
+        # _read_parallel rather than pinned to the core count: the
+        # train slice is ~nrows/10 docs and a fan-out task needs
+        # ~100 docs (~2.5 ms of gram hashing each) to outweigh its
+        # fixed cost — alternated A/B at sf0.1 (470-doc slice):
+        # width 32 ≈ 1.9-2.3 s construct, 16 → 1.67, 8 → 1.47,
+        # 4 → 1.41. The cores clamp restores the full fan-out at
+        # production batch sizes (sf1's ~4.7 k-doc slice already
+        # saturates it).
+        slice_rows = _table_num_rows(spark, sf_dir, "documents") // 10
         q = start_curation_fanout_stream(
             train_stream,
             [CurationSink(both, consume=fingerprint)],
             checkpoint=os.path.join(tmp, "ckpt"),
             persist_batch=True,
-            # One cheap exchange of the (cached, multi-scanned) batch
-            # restores compute parallelism: a single-file trigger
-            # arrives on 1-2 scan partitions and serialized ~1.2 s of
-            # gram hashing on ≤2 cores (r15, guide §2).
-            fanout_partitions=spark.sparkContext.defaultParallelism,
+            fanout_partitions=min(
+                spark.sparkContext.defaultParallelism,
+                max(1, -(-slice_rows // _STREAM_DOCS_PER_TASK)),
+            ),
         )
         q.awaitTermination()
 

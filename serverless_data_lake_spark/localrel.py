@@ -28,13 +28,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
-def local_df(spark: SparkSession, schema, rows) -> DataFrame:
+def local_df(
+    spark: SparkSession, schema, rows, num_partitions: int | None = None
+) -> DataFrame:
     """Build a LocalRelation-backed DataFrame from driver-side rows.
 
     ``schema``: a StructType or DDL string; ``rows``: an iterable of
     tuples/Rows positionally matching the schema. Values must be
     plain Python objects (ints/floats/strings/bools/lists/None) —
     the shapes a ``collect()`` returns.
+
+    ``num_partitions`` coalesces the scan (r15): a ``LocalTableScan``
+    parallelizes one slice per row (``numSlices = min(rows, cores)``),
+    so an Arrow/pandas UDF applied directly over it pays one Python
+    worker roundtrip — and one per-worker heavyweight init — PER ROW.
+    Callers that feed a tiny fixed probe set into a UDF should pass
+    ``1``; join sides that get broadcast should leave it ``None``
+    (the broadcast build reads every slice driver-locally anyway).
     """
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -54,4 +64,7 @@ def local_df(spark: SparkSession, schema, rows) -> DataFrame:
         ],
         schema=arrow_schema,
     )
-    return spark.createDataFrame(tbl)
+    df = spark.createDataFrame(tbl)
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    return df

@@ -61,7 +61,19 @@ def _stage_rows(spark, min_submit_ms: int):
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or ["exact_substring_dedup"]
-    spark = get_spark(app_name="sdls-profile-stages")
+    spark = get_spark(
+        app_name="sdls-profile-stages",
+        extra_conf={
+            # mirror bench.py's scan-split sizing (r15) so profiled
+            # stage shapes match bench sittings
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SDLS_MAX_PARTITION_BYTES", "4m"
+            ),
+            "spark.sql.files.openCostInBytes": os.environ.get(
+                "SDLS_OPEN_COST_BYTES", "1m"
+            ),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     for name in names:
