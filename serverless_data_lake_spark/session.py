@@ -49,18 +49,21 @@ def get_spark(
             "false",
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Let AQE apply the same byte-based partition coalescing to
-        # PERSISTED plans (default false): the dedup family persists
-        # small published intermediates (pair sets, ranked gram
-        # arrays, LSH indexes), and with the default every downstream
-        # stage over the cache inherits the raw shuffle.partitions
-        # fan-out — measured 64 near-empty tasks per consumer stage
-        # at bench scale; at production scale the advisory size
-        # governs exactly as it does for uncached exchanges (r15).
-        .config(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-            "true",
-        )
+        # canChangeCachedPlanOutputPartitioning stays at its DEFAULT
+        # (false). Turning it on was an r15 bench-scale win (~0.5-0.9 s
+        # across the dedup family: AQE coalesced the 64 near-empty
+        # tasks every consumer of a persisted intermediate inherited),
+        # but it coalesces the cache by BYTES while the consumers of
+        # those caches are compute-dense self-joins (candidate
+        # verification over gram arrays, signature blocks) whose CPU
+        # per byte is enormous: at sf1 the ranked-gram cache coalesced
+        # to 1-2 partitions and ngram_jaccard_prefix went 13.3 s ->
+        # 127.3 s (same session style, conf-only A/B,
+        # docs/records/r15/ab_cachedplan_sf1.txt); simhash 10.6 ->
+        # 12.8. A local-bench-only win that serializes the scale path
+        # is exactly the trade this engine must not make (guide §2:
+        # partition by the work, not a constant — and byte-based
+        # advisory sizing cannot see join-side compute).
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or int(cpus) * 2),
