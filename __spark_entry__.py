@@ -216,19 +216,35 @@ _DOC_ROWS_PER_TASK = 500
 _STREAM_DOCS_PER_TASK = 100
 
 
-def _table_num_rows(spark: SparkSession, sf_dir: str, table: str) -> int:
-    """Row count from the parquet FOOTER (no Spark job), memoized per
-    data fingerprint."""
-    import pyarrow.parquet as pq
+def _parquet_num_rows(path: str) -> int | None:
+    """Footer/metadata row count for a parquet layout — a single
+    file OR a multi-file dataset directory (r16, r15 verdict #3: the
+    old ``pq.ParquetFile(path)`` threw on any directory layout while
+    the sized-read helper is documented as the production pattern).
+    ``pyarrow.dataset.count_rows()`` with no filter sums the file
+    footers without reading data. Returns ``None`` when the layout
+    cannot be read — callers fall back to the full-core clamp."""
+    import pyarrow.dataset as pads
 
+    try:
+        return pads.dataset(path, format="parquet").count_rows()
+    except Exception:  # noqa: BLE001 — any unreadable layout
+        return None
+
+
+def _table_num_rows(
+    spark: SparkSession, sf_dir: str, table: str
+) -> int | None:
+    """Row count from the parquet metadata (no Spark job), memoized
+    per data fingerprint; ``None`` when the layout is unreadable."""
     key = (
         _session_key(spark), sf_dir, _sf_fingerprint(sf_dir),
         f"{table}#nrows",
     )
-    n = _scan_partitions_cache.get(key)
-    if n is None:
-        n = pq.ParquetFile(_data_path(sf_dir, table)).metadata.num_rows
-        _memo_put(_scan_partitions_cache, key, n)
+    if key in _scan_partitions_cache:
+        return _scan_partitions_cache[key]
+    n = _parquet_num_rows(_data_path(sf_dir, table))
+    _memo_put(_scan_partitions_cache, key, n)
     return n
 
 
@@ -265,7 +281,8 @@ def _read_parallel(
     desired = cores
     if rows_per_task is not None:
         nrows = _table_num_rows(spark, sf_dir, table)
-        desired = min(cores, max(1, -(-nrows // rows_per_task)))
+        if nrows is not None:
+            desired = min(cores, max(1, -(-nrows // rows_per_task)))
     key = (_session_key(spark), sf_dir, _sf_fingerprint(sf_dir), table)
     nparts = _scan_partitions_cache.get(key)
     if nparts is None:

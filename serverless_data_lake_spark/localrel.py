@@ -51,20 +51,30 @@ def local_df(
 
     if isinstance(schema, str):
         schema = T._parse_datatype_string(schema)
-    arrow_schema = to_arrow_schema(schema)
     rows = list(rows)
-    if rows:
-        cols = list(zip(*rows))
-    else:
-        cols = [[] for _ in arrow_schema]
-    tbl = pa.Table.from_arrays(
-        [
-            pa.array(list(c), type=f.type)
-            for c, f in zip(cols, arrow_schema)
-        ],
-        schema=arrow_schema,
-    )
-    df = spark.createDataFrame(tbl)
+    try:
+        arrow_schema = to_arrow_schema(schema)
+        if rows:
+            cols = list(zip(*rows))
+        else:
+            cols = [[] for _ in arrow_schema]
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(list(c), type=f.type)
+                for c, f in zip(cols, arrow_schema)
+            ],
+            schema=arrow_schema,
+        )
+        df = spark.createDataFrame(tbl)
+    except (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError, TypeError,
+            ValueError):
+        # Nested-typed columns (StructType/MapType holding Row
+        # objects from a collect()) are not convertible by
+        # ``pa.array(list(col))`` — fall back to the plain Row path
+        # (r16, r15 ADVICE). Slower (pickled-RDD relation, no size
+        # stats) but correct; every current call site is flat/array
+        # typed and stays on the arrow path.
+        df = spark.createDataFrame(rows, schema)
     if num_partitions is not None:
         df = df.coalesce(num_partitions)
     return df

@@ -281,12 +281,23 @@ def ann_recall_at_k(
     k: int,
     query_id_col: str = "query_id",
     id_col: str = "vec_id",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Per-query recall@k of an ANN result against the exact top-k:
     |ann ∩ exact| / k. Computed in-Spark (a semi-join + a count per
     query) so an ANN entry can ship a *quality gate* instead of raw
     approximate rows — the gate output is deterministic, hence
     oracle-checkable, while the raw ANN rows are not SQL-expressible.
+
+    Size contract: with ``broadcast=True`` (the default) the
+    ``exact`` frame and the per-query hit counts are broadcast-join
+    build sides, bypassing ``autoBroadcastJoinThreshold``. Both are
+    bounded at ``queries × k`` rows of ``(id, id)`` — fine for the
+    typical thousands-of-queries evaluation, but a caller grading
+    millions of queries at once must pass ``broadcast=False`` (the
+    planner then picks the strategy from its own size estimates) or
+    grade in query slices; a forced multi-GB broadcast can OOM the
+    driver.
 
     Returns ``(query_id, recall_at_k)`` with one row per query in
     ``exact``."""
@@ -296,9 +307,12 @@ def ann_recall_at_k(
     # statistics — ``exact`` is typically a collected local relation
     # or a windowed top-k, so the planner fell back to SortMergeJoin
     # with a full exchange pair per join over ≤50-row inputs
-    # (ann_topk_gates carried 44 exchanges before this).
+    # (ann_topk_gates carried 44 exchanges before this). The
+    # ``broadcast`` flag (r16, r15 ADVICE) is the escape hatch for
+    # callers outside the bounded-size contract above.
+    _hint = F.broadcast if broadcast else (lambda df: df)
     hits = ann.join(
-        F.broadcast(exact.select(query_id_col, id_col)),
+        _hint(exact.select(query_id_col, id_col)),
         on=[query_id_col, id_col],
         how="left_semi",
     )
@@ -312,7 +326,7 @@ def ann_recall_at_k(
     return (
         exact.groupBy(query_id_col)
         .agg(F.count("*").alias("__n_exact"))
-        .join(F.broadcast(per_query), on=query_id_col, how="left")
+        .join(_hint(per_query), on=query_id_col, how="left")
         .select(
             F.col(query_id_col),
             (

@@ -123,3 +123,23 @@ def test_memo_put_evicts_stale_fingerprints(spark, tmp_path):
     assert len(probe_keys) == 1, probe_keys
     assert entry._ANN_TRAIN_CACHE[("sess", "independent")] == "keep-me"
     del entry._ANN_TRAIN_CACHE[("sess", "independent")]
+
+
+def test_parquet_num_rows_multi_file_and_fallback(spark, tmp_path):
+    """r16 (r15 verdict #3): the sized-read row count must be
+    layout-robust — a multi-file dataset directory sums its file
+    footers, and an unreadable layout returns None (callers then
+    keep the full-core clamp) instead of raising."""
+    d = str(tmp_path / "multi.parquet")
+    spark.range(100).repartition(2).write.mode("overwrite").parquet(d)
+    import glob
+
+    n_files = len(glob.glob(os.path.join(d, "*.parquet")))
+    assert n_files >= 2, "fixture must be a multi-file table"
+    assert entry._parquet_num_rows(d) == 100
+    # single-file layout still works (the bench/nanocache shape)
+    single = str(tmp_path / "single.pq")
+    spark.range(7).coalesce(1).toPandas().to_parquet(single)
+    assert entry._parquet_num_rows(single) == 7
+    # unreadable layout -> None, no raise
+    assert entry._parquet_num_rows(str(tmp_path / "nope")) is None

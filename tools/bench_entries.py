@@ -58,8 +58,14 @@ def main() -> None:
                 qs[name](spark, d).write.format("noop").mode(
                     "overwrite"
                 ).save()
-            except Exception:
-                pass
+            except Exception as exc:  # noqa: BLE001
+                # A broken entry would otherwise enter the timed reps
+                # cold and produce misleading A/B numbers with no
+                # signal (r16, r15 ADVICE) — surface it.
+                print(
+                    f"WARMUP FAILED {name} @ {d}: {exc!r}",
+                    file=sys.stderr,
+                )
             spark.catalog.clearCache()
     draws: dict[str, list[float]] = {n: [] for n in names}
     constr: dict[str, list[float]] = {n: [] for n in names}

@@ -97,10 +97,17 @@ def main() -> None:
             flush=True,
         )
         for r in active:
-            end = (r["complete"] or t0_ms) / 1000.0 - t0_ms / 1000.0
+            # a stage with no completionTime is still running (or a
+            # zombie) — say so instead of printing a 0.00 end window
+            # (r16, r15 ADVICE)
+            end = (
+                f"{r['complete'] / 1000.0 - t0_ms / 1000.0:6.2f}"
+                if r["complete"]
+                else "..running"
+            )
             start = r["submit"] / 1000.0 - t0_ms / 1000.0
             print(
-                f" {r['id']:4d} t={start:6.2f}..{end:6.2f} "
+                f" {r['id']:4d} t={start:6.2f}..{end} "
                 f"exec={r['exec_ms']:6.0f}ms cpu={r['cpu_ms']:6.0f}ms "
                 f"tasks={r['tasks']:4d} shuffleR={r['sr_mb']:5.1f}MB "
                 f"shuffleW={r['sw_mb']:5.1f}MB",
