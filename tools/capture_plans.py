@@ -36,7 +36,7 @@ def main() -> None:
     names = sys.argv[3:] or benchmod.BENCH_QUERIES
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r15",
+        "plans", os.environ.get("SDLS_PLANS_ROUND", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="sdls-capture-plans")

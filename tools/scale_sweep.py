@@ -172,6 +172,20 @@ SAMPLED_CHECKS = {
     "simhash_near_duplicates": _sampled_simhash_check,
 }
 
+#: Conf-hazard tripwire entries (r16, r15 verdict #8 — the 9cc8eab
+#: lesson mechanized): the three dedup-family entries that
+#: serialized ~10x at sf1 under the r15 cached-plan-coalescing conf.
+#: Every sweep record carries their spark-only seconds by default,
+#: whether or not they were selected, so a future conf change that
+#: re-serializes compute-dense self-join consumers is visible in the
+#: record without anyone remembering to ask. SDLS_NO_TRIPWIRE=1
+#: skips (e.g. quick single-entry triage runs).
+TRIPWIRE = (
+    "ngram_jaccard_prefix",
+    "ngram_jaccard_pairs",
+    "simhash_hamming_histogram",
+)
+
 
 def spark_summary(df) -> dict:
     aggs = [F.count(F.lit(1)).alias("__rows")]
@@ -279,7 +293,24 @@ def main() -> int:
         )
         return 2
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            # bench.py conf parity (r16, r15 verdict #1): the sweep
+            # session used the 128m/4m scan-split defaults, so the
+            # small single-file tables (documents 6 MB) scanned on
+            # 1-2 tasks while bench sittings ran the same entries on
+            # 6+ — sweep seconds were not comparable to bench
+            # seconds. Same env overrides, same committed defaults.
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SDLS_MAX_PARTITION_BYTES", "4m"
+            ),
+            "spark.sql.files.openCostInBytes": os.environ.get(
+                "SDLS_OPEN_COST_BYTES", "1m"
+            ),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
@@ -290,6 +321,53 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+
+    # Session warmup (r16, r15 verdict #1): the r15 sf1 record read
+    # q1_pricing_summary at 25.6 s — the FIRST timed entry absorbed
+    # the one-time nanocache build (~190 MB pyarrow rewrite on a
+    # fresh /tmp), catalog registration, JVM/codegen and
+    # Python-worker cold starts. The same entry re-measured warm
+    # reads 2.2 s (32-task scan; stage profile in
+    # OPTIMIZATION_r16.md). Pay those one-time costs OUTSIDE the
+    # timed loop, exactly like bench.py; SDLS_SWEEP_NO_WARMUP=1
+    # restores the old cold-start measurement.
+    if not os.environ.get("SDLS_SWEEP_NO_WARMUP"):
+        for t in entrymod.TABLES:
+            entrymod._data_path(sf_dir, t)  # nanocache outside timing
+        spark.range(1000).selectExpr("sum(id)").collect()
+        spark.range(32).repartition(1).mapInPandas(
+            lambda it: it, schema="id long"
+        ).write.format("noop").mode("overwrite").save()
+        warm_dir = os.environ.get(
+            "SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001"
+        )
+        if os.path.isdir(warm_dir):
+            tripwire_on = not os.environ.get("SDLS_NO_TRIPWIRE")
+            for name, fn in qs.items():
+                if only and name not in only and not (
+                    tripwire_on and name in TRIPWIRE
+                ):
+                    continue
+                try:
+                    # warm the SAME action the timed loop runs (the
+                    # summary wrapper agg, not a bare noop write):
+                    # its Expand/countDistinct wrapper plan carries
+                    # its own scale-independent codegen, measured
+                    # ~2 s inside q1's timed region when only the
+                    # bare entry was warmed
+                    spark_summary(fn(spark, warm_dir))
+                except Exception as exc:  # noqa: BLE001
+                    print(
+                        f"warmup failed {name}: {exc!r}"[:160],
+                        file=sys.stderr,
+                    )
+                spark.catalog.clearCache()
+        # the warm pass left the engine catalog registered for
+        # warm_dir; re-point it at the target OUTSIDE the timed loop
+        # (10 DROP+CREATE DDLs, ~2 s — measured inside q1's timing
+        # otherwise)
+        entrymod._ensure_catalog(spark, sf_dir)
+
     failures, report = 0, {}
     for name, fn in qs.items():
         if only and name not in only:
@@ -384,8 +462,35 @@ def main() -> int:
             "spark_s": round(t_spark, 2),
             "duckdb_s": round(t_duck, 2),
         }
+    # Tripwire readings (see TRIPWIRE above): reuse the main loop's
+    # number when the entry was selected; otherwise run it
+    # spark-only (noop sink) so every record carries the trio.
+    trip: dict[str, object] = {}
+    if not os.environ.get("SDLS_NO_TRIPWIRE"):
+        for name in TRIPWIRE:
+            rec = report.get(name)
+            if rec and "spark_s" in rec:
+                trip[name] = rec["spark_s"]
+                continue
+            t0 = time.time()
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                trip[name] = round(time.time() - t0, 2)
+            except Exception as exc:  # noqa: BLE001
+                trip[name] = (
+                    f"error: {str(exc).splitlines()[0][:80]}"
+                )
+                failures += 1
+            spark.catalog.clearCache()
+            print(
+                f"tripwire {name}: {trip[name]}s (spark-only)",
+                flush=True,
+            )
     print(json.dumps({"sf_dir": sf_dir, "failures": failures,
-                      "entries": report}))
+                      "entries": report,
+                      "jaccard_tripwire": trip}))
     return 1 if failures else 0
 
 
