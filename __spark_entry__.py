@@ -2315,87 +2315,99 @@ def _q_sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     All booleans are deterministic, so the approximate operators
     stay oracle-checkable (the ANN-gate pattern)."""
     orders = _read(spark, sf_dir, "orders")
-    # One-row aggregate SUBTREES cross-joined, rows built by
-    # exploding an array of structs over the joined one-row result
-    # (r12, r11-verdict #3's fuse rule applied here): previously the
-    # hll side ran TWO full profile scans (exact + approx) plus a
-    # join, and the tdigest side a third scan. Measured shapes at
-    # sf0.1 (5-rep medians, docs/bench.md r12): old 3-scan 1.78 s;
-    # ONE fully-fused aggregate 1.87 s — WORSE, because the exact
-    # percentile buffer then rides the multi-count_distinct Expand
-    # (×4 rows); distinct-agg ⨯ percentile-agg as two parallel
-    # subtrees 0.97 s; percentile ⨯ one subtree PER distinct column
-    # 0.63-0.73 s (no Expand anywhere, every scan column-pruned).
-    # The explode-structs projection (not a unionByName of two
-    # selects) guarantees each aggregate is computed once — union
-    # branches don't share non-exchange subplans.
+    # One-row aggregate SUBTREES, one per distinct column plus one
+    # percentile pass (r12, r11-verdict #3's fuse rule applied
+    # here): a single fully-fused aggregate measured WORSE (1.87 s
+    # vs 0.63-0.73) because the exact percentile buffer rides the
+    # multi-count_distinct Expand; per-column subtrees keep every
+    # scan column-pruned with no Expand anywhere.
+    #
+    # r16: the subtrees are COLLECTED CONCURRENTLY from driver
+    # threads (guide §2.6) and the 9 gate rows assembled as a
+    # LocalRelation, replacing the crossJoin-then-explode Catalyst
+    # assembly. The crossJoin chain ran the same 4 subtree stages
+    # concurrently but then paid ~4 sequential 1-task AQE collapse
+    # stages (~0.4 s of driver hops, stages 91-103 in the r16
+    # profile) plus the analysis of the joined mega-plan per rep.
+    # Paired draws at sf0.1: fused [1.213, 1.155, 1.084, 1.075] vs
+    # this [0.591, 0.711, 0.584, 0.606]. Values are BIT-IDENTICAL
+    # (hex-packed-double compare in the prototype, pinned by
+    # tests): each aggregate subtree plan is unchanged, and the
+    # driver-side gate arithmetic below uses the same
+    # exactly-specified IEEE-754 double ops Spark evaluated —
+    # abs/mul/cmp on doubles, and the 6-dp quantizer
+    # floor(x*1e6 + 0.5)/1e6 (r15, r14 ADVICE: multiply, add,
+    # floor, divide are bit-identical across engines; prices are
+    # positive so floor(+0.5) == HALF_UP). If a tdigest row ever
+    # reads red at a new scale, triage as input ULP drift at a 6-dp
+    # boundary FIRST (see docs/scale.md). The collects are eager
+    # work at construction — this entry is in bench.py's
+    # EAGER_CONSTRUCT set, so the cost stays inside its reported
+    # seconds.
+    import math
+    from concurrent.futures import ThreadPoolExecutor
+
     qs = [0.25, 0.5, 0.75, 0.9]
     arr = "array(" + ",".join(str(q) for q in qs) + ")"
-    row = orders.agg(
-        F.expr(
-            f"percentile_approx(o_totalprice, {arr}, 10000)"
-        ).alias("__qa"),
-        F.expr(f"percentile(o_totalprice, {arr})").alias("__qe"),
-        (F.max("o_totalprice") - F.min("o_totalprice")).alias("__range"),
-    )
-    # ... and the distincts split one subtree per column, the
-    # profile_table r12 finding re-applied (one 3-distinct Expand
-    # agg ⨯ pct 0.84-0.86 s → per-column subtrees 0.63-0.73 s at
-    # sf0.1; each subtree scan is column-pruned).
+
+    def _pct_job():
+        return orders.agg(
+            F.expr(
+                f"percentile_approx(o_totalprice, {arr}, 10000)"
+            ).alias("__qa"),
+            F.expr(f"percentile(o_totalprice, {arr})").alias("__qe"),
+            (F.max("o_totalprice") - F.min("o_totalprice")).alias(
+                "__range"
+            ),
+        ).collect()[0]
+
+    def _dist_job(c: str):
+        return c, orders.agg(
+            F.count_distinct(F.col(c)).alias("e"),
+            F.approx_count_distinct(c).alias("a"),
+        ).collect()[0]
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_pct = pool.submit(_pct_job)
+        f_dist = [pool.submit(_dist_job, c) for c in _PROFILE_COLS]
+        pct_row = f_pct.result()
+        dist_rows = dict(f.result() for f in f_dist)
+    gate_rows = []
     for c in _PROFILE_COLS:
-        row = row.crossJoin(
-            orders.agg(
-                F.count_distinct(F.col(c)).alias(f"__e_{c}"),
-                F.approx_count_distinct(c).alias(f"__a_{c}"),
-            )
+        e, a = dist_rows[c]["e"], dist_rows[c]["a"]
+        gate_rows.append(
+            ("hll", c, float(e), bool(abs(a - e) <= 0.1 * e))
         )
-    entries = []
-    for c in _PROFILE_COLS:
-        e, a = F.col(f"__e_{c}"), F.col(f"__a_{c}")
-        entries.append(
-            F.struct(
-                F.lit("hll").alias("gate"),
-                F.lit(c).alias("key"),
-                e.cast("double").alias("metric"),
-                (F.abs(a - e) <= F.lit(0.1) * e).alias("approx_ok"),
-            )
-        )
+    qa_list, qe_list = pct_row["__qa"], pct_row["__qe"]
+    rng = pct_row["__range"]
     for i, q in enumerate(qs):
-        qa = F.element_at("__qa", i + 1)
-        qe = F.element_at("__qe", i + 1)
-        entries.append(
-            F.struct(
-                F.lit("tdigest").alias("gate"),
-                F.lit(f"{q:.2f}").alias("key"),
-                # metric = the EXACT percentile value, not the
-                # quantile level (r13): the oracle recomputes it with
-                # a real quantile_cont scan — converting these rows
-                # from literal-SELECT to work-matched, the only
-                # direction the gate-set freeze permits. Spark's
-                # rank-interpolating `percentile` and DuckDB's
-                # `quantile_cont` interpolate at the same rank
-                # q*(n-1) (verified bit-identical at sf0.001-1), but
-                # the harness compare is repr-exact, so BOTH sides
-                # quantize to 6 dp. r15 (r14 ADVICE): the quantizer
-                # is floor(x*1e6 + 0.5)/1e6 — multiply, add, floor,
-                # divide are all exactly-specified IEEE-754 double
-                # ops, so identical inputs give BIT-IDENTICAL output
-                # on both engines; Spark's BigDecimal HALF_UP vs
-                # DuckDB's binary-scaled ROUND could still disagree
-                # at 6-dp half-way points even on equal inputs.
-                # (Prices are positive, so floor(+0.5) == HALF_UP.)
-                # If this row ever reads red at a new scale, triage
-                # as input ULP drift at a 6-dp boundary FIRST (see
-                # the sweep procedure in docs/scale.md).
-                (F.floor(qe * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
-                .alias("metric"),
-                (
-                    F.abs(qa - qe) <= F.lit(0.01) * F.col("__range")
-                ).alias("approx_ok"),
+        qa, qe = qa_list[i], qe_list[i]
+        gate_rows.append(
+            (
+                "tdigest",
+                f"{q:.2f}",
+                # metric = the EXACT percentile value (r13), 6-dp
+                # quantized with the bit-identical floor quantizer
+                # (see the block comment above)
+                math.floor(qe * 1e6 + 0.5) / 1e6,
+                bool(abs(qa - qe) <= 0.01 * rng),
             )
         )
-    fused = row.select(F.explode(F.array(*entries)).alias("z")).select(
-        "z.gate", "z.key", "z.metric", "z.approx_ok"
+    fused = _local_df(
+        spark,
+        T.StructType(
+            [
+                # gate non-nullable: every OTHER union branch's gate
+                # is a literal, and the union's nullability (hence
+                # the declared schema) must stay byte-identical to
+                # the r15 shape
+                T.StructField("gate", T.StringType(), False),
+                T.StructField("key", T.StringType(), True),
+                T.StructField("metric", T.DoubleType(), True),
+                T.StructField("approx_ok", T.BooleanType(), True),
+            ]
+        ),
+        gate_rows,
     )
     probes = _local_df(
         spark,
@@ -2595,7 +2607,20 @@ def _decont_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 17 == 0) & (F.col("doc_id") % 3 == 0)
     )
     path = _data_path(sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="sdls_decont_stream_gate_")
+    # The gate's checkpoint is THROWAWAY by design (created here,
+    # rmtree'd in the finally) — it exists so the stream runs the
+    # real offset/commit WAL protocol, not to survive anything. A
+    # RAM-backed dir skips the WAL's fsyncs: paired in-session A/B
+    # at sf0.1 read disk [2.689, 3.778, 6.232] vs shm
+    # [2.095, 3.145, 5.969] per construct (~0.3-0.6 s, r16). The
+    # WAL is a few KB of offsets/commits per batch at ANY scale
+    # (foreachBatch keeps no state), so this is scale-invariant; a
+    # production stream with a durable checkpoint keeps its own
+    # location.
+    tmp = tempfile.mkdtemp(
+        prefix="sdls_decont_stream_gate_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
     grams = ref_grams = None
     try:
         train_stream = (
