@@ -1069,10 +1069,29 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast=True skips the cap-sizing count job: the %17 eval
     # slice is known-small here (r10 — the sizing default exists for
     # library callers with unbounded eval suites).
+    #
+    # The persisted pair set is REPARTITIONED to the corpus-sized
+    # width before caching (r16): a cached plan materializes at the
+    # static shuffle ceiling (64 here) because AQE coalescing is
+    # disabled for cached plans
+    # (canChangeCachedPlanOutputPartitioning=false, the r15 revert),
+    # so all three consumer stages ran 64 near-empty tasks at
+    # sf0.1. Sizing by the same clamp(rows/_DOC_ROWS_PER_TASK,
+    # cores) rule as the jaccard reads keeps the cache narrow on
+    # tiny inputs and at FULL CORES from sf1 up — unlike the
+    # reverted byte-based conf, the width follows the corpus, not
+    # the cache's bytes, so compute-dense consumers cannot be
+    # serialized. Paired A/B, every draw better: sf0.1
+    # [1.803,1.400,1.300,1.339] -> [1.472,1.172,1.261,1.126]; sf1
+    # [3.391,2.839,2.726,2.643] -> [2.610,2.247,2.298,2.187].
+    nrows = _table_num_rows(spark, sf_dir, "documents")
+    width = spark.sparkContext.defaultParallelism
+    if nrows is not None:
+        width = min(width, max(1, -(-nrows // _DOC_ROWS_PER_TASK)))
     pair_hits = contamination_pairs(
         train, test, "doc_id", "text", n=5, min_shared=1,
         broadcast=True,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).repartition(width).persist(StorageLevel.MEMORY_AND_DISK)
     contaminated = pair_hits.select(
         F.col("__cid").alias("__dup")
     ).distinct()
