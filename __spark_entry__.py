@@ -834,12 +834,12 @@ def _q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     too large for either exact path."""
     # explode-first operator: its own keyed exchange parallelizes;
     # plain read avoids the up-front text shuffle (see the r8 note
-    # at _read_parallel). r15 re-tested the sized _read_parallel here
-    # alongside its siblings under the new AQE cached-plan coalescing:
-    # pairs/capped/corpus flipped to a win, but prefix stayed a
-    # consistent LOSS (median 2.25 s vs 1.96 s, every paired draw
-    # worse — docs/records/r15/ab_inflight_summary.txt), so this
-    # entry keeps the plain read.
+    # at _read_parallel). Settled with statistical power in r16
+    # (r15 verdict #2) under a PRE-COMMITTED decision rule
+    # (docs/records/r16/ab_prefix_protocol.txt): 7 alternating
+    # draws at sf0.1 (plain median 1.370 s vs sized 1.454) and 3
+    # fresh-session draws at sf1 (9.726 vs 9.947) — plain wins or
+    # ties everywhere, so this entry keeps the plain read.
     docs = _read(spark, sf_dir, "documents")
     return ngram_jaccard_prefix(docs, "doc_id", "text", n=3, threshold=0.8)
 
